@@ -1,0 +1,66 @@
+"""Benchmark harness: run every registered query at a scale factor.
+
+Prints ONE JSON line:
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Env:
+    SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    (default 32)
+    BENCH_QUERIES       (comma-separated subset; default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bigdatafinalproject_spark import registry  # noqa: E402
+from bigdatafinalproject_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> None:
+    """Force full execution without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    subset = os.environ.get("BENCH_QUERIES")
+    names = subset.split(",") if subset else sorted(registry.QUERIES)
+
+    spark = get_spark(app_name="bdfp-bench")
+    # warm the JVM + parquet footers so per-query numbers measure the query
+    registry.QUERIES["popular_parts"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

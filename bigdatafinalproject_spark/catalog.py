@@ -1,0 +1,59 @@
+"""Table catalog: load the test-data star schema and register SQL views.
+
+Plays the role the reference's per-script ``load_table`` JDBC helper
+played (reference: ALS_model3.py:67-73, duplicated in five other
+scripts) — one place that knows where tables live and hands out
+DataFrames — but parquet-first, with temp views registered so the
+``spark.sql`` entry point (reference: sample_users.py:21-29 raw
+sqlite3 SQL) shares the same Catalyst path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY scale factor (region/nation
+# are fixed-size; part/supplier/customer grow with SF and are left to
+# Catalyst's size-based broadcast decision + AQE).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every table as a temp view for the SQL surface."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

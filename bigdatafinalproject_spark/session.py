@@ -1,0 +1,59 @@
+"""SparkSession factory (SURVEY.md §7.1 stage 0).
+
+Replaces the reference's per-script hand-rolled sessions
+(reference: ALS_model3.py:50-62, recommendations3.py:20-29) with one
+factory that turns on what the reference left off:
+
+- AQE (adaptive coalescing + skew-join handling) instead of a
+  hard-coded ``spark.sql.shuffle.partitions=700``;
+- Arrow for any JVM<->Python transfer (the reference's ``toPandas``
+  calls ran without it);
+- UTC session timezone so results are comparable across engines;
+- Kryo serializer (kept from the reference — it is the right call).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Local-mode thread count; on a real cluster this is ignored."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdatafinalproject-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster AQE coalescing makes the initial number mostly irrelevant
+    (it only caps the pre-coalesce split count), so we deliberately do
+    NOT replicate the reference's fixed 700.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
