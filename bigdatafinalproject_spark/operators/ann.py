@@ -1,0 +1,160 @@
+"""Approximate-nearest-neighbor search over embedding columns (net-new
+surface, BASELINE.json north star; replaces the reference's driver-side
+dense-matrix sklearn cosine, similarity_matrix.py:41-47).
+
+Two tiers:
+
+- ``cosine_topk``  — exact brute force: Q×N cosine via JVM-side
+  ``zip_with``/``aggregate`` (no Python in the loop), windowed top-k.
+  The correctness baseline; cost O(Q·N·d).
+- ``lsh_topk``     — random-hyperplane LSH: P deterministic pseudo-random
+  hyperplanes → sign bits → banded bucket equi-join → exact cosine only
+  on candidates. The 100 TB path: never materializes Q×N.
+
+Determinism/portability: dot products are LEFT-TO-RIGHT sequential
+double folds over the array (Spark ``aggregate`` == DuckDB
+``list_reduce``), so results are bit-identical across engines without
+decimal rounding; hyperplane components are md5-derived integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential double dot product of two float arrays (exact
+    float->double element casts, left-to-right accumulation)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), excluding self-pairs.
+    Ties broken by neighbor id. The corpus side is the big side; the
+    query side is broadcast (typical ANN batch: few queries, huge
+    corpus), so the cross join is a broadcast-nested-loop with no
+    shuffle of the corpus.
+    """
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+    ).withColumnRenamed("_norm", "_qnorm")
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm")
+
+    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane sign signatures, banded: one row per (id, band)
+    with the band's bit-string digest.
+
+    Hyperplane component (p, i) is an md5-derived integer in
+    [-1000, 1000]; the per-plane dot is a sequential double fold over
+    the array — all inside one codegen'd expression, no explode of the
+    vector elements.
+    """
+    plane_dot = F.expr(
+        f"aggregate(transform(sequence(1, {dim}), i -> "
+        f"CAST(element_at(_v, i) AS DOUBLE) * "
+        f"((CAST(conv(substring(md5(concat_ws('|', 'plane', p, i)), 1, 15), 16, 10) "
+        f"AS BIGINT) % 2001) - 1000)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    per_plane = (
+        df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .select(
+            id_col,
+            "_v",
+            F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("p"),
+        )
+        .withColumn("bit", F.when(plane_dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    rows = num_planes // bands
+    return (
+        per_plane.withColumn("band", (F.col("p") / rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                    lambda s: s["bit"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact cosine evaluated only on bucket-sharing
+    candidates. Returns (query_id, neighbor_id, cosine, rank)."""
+    csig = lsh_signatures(corpus, id_col, vec_col, num_planes, bands, dim)
+    qsig = lsh_signatures(queries, id_col, vec_col, num_planes, bands, dim)
+    cand = (
+        qsig.select(F.col(id_col).alias("query_id"), "band", "band_sig")
+        .join(
+            csig.select(F.col(id_col).alias("neighbor_id"), "band", "band_sig"),
+            on=["band", "band_sig"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+    ).withColumnRenamed("_norm", "_qnorm")
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm")
+    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines (net-new surface,
+BASELINE.json north star; no reference equivalent — the reference's only
+dedup was a driver-side ``dict.fromkeys`` title dedup,
+recommendations3.py:91).
+
+Four tiers, each a different cost/recall point, all engine-portable
+(md5-derived hashing only):
+
+- exact:        md5(normalized text) group — one shuffle on the digest.
+- ngram-jaccard: exact set similarity over char n-gram shingles via an
+                inverted-index self-join (only pairs sharing a shingle
+                are generated — never the full cross product).
+- MinHash+LSH:  k portable min-hashes → b bands → candidates are pairs
+                sharing a band signature. The 100 TB path: cost is
+                O(docs × k) + a band-key equi-join, independent of the
+                pair count.
+- SimHash:      60-bit sign-of-weighted-sum signature; near-dups have
+                small Hamming distance.
+
+Scale notes: every step is groupBy/join on bounded keys; the shingle
+inverted index is the only potentially-skewed join (stop-shingles) —
+mitigated by dropping shingles above a document-frequency cap, which is
+also standard practice for quality (they carry no signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.operators.text import norm_text, tokens
+
+_H15 = 15  # hex digits -> 60-bit hash
+
+
+def _hash64(col: Column, seed: int | Column = 0) -> Column:
+    """Portable 60-bit hash (same construction as functions.portable_hash64
+    but seed can be a column for per-seed minhashing)."""
+    seed_col = seed if isinstance(seed, Column) else F.lit(str(seed))
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", seed_col, col)), 1, _H15), 16, 10
+    ).cast("long")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
+    """Distinct char n-gram shingles of normalized text, one row per
+    (id, shingle). Docs shorter than n chars produce no shingles."""
+    norm = norm_text(F.col(text_col))
+    d = df.select(F.col(id_col), norm.alias("_t")).filter(F.length("_t") >= n)
+    pos = F.sequence(F.lit(1), F.length("_t") - (n - 1))
+    return (
+        d.select(id_col, F.explode(pos).alias("_i"), "_t")
+        .select(id_col, F.expr(f"substring(_t, _i, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: returns one row per content group
+    (digest, canonical keep id = min id, group size)."""
+    return (
+        df.select(F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over char n-gram shingle sets for every
+    pair sharing >= 1 shingle; keeps pairs with jaccard >= threshold.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    (skew + noise control at scale; None keeps all so the result equals
+    the naive all-pairs definition).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
+        sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("size").alias("size_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures: one row per (id, seed) with the min portable
+    hash over the doc's shingle set. Long format on purpose — banding
+    and SQL oracles both consume it directly."""
+    sh = shingles(df, text_col, id_col, n)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    mh = _hash64(F.col("shingle"), seed=F.col("seed").cast("string"))
+    return (
+        seeded.select(id_col, "seed", mh.alias("h"))
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band signature (rows of
+    ``bands`` bands × ``num_hashes/bands`` minhashes each).
+
+    Returns distinct (id_a, id_b) with id_a < id_b. This is the scale
+    path for near-dup detection: the only join is an equi-join on
+    (band, band_digest).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_digest")
+        )
+    )
+    a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_digest")
+    b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_digest")
+    return (
+        a.join(b, on=["band", "band_digest"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60
+) -> DataFrame:
+    """SimHash over word tokens: bit j of the signature is the sign of
+    sum(token_count * (±1 per token-hash bit j)). Returns (id, simhash
+    bigint). 60 bits so the portable hash covers every position."""
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", _hash64(F.col("token")))
+    )
+    per_bit = (
+        counts.select(
+            id_col,
+            "cnt",
+            "th",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            "contrib",
+            F.col("cnt") * F.expr("(int(shiftrightunsigned(th, bit) & 1) * 2 - 1)"),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("bitsum"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("bitsum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into ``bands``
+    bit-slices (pigeonhole: hamming <= bands-1 guarantees a shared
+    slice; with max_hamming < bands recall is exact), equi-join on
+    slices, verify hamming distance on candidates.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    sliced = sig.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "slice",
+        F.expr(f"shiftrightunsigned(simhash, band * {slice_bits}) & {mask}"),
+    )
+    a = sliced.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "slice"
+    )
+    b = sliced.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "slice"
+    )
+    cand = (
+        a.join(b, on=["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (net-new surface,
+SURVEY §7.7 / BASELINE.json north star — no reference equivalent).
+
+All pure column expressions (JVM-side, codegen'd): language-ID by
+stopword voting, quality scoring, token statistics, document
+fingerprinting. Each has an exactly-equivalent ANSI-SQL formulation so
+the DuckDB oracle can verify values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (public common function words).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "de", "et", "un", "une", "les", "des", "en", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "zu", "mit", "ist", "von"),
+    "es": ("el", "la", "de", "y", "un", "una", "los", "en", "que", "por"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def norm_text(col: Column) -> Column:
+    """lower + collapse whitespace + trim. SQL equivalent:
+    ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text (no empties by construction).
+    SQL equivalent: ``string_split(norm, ' ')``."""
+    return F.split(norm_text(col), " ")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc token counts: total, distinct, type/token ratio, mean
+    token length (exact integer arithmetic then one double division)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    norm_len = F.length(norm_text(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        (nd.cast("double") / n).alias("ttr"),
+        ((norm_len - (n - 1)).cast("double") / n).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality signals: length, punctuation ratio, stopword
+    ratio, and a composite score. Everything is exact-int counting plus
+    double arithmetic in a fixed order, so it is engine-portable."""
+    raw = F.col(text_col)
+    norm = norm_text(raw)
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    raw_len = F.length(raw)
+    # characters outside [a-z0-9 space] after lowering = "punctuation-ish"
+    punct = F.length(F.lower(raw)) - F.length(
+        F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", "")
+    )
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    punct_ratio = punct.cast("double") / raw_len
+    sw_ratio = sw.cast("double") / n
+    score = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.when(sw_ratio < 0.05, 0.25).otherwise(0.0)
+        - F.when(n < 10, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        raw_len.alias("n_chars"),
+        n.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """N-gram-free language ID: vote by stopword-hit count per language
+    over the distinct token set; deterministic tie-break by (score desc,
+    lang asc). Returns (id, pred_lang, score)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scored = df.select(
+        F.col(id_col),
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(
+                f"_s_{lang}"
+            )
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    long = None
+    for lang in STOPWORDS:
+        row = scored.select(
+            id_col, F.lit(lang).alias("pred_lang"), F.col(f"_s_{lang}").alias("score")
+        )
+        long = row if long is None else long.unionByName(row)
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("pred_lang").asc())
+    return (
+        long.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Broder-style document fingerprint: md5 over the sorted distinct
+    token set — invariant to token order/duplication, so reordered or
+    repeated-content docs collide (that is the point). Returns
+    (id, fingerprint)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+    )

@@ -1,0 +1,108 @@
+"""Similarity-search queries over the embeddings table (net-new
+LLM-pipeline surface; replaces the reference's sklearn cosine path,
+similarity_matrix.py:41-47).
+
+Query set: every 50th vector. Oracles replay the sequential-double dot
+products with DuckDB ``list_reduce`` (same left-to-right fold Spark's
+``aggregate`` performs, hence bit-identical cosines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators.ann import cosine_topk, lsh_topk
+from bigdatafinalproject_spark.registry import query
+
+_DIM = 64
+
+_DOT_AB = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+_NORMS_CTE = f"""
+    norms AS (SELECT vec_id,
+                     sqrt({_DOT_AB.format(a='embedding', b='embedding')}) AS nrm
+              FROM embeddings)
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_NORMS_CTE},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {_DOT_AB.format(a='q.embedding', b='c.embedding')} AS dot
+             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id % 50 = 0),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (qa.nrm * qb.nrm) AS cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot / (qa.nrm * qb.nrm) DESC,
+                                                  neighbor_id ASC) AS rank
+               FROM dots
+               JOIN norms qa ON qa.vec_id = query_id
+               JOIN norms qb ON qb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 (correctness baseline; JVM-side
+    zip_with/aggregate, query side broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
+_PLANE_DOT = (
+    "list_reduce(list_transform(range(1, {dim1}), i -> "
+    "CAST(embedding[i] AS DOUBLE) * "
+    "((('0x' || substr(md5(concat_ws('|', 'plane', p, i)), 1, 15))::BIGINT % 2001) "
+    "- 1000)), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_NORMS_CTE},
+    sig AS (SELECT vec_id, CAST(p AS INT) AS p,
+                   CASE WHEN {_PLANE_DOT.format(dim1=_DIM + 1)} > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM embeddings, LATERAL unnest(range(0, 12)) AS up(p)),
+    bands AS (SELECT vec_id, p // 4 AS band,
+                     string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS band_sig
+              FROM sig GROUP BY vec_id, band),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM bands q JOIN bands c ON q.band = c.band AND q.band_sig = c.band_sig
+             WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+    dots AS (SELECT cand.query_id, cand.neighbor_id,
+                    {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (qa.nrm * qb.nrm) AS cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot / (qa.nrm * qb.nrm) DESC,
+                                                  neighbor_id ASC) AS rank
+               FROM dots
+               JOIN norms qa ON qa.vec_id = query_id
+               JOIN norms qb ON qb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (3 bands × 4 hyperplanes): exact
+    cosine evaluated only on bucket-sharing candidates — the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=10, num_planes=12, bands=3, dim=_DIM,
+    )

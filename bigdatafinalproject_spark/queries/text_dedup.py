@@ -1,0 +1,255 @@
+"""Dedup + text-analysis queries over the documents table (net-new
+LLM-pipeline surface; BASELINE.json north star).
+
+Each oracle replays the exact operator semantics in DuckDB SQL — all
+hashing is md5-derived (portable), all divisions double-on-exact-ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators import dedup as D
+from bigdatafinalproject_spark.operators import text as T
+from bigdatafinalproject_spark.registry import query
+
+# Shared SQL fragments (DuckDB): normalized text and token list.
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SW_EN = "'the','a','of','and','to','in','is','it','that','for'"
+
+# char-8-gram shingle CTEs reused by jaccard/minhash oracles
+_SHINGLE_CTE = f"""
+    d AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE length({_NORM}) >= 8),
+    sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS shingle
+           FROM d, LATERAL unnest(range(1, length(t) - 6)) AS u(i))
+"""
+
+
+@query(
+    "doc_exact_dups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY digest
+    """,
+)
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized text (hash-groupBy tier)."""
+    return D.exact_duplicates(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS nt, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(length(nt) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len
+    FROM t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + type/token ratio."""
+    return T.token_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS raw_len,
+             CAST(length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INT)
+                 AS punct,
+             {_TOKS} AS toks
+      FROM documents),
+    r AS (
+      SELECT doc_id, raw_len, CAST(len(toks) AS INT) AS n_tokens,
+             CAST(punct AS DOUBLE) / raw_len AS punct_ratio,
+             CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks)
+                 AS stopword_ratio
+      FROM c)
+    SELECT doc_id, raw_len AS n_chars, n_tokens, punct_ratio, stopword_ratio,
+           1.0 - least(punct_ratio * 2, 0.5)
+               - CASE WHEN stopword_ratio < 0.05 THEN 0.25 ELSE 0.0 END
+               - CASE WHEN n_tokens < 10 THEN 0.25 ELSE 0.0 END AS quality
+    FROM r
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio signals."""
+    return T.quality_score(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _lang_oracle() -> str:
+    from bigdatafinalproject_spark.operators.text import STOPWORDS
+
+    selects = []
+    for lang, ws in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS pred_lang, "
+            f"CAST(len(list_intersect(toks, [{lst}])) AS INT) AS score FROM t"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    scores AS ({union}),
+    r AS (SELECT doc_id, pred_lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, pred_lang) AS rn
+          FROM scores)
+    SELECT doc_id, pred_lang, score FROM r WHERE rn = 1
+    """
+
+
+@query("doc_language_id", oracle=_lang_oracle())
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword voting with deterministic tie-break."""
+    return T.language_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/duplication-invariant content fingerprint (Broder style)."""
+    return T.fingerprint(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "doc_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join, never a
+    cross product)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=8, threshold=0.8
+    )
+
+
+@query(
+    "doc_minhash_sigs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    seeded AS (SELECT doc_id, CAST(s AS INT) AS seed, shingle
+               FROM sh, LATERAL unnest(range(0, 16)) AS u(s))
+    SELECT doc_id, seed,
+           MIN(('0x' || substr(md5(concat_ws('|', seed, shingle)), 1, 15))::BIGINT)
+               AS minhash
+    FROM seeded GROUP BY doc_id, seed
+    """,
+)
+def doc_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 portable hash functions, long format)."""
+    return D.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=8, num_hashes=16
+    )
+
+
+@query(
+    "doc_minhash_candidates",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    seeded AS (SELECT doc_id, CAST(s AS INT) AS seed, shingle
+               FROM sh, LATERAL unnest(range(0, 16)) AS u(s)),
+    mh AS (SELECT doc_id, seed,
+                  MIN(('0x' || substr(md5(concat_ws('|', seed, shingle)), 1, 15))::BIGINT)
+                      AS minhash
+           FROM seeded GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+                         AS band_digest
+              FROM mh GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_digest = b.band_digest
+                AND a.doc_id < b.doc_id
+    """,
+)
+def doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (4 bands × 4 rows) — the scale path
+    for near-dup detection."""
+    return D.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=8,
+        num_hashes=16,
+        bands=4,
+    )
+
+
+_SIMHASH_CTE = f"""
+    tc AS (SELECT doc_id, token, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+           GROUP BY doc_id, token),
+    th AS (SELECT doc_id, cnt,
+                  ('0x' || substr(md5(concat_ws('|', '0', token)), 1, 15))::BIGINT AS th
+           FROM tc),
+    pb AS (SELECT doc_id, CAST(b AS INT) AS bit,
+                  SUM(cnt * (((th >> CAST(b AS INT)) & 1) * 2 - 1)) AS bitsum
+           FROM th, LATERAL unnest(range(0, 60)) AS u(b)
+           GROUP BY doc_id, bit),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM pb GROUP BY doc_id)
+"""
+
+
+@query(
+    "doc_simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures over word tokens."""
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "doc_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    sl AS (SELECT doc_id, simhash, CAST(b AS INT) AS band,
+                  (simhash >> (CAST(b AS INT) * 15)) & 32767 AS slice
+           FROM sig, LATERAL unnest(range(0, 4)) AS u(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+             FROM sl a JOIN sl b ON a.band = b.band AND a.slice = b.slice
+                                AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via bit-slice banding (pigeonhole-exact
+    recall for hamming <= 3 with 4 slices)."""
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        bits=60,
+        max_hamming=3,
+        bands=4,
+    )
