@@ -1,0 +1,266 @@
+"""Recommendation-pipeline queries (SURVEY §7.5).
+
+The serving assembly and the evaluators run on DETERMINISTIC heuristic
+predictors so they oracle-check exactly; the ALS queries exercise the
+MLlib path (M1-M5) and are rows-only (iterative float training is not
+SQL-expressible — the driver records the weaker check by design).
+
+Evaluator portability: predictors are chosen so every intermediate is
+exactly representable in decimal — the midpoint predictor has one
+decimal digit, squared errors two — and the AUC/ROC math stays in
+integers until a final double division (Mann-Whitney midrank form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators.recommend import (
+    als_topk_flat,
+    assemble_topn,
+    train_als,
+)
+from bigdatafinalproject_spark.registry import query
+
+_DEC = "decimal(25,6)"
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, partkey, qty) ratings-shaped facts from orders⋈lineitem."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("userId"),
+        F.col("l_partkey").alias("itemId"),
+        F.col("l_quantity").alias("rating"),
+    )
+
+
+@query(
+    "recs_wide_assembly",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS u, l_partkey AS i,
+             SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS s
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    kept AS (
+      SELECT u, i, 0 AS src,
+             row_number() OVER (PARTITION BY u ORDER BY s DESC, i ASC) AS ord
+      FROM spend
+      QUALIFY ord <= 3),
+    pool AS (
+      SELECT l_partkey AS i,
+             row_number() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC) AS pool_rank
+      FROM lineitem GROUP BY l_partkey
+      QUALIFY pool_rank <= 10),
+    backfill AS (
+      SELECT us.u, pool.i, 1 AS src, pool.pool_rank AS ord
+      FROM (SELECT DISTINCT u FROM kept) us CROSS JOIN pool
+      WHERE NOT EXISTS (SELECT 1 FROM kept k WHERE k.u = us.u AND k.i = pool.i)),
+    final AS (
+      SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY src, ord) AS rank
+      FROM (SELECT * FROM kept UNION ALL SELECT * FROM backfill)
+      QUALIFY rank <= 5)
+    SELECT u AS userId,
+           MAX(CASE WHEN rank = 1 THEN i END) AS rec_1,
+           MAX(CASE WHEN rank = 2 THEN i END) AS rec_2,
+           MAX(CASE WHEN rank = 3 THEN i END) AS rec_3,
+           MAX(CASE WHEN rank = 4 THEN i END) AS rec_4,
+           MAX(CASE WHEN rank = 5 THEN i END) AS rec_5
+    FROM final GROUP BY u
+    """,
+)
+def recs_wide_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's serving assembly (recommendations3.py:100-173)
+    Spark-native: top-3 by-spend recs per customer + popularity backfill
+    to exactly 5, pivoted wide — windows + anti-join + union + pivot,
+    no driver loop."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    spend = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("userId"), F.col("l_partkey").alias("itemId"))
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("score"))
+    )
+    pool = (
+        li.groupBy(F.col("l_partkey").alias("itemId"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "pool_rank",
+            F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("itemId").asc())),
+        )
+        .filter(F.col("pool_rank") <= 10)
+        .select("itemId", "pool_rank")
+    )
+    return assemble_topn(
+        spend, pool, user_col="userId", item_col="itemId", score_col="score",
+        n=5, keep=3,
+    )
+
+
+def _midpoint_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic predictor: per-item midpoint (min+max)/2 of the
+    quantity — one decimal digit, exactly representable everywhere."""
+    r = _ratings(spark, sf_dir)
+    item_mid = r.groupBy("itemId").agg(
+        ((F.min("rating") + F.max("rating")) / 2).alias("prediction")
+    )
+    return r.join(item_mid, on="itemId")
+
+
+_PRED_CTE = """
+    r AS (SELECT o_custkey AS userId, l_partkey AS itemId, l_quantity AS rating
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    mid AS (SELECT itemId, (MIN(rating) + MAX(rating)) / 2 AS prediction
+            FROM r GROUP BY itemId),
+    p AS (SELECT r.userId, r.itemId, r.rating, mid.prediction
+          FROM r JOIN mid ON mid.itemId = r.itemId)
+"""
+
+
+@query(
+    "eval_rmse",
+    oracle=f"""
+    WITH {_PRED_CTE}
+    SELECT sqrt(CAST(SUM(CAST((rating - prediction) * (rating - prediction)
+                              AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS rmse,
+           COUNT(*) AS n
+    FROM p
+    """,
+)
+def eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE evaluator semantics (M5, reference Model_evaluation.py:75-79)
+    on the deterministic midpoint predictor — squared errors have two
+    decimal digits, so the decimal sum is exact."""
+    p = _midpoint_predictions(spark, sf_dir)
+    err = F.col("rating") - F.col("prediction")
+    return p.agg(
+        F.sqrt(F.sum((err * err).cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("rmse"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "eval_auc",
+    oracle=f"""
+    WITH {_PRED_CTE},
+    labeled AS (SELECT prediction AS score,
+                       CASE WHEN rating > 25 THEN 1 ELSE 0 END AS label FROM p),
+    grp AS (SELECT score, SUM(label) AS pos, COUNT(*) AS tot
+            FROM labeled GROUP BY score),
+    cum AS (SELECT score, pos, tot,
+                   COALESCE(SUM(tot) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS below
+            FROM grp)
+    SELECT CAST(SUM(pos * (2 * below + tot + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
+           / (2 * SUM(pos) * (SUM(tot) - SUM(pos))) AS auc
+    FROM cum
+    """,
+)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary AUC (M6, reference Model_evaluation.py:88-92) in closed
+    Mann-Whitney midrank form: integer arithmetic until one final double
+    division, so it oracle-checks exactly. The rank window runs over
+    DISTINCT scores (small), not rows."""
+    p = _midpoint_predictions(spark, sf_dir)
+    labeled = p.select(
+        F.col("prediction").alias("score"),
+        F.when(F.col("rating") > 25, 1).otherwise(0).alias("label"),
+    )
+    grp = labeled.groupBy("score").agg(
+        F.sum("label").alias("pos"), F.count(F.lit(1)).alias("tot")
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = grp.withColumn("below", F.coalesce(F.sum("tot").over(w), F.lit(0)))
+    return cum.agg(
+        (
+            (
+                F.sum(F.col("pos") * (2 * F.col("below") + F.col("tot") + 1))
+                - F.sum("pos") * (F.sum("pos") + 1)
+            ).cast("double")
+            / (2 * F.sum("pos") * (F.sum("tot") - F.sum("pos")))
+        ).alias("auc")
+    )
+
+
+@query(
+    "eval_roc_points",
+    oracle=f"""
+    WITH {_PRED_CTE},
+    labeled AS (SELECT prediction AS score,
+                       CASE WHEN rating > 25 THEN 1 ELSE 0 END AS label FROM p),
+    grp AS (SELECT score, SUM(label) AS pos, COUNT(*) AS tot FROM labeled GROUP BY score),
+    cum AS (SELECT score,
+                   SUM(pos) OVER (ORDER BY score DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                   SUM(tot - pos) OVER (ORDER BY score DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+            FROM grp),
+    totals AS (SELECT SUM(pos) AS np, SUM(tot - pos) AS nn FROM grp)
+    SELECT CAST(score AS DOUBLE) AS threshold,
+           CAST(tp AS DOUBLE) / np AS tpr,
+           CAST(fp AS DOUBLE) / nn AS fpr
+    FROM cum, totals
+    """,
+)
+def eval_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side ROC curve points (M9 — the reference pulled scores to
+    the driver for sklearn.roc_curve, Model_evaluation.py:95-97): one
+    (threshold, tpr, fpr) row per distinct score via cumulative window
+    over the grouped scores."""
+    p = _midpoint_predictions(spark, sf_dir)
+    labeled = p.select(
+        F.col("prediction").alias("score"),
+        F.when(F.col("rating") > 25, 1).otherwise(0).alias("label"),
+    )
+    grp = labeled.groupBy("score").agg(
+        F.sum("label").alias("pos"), F.count(F.lit(1)).alias("tot")
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = grp.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("tot") - F.col("pos")).over(w).alias("fp"),
+    )
+    totals = grp.agg(
+        F.sum("pos").alias("np"), F.sum(F.col("tot") - F.col("pos")).alias("nn")
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        F.col("score").cast("double").alias("threshold"),
+        (F.col("tp").cast("double") / F.col("np")).alias("tpr"),
+        (F.col("fp").cast("double") / F.col("nn")).alias("fpr"),
+    )
+
+
+@query("als_recommendations")
+def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ALS train + top-5 recs for 20 users (M1/M4, reference
+    ALS_model3.py:230-241 + recommendations3.py:60). Iterative float
+    training — rows-only driver check by design."""
+    r = _ratings(spark, sf_dir)
+    model = train_als(r, rank=8, reg_param=0.1, max_iter=5, seed=42)
+    users = r.select("userId").distinct().orderBy("userId").limit(20)
+    return als_topk_flat(model, users, 5)
+
+
+@query("als_eval_rmse")
+def als_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS leave-one-out evaluation (M2/M5, reference ALS_model3.py:
+    222-244): per-user hash-ordered holdout, cold-start-dropped RMSE.
+    Rows-only driver check (float training)."""
+    from bigdatafinalproject_spark.operators.splits import leave_n_out
+
+    r = _ratings(spark, sf_dir)
+    split = leave_n_out(r, "userId", "itemId", n=1, seed=42)
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+    model = train_als(train, rank=8, reg_param=0.1, max_iter=5, seed=42)
+    preds = model.transform(test).na.drop(subset=["prediction"])
+    err = F.col("rating") - F.col("prediction")
+    return preds.agg(
+        F.sqrt(F.avg(err * err)).alias("rmse"), F.count(F.lit(1)).alias("n")
+    )

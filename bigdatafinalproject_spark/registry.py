@@ -40,6 +40,8 @@ _MODULES = (
     "text_dedup",
     "ann",
     "events",
+    "streaming",
+    "multimodal",
 )
 
 

@@ -1,0 +1,166 @@
+"""Streaming operators over the events table (SURVEY §7.7).
+
+Each helper builds a ``readStream`` over the parquet events table (the
+file source stands in for Kafka in this environment; the plan is
+identical), applies event-time logic — watermarks, tumbling/sliding/
+session windows, watermarked dedup, custom Pandas state — and runs it
+to completion against a memory sink so batch tests (and the DuckDB
+oracle, for the complete-mode aggregations) can verify the results.
+
+Scale notes: streaming state is keyed by (window, key) — the watermark
+bounds state size; ``applyInPandasWithState`` partitions by key so
+custom state scales with key cardinality, not event volume.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatafinalproject_spark.catalog import table_path
+from bigdatafinalproject_spark.functions import dsum
+
+# Parquet stores TIMESTAMP(NANOS); with nanosAsLong active the raw
+# schema sees a long, converted to a micros timestamp right after load.
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The parquet file source requires a DIRECTORY; the test tables are
+    single files. Stage a stable symlink dir under /tmp per sf_dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"bdfp_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_RAW_SCHEMA)
+        .load(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink and
+    return the materialized result (file source => finite input)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour aggregation, complete mode (the
+    streaming twin of queries/events.events_tumbling — same oracle)."""
+    agg = (
+        read_event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user, append mode — the
+    streaming sessionizer (batch twin: queries/windows.sessionize)."""
+    agg = (
+        read_event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates on event_id (exactly-once
+    ingestion semantics; state bounded by the watermark)."""
+    dd = (
+        read_event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    return _run_to_memory(dd, "append")
+
+
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum(value)) emitted once per batch — the pattern
+    for operators Structured Streaming lacks natively."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    stream = read_event_stream(spark, sf_dir).select("user_id", "value")
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(updated, "update")
