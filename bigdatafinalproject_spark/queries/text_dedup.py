@@ -26,6 +26,24 @@ _SHINGLE_CTE = f"""
            FROM d, LATERAL unnest(range(1, length(t) - 6)) AS u(i))
 """
 
+# document-frequency filter: drop stop-shingles (> max(10, 2% of corpus)
+# docs) before any pair join — mirrors ngram_jaccard_pairs' cap
+_SHF_CTE = """
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING COUNT(*) <= greatest(CAST(10 AS BIGINT),
+                         CAST(floor(0.02 * (SELECT COUNT(DISTINCT doc_id)
+                                            FROM documents)) AS BIGINT))) k
+            USING (shingle))
+"""
+
+# affine minhash family over one base hash (mod 2^31-1)
+_MH_EXPR = (
+    "((2 * CAST(s AS INT) + 1) * "
+    "(('0x' || substr(md5(concat_ws('|', '0', shingle)), 1, 15))::BIGINT % 2147483647) "
+    "+ CAST(s AS INT) * 12345 + 678) % 2147483647"
+)
+
 
 @query(
     "doc_exact_dups",
@@ -130,9 +148,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    {_SHF_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
            CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -141,8 +160,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted-index join, never a
-    cross product)."""
+    """n-gram Jaccard near-dup pairs over DF-filtered shingles
+    (inverted-index join; the stop-shingle cap keeps the join linear-ish
+    — see ngram_jaccard_pairs docstring for the 100× numbers)."""
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", n=8, threshold=0.8
     )
@@ -151,17 +171,15 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_minhash_sigs",
     oracle=f"""
-    WITH {_SHINGLE_CTE},
-    seeded AS (SELECT doc_id, CAST(s AS INT) AS seed, shingle
-               FROM sh, LATERAL unnest(range(0, 16)) AS u(s))
-    SELECT doc_id, seed,
-           MIN(('0x' || substr(md5(concat_ws('|', seed, shingle)), 1, 15))::BIGINT)
-               AS minhash
-    FROM seeded GROUP BY doc_id, seed
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, CAST(s AS INT) AS seed, MIN({_MH_EXPR}) AS minhash
+    FROM sh, LATERAL unnest(range(0, 16)) AS u(s)
+    GROUP BY doc_id, seed
     """,
 )
 def doc_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 portable hash functions, long format)."""
+    """MinHash signatures (one md5 per shingle + 16 affine hash
+    functions, long format)."""
     return D.minhash_signatures(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", n=8, num_hashes=16
     )
@@ -171,12 +189,9 @@ def doc_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_minhash_candidates",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    seeded AS (SELECT doc_id, CAST(s AS INT) AS seed, shingle
-               FROM sh, LATERAL unnest(range(0, 16)) AS u(s)),
-    mh AS (SELECT doc_id, seed,
-                  MIN(('0x' || substr(md5(concat_ws('|', seed, shingle)), 1, 15))::BIGINT)
-                      AS minhash
-           FROM seeded GROUP BY doc_id, seed),
+    mh AS (SELECT doc_id, CAST(s AS INT) AS seed, MIN({_MH_EXPR}) AS minhash
+           FROM sh, LATERAL unnest(range(0, 16)) AS u(s)
+           GROUP BY doc_id, seed),
     bands AS (SELECT doc_id, seed // 4 AS band,
                      md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
                          AS band_digest

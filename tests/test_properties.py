@@ -1,0 +1,168 @@
+"""Property tests (FIXTURES.md §6): the guarantees the reference's
+pipelines rely on, asserted against the engine's operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators.ann import cosine_topk, lsh_topk
+from bigdatafinalproject_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from bigdatafinalproject_spark.operators.ids import dense_ids
+from bigdatafinalproject_spark.operators.recommend import assemble_topn
+from bigdatafinalproject_spark.operators.splits import (
+    add_kfold,
+    cold_start_filter,
+    leave_n_out,
+)
+from tests.conftest import SF_DIR
+
+
+def test_dense_ids_dense_bijective_deterministic(spark):
+    """FIXTURES §6.2: ids are 0..N-1, bijective, and invariant to the
+    partition count (the scalability property the reference's global
+    window traded away)."""
+    c = load_table(spark, SF_DIR, "customer")
+    for parts in (2, 7):
+        m = dense_ids(c, "c_name", id_col="id", num_partitions=parts).collect()
+        ids = sorted(r["id"] for r in m)
+        assert ids == list(range(len(m))), "ids must be dense 0..N-1"
+        by_key = sorted(m, key=lambda r: r["c_name"])
+        assert [r["id"] for r in by_key] == list(range(len(m))), (
+            "ids must follow natural-key order"
+        )
+
+
+def test_kfold_balance_and_eligibility(spark):
+    """FIXTURES §6.3: eligible users' folds balanced within 1; users
+    below min_ratings always fold -1; same seed => same split."""
+    o = load_table(spark, SF_DIR, "orders")
+    f1 = add_kfold(o, "o_custkey", "o_orderkey", k=5, min_ratings=7, seed=42)
+    per_user = (
+        f1.filter(F.col("fold") >= 0)
+        .groupBy("o_custkey", "fold")
+        .count()
+        .groupBy("o_custkey")
+        .agg(F.max("count").alias("mx"), F.min("count").alias("mn"))
+        .filter(F.col("mx") - F.col("mn") > 1)
+        .count()
+    )
+    assert per_user == 0, "per-user fold sizes must be balanced within 1"
+
+    small_users = (
+        o.groupBy("o_custkey").count().filter(F.col("count") < 7).select("o_custkey")
+    )
+    bad = (
+        f1.join(small_users, "o_custkey", "left_semi")
+        .filter(F.col("fold") != -1)
+        .count()
+    )
+    assert bad == 0, "sub-threshold users must be fold=-1 (always train)"
+
+    f2 = add_kfold(o, "o_custkey", "o_orderkey", k=5, min_ratings=7, seed=42)
+    assert f1.exceptAll(f2).count() == 0 and f2.exceptAll(f1).count() == 0
+
+
+def test_leave_n_out_counts(spark):
+    """FIXTURES §6.3: exactly min(n, user rows) test rows per user."""
+    o = load_table(spark, SF_DIR, "orders")
+    s = leave_n_out(o, "o_custkey", "o_orderkey", n=2, seed=7)
+    per_user = (
+        s.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n_test") != F.least(F.lit(2), F.col("n")))
+        .count()
+    )
+    assert per_user == 0
+
+
+def test_cold_start_filter_containment(spark):
+    """FIXTURES §6.4: filtered test contains only train-seen users/items."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    s = leave_n_out(li, "l_suppkey", "l_partkey", n=3, seed=1)
+    test = s.filter(F.col("split") == "test")
+    train = s.filter(F.col("split") == "train")
+    filtered = cold_start_filter(test, train, "l_suppkey", "l_partkey")
+    unseen_u = filtered.join(
+        train.select("l_suppkey").distinct(), "l_suppkey", "left_anti"
+    ).count()
+    unseen_i = filtered.join(
+        train.select("l_partkey").distinct(), "l_partkey", "left_anti"
+    ).count()
+    assert unseen_u == 0 and unseen_i == 0
+
+
+def test_assemble_topn_guarantees(spark):
+    """FIXTURES §6.6: exactly n per user, no per-user duplicates,
+    backfill only from the pool."""
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    spend = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum("l_extendedprice").alias("s"))
+    )
+    pool = (
+        li.groupBy(F.col("l_partkey").alias("i"))
+        .count()
+        .withColumn(
+            "pool_rank",
+            F.row_number().over(W.orderBy(F.col("count").desc(), F.col("i"))),
+        )
+        .filter(F.col("pool_rank") <= 10)
+        .select("i", "pool_rank")
+    )
+    wide = assemble_topn(spend, pool, user_col="u", item_col="i", score_col="s",
+                         n=5, keep=3)
+    rec_cols = [f"rec_{k}" for k in range(1, 6)]
+    rows = wide.collect()
+    assert rows, "assembly produced no users"
+    for r in rows:
+        recs = [r[c] for c in rec_cols]
+        assert all(v is not None for v in recs), f"user {r['u']} not padded to 5"
+        assert len(set(recs)) == 5, f"user {r['u']} has duplicate recs"
+
+
+def test_lsh_candidates_cover_high_jaccard_pairs(spark):
+    """FIXTURES §6.7 analogue: every pair with very high (DF-filtered)
+    jaccard must be recalled by the MinHash LSH banding."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=8, threshold=0.95)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    cand = set(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "text", "doc_id", n=8).collect()
+    )
+    missed = exact - cand
+    assert not missed, f"LSH missed {len(missed)} of {len(exact)} 0.95-pairs"
+
+
+def test_lsh_topk_matches_exact_on_matched_pairs(spark):
+    """LSH top-k cosines equal brute-force cosines for every pair both
+    return (approximation affects recall, never the scored values)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in lsh_topk(emb, queries, k=10).collect()
+    }
+    shared = set(exact) & set(approx)
+    assert shared, "no overlap between exact and LSH top-k"
+    for k in shared:
+        assert exact[k] == approx[k]
