@@ -1,0 +1,140 @@
+"""SQL entry point, JSON functions, date/time functions, cube, and
+approximate aggregates (SURVEY §2.8 scalar families + §3.4 SQL surface
++ §2.4 'absent' rows made present).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table, register_views
+from bigdatafinalproject_spark.functions import dsum
+from bigdatafinalproject_spark.registry import query
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (semi-structured payloads —
+    get_json_object stays JVM-side, no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "sql_surface_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point (S7 parity — the reference dropped to
+    raw sqlite3 for ad-hoc SQL, sample_users.py:21-29; here SQL strings
+    and DataFrame chains share one Catalyst path over registered
+    views)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INT) AS days_since_95,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (absent in the reference, §2.8): extract,
+    format, datediff — grouped to keep the result compact."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+            .cast("int")
+            .alias("days_since_95"),
+        )
+        .groupBy("ym", "y", "m", "d", "days_since_95")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (absent in the reference, §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_extendedprice")).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@query("approx_stats")
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (approx_count_distinct / percentile_approx —
+    HLL and KLL-style sketches differ across engines by construction,
+    so this is rows-only; the exact twins are distinct_counts and
+    summary_stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("price_iqr"),
+    )

@@ -42,6 +42,7 @@ _MODULES = (
     "events",
     "streaming",
     "multimodal",
+    "sql_json",
 )
 
 

@@ -1,0 +1,60 @@
+"""Source/sink roundtrips (SURVEY §2.1): parquet and CSV writers feed
+their readers back losslessly; JDBC fails with a clear message when no
+driver is present.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.sources import (
+    read_csv,
+    read_jdbc,
+    read_parquet,
+    write_csv,
+    write_parquet,
+)
+from tests.conftest import SF_DIR
+
+
+def test_parquet_roundtrip(spark):
+    df = load_table(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        write_parquet(df, f"{d}/nation", partition_by=["n_regionkey"])
+        back = read_parquet(spark, f"{d}/nation")
+        assert back.count() == df.count()
+        assert set(back.columns) == set(df.columns)
+
+
+def test_csv_roundtrip_with_schema(spark):
+    df = load_table(spark, SF_DIR, "region")
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_csv(df, f"{d}/region", single_file=True)
+        back = read_csv(spark, f"{d}/region", schema=schema)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jdbc_fails_clearly_without_driver(spark):
+    with pytest.raises(RuntimeError, match="JDBC load failed"):
+        read_jdbc(spark, "jdbc:sqlite:/nonexistent.db", "t", driver="org.sqlite.JDBC")
+
+
+def test_csv_header_only_read(spark):
+    df = load_table(spark, SF_DIR, "region").select(
+        "r_regionkey", F.upper("r_name").alias("r_name")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_csv(df, f"{d}/r2", single_file=False)
+        back = read_csv(spark, f"{d}/r2", infer=True)
+        assert back.count() == df.count()
