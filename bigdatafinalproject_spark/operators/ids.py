@@ -49,6 +49,15 @@ def dense_ids(
         keys = keys.repartitionByRange(F.col(key_col))
     keys = keys.sortWithinPartitions(key_col)
 
+    # CRITICAL: freeze this exact partitioning. repartitionByRange picks
+    # boundaries by SAMPLING, re-seeded per evaluation — the offsets
+    # aggregate below and the final join would otherwise each re-evaluate
+    # the range exchange and can see DIFFERENT partitionings (observed:
+    # an upstream .cache() broke exchange reuse and the pid join silently
+    # dropped most rows). localCheckpoint materializes the distinct-key
+    # set (bounded size) once; every branch reads that single evaluation.
+    keys = keys.localCheckpoint(eager=True)
+
     encoded = keys.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.shiftrightunsigned("_mid", 33)
     )

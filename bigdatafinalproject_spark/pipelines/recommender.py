@@ -1,0 +1,226 @@
+"""The reference's full pipeline as one composable API (SURVEY §3).
+
+Mirrors, stage for stage, what the reference runs as six hand-ordered
+scripts (clean -> id-map -> CV -> final split -> ALS -> evaluate ->
+serve -> report; reference ALS_model3.py:194-266,
+Model_evaluation.py:30-108, recommendations3.py:35-196,
+model_report.py:56-79) — but as functions over DataFrames with the
+engine's scalable operators underneath:
+
+- cleaning uses the same semantics as ALS_model3.py:197-201;
+- id mapping is operators/ids.dense_ids (one shuffle, not the global
+  window);
+- splits are operators/splits (portable-hash order, reproducible);
+- serving is operators/recommend.assemble_topn (no pandas loop);
+- the report is generated from MEASURED metrics (the reference
+  hard-coded its published RMSE values, model_report.py:48-54 — a
+  documented divergence, SURVEY §7.8-5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.operators.ids import dense_ids, with_surrogate_key
+from bigdatafinalproject_spark.operators.recommend import (
+    als_topk_flat,
+    assemble_topn,
+    auc,
+    rmse,
+    train_als,
+)
+from bigdatafinalproject_spark.operators.splits import (
+    add_kfold,
+    cold_start_filter,
+    leave_n_out,
+)
+
+
+def clean_ratings(
+    raw: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    lo: float = 0.0,
+    hi: float = 10.0,
+) -> DataFrame:
+    """Reference cleaning (ALS_model3.py:197-201): project + cast +
+    range filter + null drop. Returns (user_id, item_id, rating int)."""
+    r = F.col(rating_col).cast("int")
+    return (
+        raw.select(
+            F.col(user_col).cast("string").alias("user_id"),
+            F.col(item_col).cast("string").alias("item_id"),
+            r.alias("rating"),
+        )
+        .filter((F.col("rating") > lo) & (F.col("rating") <= hi))
+        .na.drop(subset=["user_id", "item_id", "rating"])
+    )
+
+
+def build_id_mappings(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dense surrogate mappings (ALS_model3.py:75-87 semantics):
+    (user_id, userId int) and (item_id, itemId int)."""
+    users = dense_ids(ratings, "user_id", id_col="userId")
+    items = dense_ids(ratings, "item_id", id_col="itemId")
+    return users, items
+
+
+def to_surrogate(ratings: DataFrame, users: DataFrame, items: DataFrame) -> DataFrame:
+    keyed = with_surrogate_key(ratings, users, "user_id")
+    keyed = with_surrogate_key(keyed, items, "item_id")
+    return keyed.select("userId", "itemId", F.col("rating").cast("float").alias("rating"))
+
+
+@dataclass
+class CVResult:
+    fold_rmse: list[float] = field(default_factory=list)
+
+    @property
+    def avg_rmse(self) -> float:
+        return sum(self.fold_rmse) / len(self.fold_rmse) if self.fold_rmse else float("nan")
+
+
+def cross_validate(
+    ratings: DataFrame,
+    k: int = 3,
+    min_ratings: int = 7,
+    seed: int = 42,
+    rank: int = 8,
+    reg_param: float = 0.1,
+    max_iter: int = 5,
+) -> CVResult:
+    """Per-user k-fold CV (ALS_model3.py:109-180): fold f tests on
+    fold==f, trains on the rest (fold -1 always trains); each fold's
+    test set is cold-start filtered against its train set.
+
+    Unlike the reference, the params given here are the params actually
+    fitted (the reference's inner ALS ignored its own grid —
+    ALS_model3.py:116-118 vs 150-154 — which we deliberately fix)."""
+    folds = add_kfold(ratings, "userId", "itemId", k=k, min_ratings=min_ratings, seed=seed)
+    folds = folds.cache()
+    try:
+        result = CVResult()
+        for f in range(k):
+            train = folds.filter(F.col("fold") != f).drop("fold")
+            test = folds.filter(F.col("fold") == f).drop("fold")
+            test = cold_start_filter(test, train, "userId", "itemId")
+            if test.isEmpty():
+                continue
+            model = train_als(
+                train, rank=rank, reg_param=reg_param, max_iter=max_iter, seed=seed
+            )
+            preds = model.transform(test).na.drop(subset=["prediction"])
+            result.fold_rmse.append(rmse(preds))
+        return result
+    finally:
+        folds.unpersist()
+
+
+@dataclass
+class TrainedRecommender:
+    model: object
+    users: DataFrame
+    items: DataFrame
+    train_rmse: float
+    test_rmse: float
+    test_auc: float
+
+
+def train_final(
+    ratings: DataFrame,
+    users: DataFrame,
+    items: DataFrame,
+    seed: int = 42,
+    rank: int = 8,
+    reg_param: float = 0.1,
+    max_iter: int = 5,
+    like_threshold: float = 5.0,
+) -> TrainedRecommender:
+    """Final leave-one-out train/eval (ALS_model3.py:222-244 +
+    Model_evaluation.py:57-92): RMSE on train and held-out test, binary
+    AUC with label rating > threshold."""
+    split = leave_n_out(ratings, "userId", "itemId", n=1, seed=seed)
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+    test = cold_start_filter(test, train, "userId", "itemId")
+
+    model = train_als(train, rank=rank, reg_param=reg_param, max_iter=max_iter, seed=seed)
+    train_preds = model.transform(train).na.drop(subset=["prediction"])
+    test_preds = model.transform(test).na.drop(subset=["prediction"])
+
+    binary = test_preds.select(
+        F.when(F.col("rating") > like_threshold, 1.0).otherwise(0.0).alias("label"),
+        F.col("prediction").cast("double").alias("score"),
+    ).na.drop()
+    return TrainedRecommender(
+        model=model,
+        users=users,
+        items=items,
+        train_rmse=rmse(train_preds),
+        test_rmse=rmse(test_preds),
+        test_auc=auc(binary),
+    )
+
+
+def serve_wide(
+    trained: TrainedRecommender,
+    ratings: DataFrame,
+    n_users: int = 50,
+    raw_k: int = 20,
+    final_n: int = 10,
+    pool_size: int = 30,
+) -> DataFrame:
+    """Batch serving (recommendations3.py:52-196 Spark-native): top-k
+    recs for a user subset, popularity pool backfill to exactly
+    ``final_n``, wide rec_1..rec_n layout keyed by the ORIGINAL user id
+    (the reference emitted original_userId + userId columns)."""
+    subset = trained.users.orderBy("userId").limit(n_users).select("userId")
+    recs = als_topk_flat(trained.model, subset, raw_k)
+    pool = (
+        ratings.groupBy("itemId")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "pool_rank",
+            F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("itemId").asc())),
+        )
+        .filter(F.col("pool_rank") <= pool_size)
+        .select("itemId", "pool_rank")
+    )
+    wide = assemble_topn(
+        recs, pool, user_col="userId", item_col="itemId", score_col="score",
+        n=final_n, keep=final_n,
+    )
+    return trained.users.join(wide, on="userId").select(
+        F.col("user_id").alias("original_user_id"), "userId",
+        *[f"rec_{i}" for i in range(1, final_n + 1)],
+    )
+
+
+def model_report(
+    cv: CVResult, trained: TrainedRecommender, dataset_counts: dict[str, int]
+) -> str:
+    """The reference's model.txt layout (model_report.py:56-79) from
+    MEASURED metrics."""
+    lines = [
+        "MODEL REPORT",
+        "=" * 40,
+        f"ratings: {dataset_counts.get('ratings', 0)}",
+        f"users:   {dataset_counts.get('users', 0)}",
+        f"items:   {dataset_counts.get('items', 0)}",
+        "-" * 40,
+        "Cross-validation (per-user folds):",
+        *[f"  fold {i}: RMSE {v:.4f}" for i, v in enumerate(cv.fold_rmse)],
+        f"  average RMSE: {cv.avg_rmse:.4f}",
+        "-" * 40,
+        f"final train RMSE: {trained.train_rmse:.4f}",
+        f"final test RMSE:  {trained.test_rmse:.4f}",
+        f"binary AUC (rating>threshold): {trained.test_auc:.4f}",
+        "=" * 40,
+        "note: all values measured (the reference hard-coded its "
+        "report metrics; see SURVEY §7.8-5)",
+    ]
+    return "\n".join(lines)

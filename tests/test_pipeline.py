@@ -1,0 +1,89 @@
+"""End-to-end reference-pipeline parity (SURVEY §3): clean -> id-map ->
+CV -> final train/eval -> serve -> report, on a Book-Crossing-shaped
+fixture (FIXTURES.md §1) derived deterministically from the test data
+— string natural keys, ratings 0-10 with dirty rows (nulls,
+out-of-range, duplicates) that the cleaning stage must drop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.pipelines import recommender as P
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bx_raw(spark):
+    """BX-shaped raw ratings: user/isbn strings, rating int with dirt.
+
+    rating = quantity % 13 - 1 ∈ [-1, 11]: includes 0 (implicit,
+    dropped), -1 and 11 (out-of-range, dropped); every 97th rating is
+    nulled. Duplicate (user, isbn) pairs occur naturally (lineitem has
+    duplicate keys)."""
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("u"), F.lpad(F.col("o_custkey").cast("string"), 6, "0")).alias(
+                "User-ID"
+            ),
+            F.concat(F.lit("B"), F.lpad(F.col("l_partkey").cast("string"), 9, "0")).alias(
+                "ISBN"
+            ),
+            F.when(
+                (F.col("l_orderkey") % 97) == 0, F.lit(None)
+            ).otherwise((F.col("l_quantity").cast("int") % 13) - 1).alias("Book-Rating"),
+        )
+    )
+
+
+def test_cleaning_semantics(spark, bx_raw):
+    """FIXTURES §6.1: cleaned == 0<rating<=10 and not null."""
+    cleaned = P.clean_ratings(bx_raw, "User-ID", "ISBN", "Book-Rating")
+    expected = bx_raw.filter(
+        F.col("Book-Rating").isNotNull()
+        & (F.col("Book-Rating") > 0)
+        & (F.col("Book-Rating") <= 10)
+    ).count()
+    assert cleaned.count() == expected
+    assert cleaned.columns == ["user_id", "item_id", "rating"]
+
+
+def test_full_pipeline_end_to_end(spark, bx_raw):
+    cleaned = P.clean_ratings(bx_raw, "User-ID", "ISBN", "Book-Rating").cache()
+    users, items = P.build_id_mappings(cleaned)
+
+    n_users, n_items = users.count(), items.count()
+    assert users.agg(F.max("userId")).first()[0] == n_users - 1, "ids must be dense"
+    assert items.agg(F.max("itemId")).first()[0] == n_items - 1
+
+    surr = P.to_surrogate(cleaned, users, items).cache()
+
+    cv = P.cross_validate(surr, k=3, min_ratings=5, max_iter=3, rank=4)
+    assert cv.fold_rmse and all(v == v and v > 0 for v in cv.fold_rmse)
+
+    trained = P.train_final(surr, users, items, max_iter=3, rank=4)
+    assert trained.train_rmse > 0 and trained.test_rmse > 0
+    assert 0.0 <= trained.test_auc <= 1.0
+
+    wide = P.serve_wide(trained, surr, n_users=20, raw_k=10, final_n=5, pool_size=20)
+    rows = wide.collect()
+    assert rows, "serving produced no users"
+    rec_cols = [f"rec_{i}" for i in range(1, 6)]
+    for r in rows:
+        recs = [r[c] for c in rec_cols]
+        assert all(v is not None for v in recs), "exactly-n violated"
+        assert len(set(recs)) == len(recs), "per-user duplicate recs"
+        assert r["original_user_id"].startswith("u")
+
+    report = P.model_report(
+        cv,
+        trained,
+        {"ratings": surr.count(), "users": n_users, "items": n_items},
+    )
+    assert "average RMSE" in report and "measured" in report
+    assert f"{trained.test_rmse:.4f}" in report

@@ -40,15 +40,18 @@ def test_semi_anti_join_strategies(spark):
 
 
 def test_dense_ids_no_global_window(spark):
-    """The id assignment must range-partition, not collapse to a global
-    single-partition window (the reference's anti-pattern)."""
+    """The id assignment must never collapse the key rows into a global
+    single-partition window (the reference's anti-pattern). After the
+    determinism fix the ranged keys are a frozen localCheckpoint
+    (ExistingRDD) and the only window runs over the per-partition
+    offset counts — the key rows themselves see no window at all."""
     c = load_table(spark, SF_DIR, "customer")
     plan = formatted_plan(dense_ids(c, "c_name", num_partitions=8))
-    assert "rangepartitioning" in plan.lower()
-    # the only single-partition stage allowed is the tiny per-partition
-    # offsets aggregate, which must sit under an exchange of the counts,
-    # never of the key rows
-    assert "Window" in plan
+    assert "ExistingRDD" in plan, "ranged keys must be a frozen checkpoint"
+    assert "monotonically_increasing_id" in plan
+    # the offsets window partitions/orders by _pid (#partitions rows);
+    # no window over the data rows exists
+    assert "_pid" in plan
 
 
 def test_aggregates_partial_final(spark):

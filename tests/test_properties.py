@@ -38,6 +38,22 @@ def test_dense_ids_dense_bijective_deterministic(spark):
         )
 
 
+def test_dense_ids_stable_across_evaluations_and_cache(spark):
+    """Regression: repartitionByRange samples boundaries per evaluation;
+    without freezing the partitioning, a cached upstream broke exchange
+    reuse and the offsets join silently dropped rows. The mapping must
+    be identical on every evaluation and complete after a join-back."""
+    c = load_table(spark, SF_DIR, "customer").cache()
+    c.count()
+    m = dense_ids(c, "c_name", id_col="id", num_partitions=8)
+    first = sorted(map(tuple, m.collect()))
+    second = sorted(map(tuple, m.collect()))
+    assert first == second
+    joined_back = c.join(m, on="c_name", how="inner").count()
+    assert joined_back == c.count()
+    c.unpersist()
+
+
 def test_kfold_balance_and_eligibility(spark):
     """FIXTURES §6.3: eligible users' folds balanced within 1; users
     below min_ratings always fold -1; same seed => same split."""

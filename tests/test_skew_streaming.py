@@ -1,0 +1,119 @@
+"""Skew-mitigation equivalence + streaming late-data semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators.skew import salted_agg, salted_join
+from tests.conftest import SF_DIR
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    plain = {
+        (r["l_partkey"],): (r["n"], r["qty"])
+        for r in li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["l_partkey"],): (r["n"], r["qty"])
+        for r in salted_agg(
+            li,
+            key_cols=["l_partkey"],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("_qty"),
+            ],
+            final_aggs=lambda p: [
+                F.sum("_n").alias("n"),
+                F.sum("_qty").alias("qty"),
+            ],
+            salt_from="l_orderkey",
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    part = load_table(spark, SF_DIR, "part").withColumnRenamed("p_partkey", "l_partkey")
+    plain = sorted(
+        map(
+            tuple,
+            li.join(part.select("l_partkey", "p_name"), "l_partkey")
+            .select("l_partkey", "l_orderkey", "p_name")
+            .collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(
+                li, part.select("l_partkey", "p_name"), on="l_partkey",
+                salt_from="l_orderkey",
+            )
+            .select("l_partkey", "l_orderkey", "p_name")
+            .collect(),
+        )
+    )
+    assert plain == salted
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics observed end-to-end: an event
+    older than (max ts - watermark) arriving in a later micro-batch is
+    dropped from its (already-closed) window."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    batch1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:01:00", "2024-01-01 00:02:00", "2024-01-01 02:00:00"]
+            ),
+            "k": ["a", "a", "a"],
+        }
+    )
+    batch2 = pd.DataFrame(  # 00:03 is > 1h older than the 02:00 watermark
+        {"ts": pd.to_datetime(["2024-01-01 00:03:00"]), "k": ["a"]}
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wm_test").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (str(r["ws"]), r["k"]): r["n"] for r in spark.table("wm_test").collect()
+    }
+    # the 00:00-00:10 window closed with 2 rows; the late 00:03 event
+    # must NOT re-open it (no third count anywhere for that window)
+    assert rows.get(("2024-01-01 00:00:00", "a")) == 2
