@@ -1,0 +1,126 @@
+"""Generator / array / map operators (SURVEY §2.9 + §2.8 array-map
+family): explode, unpivot (stack — the pivot inverse), map-typed JSON,
+and higher-order array functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators.text import tokens
+from bigdatafinalproject_spark.registry import query
+
+
+@query(
+    "doc_top_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                     ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (G1) over real token arrays → top-50 vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "unpivot_status",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                           AS DECIMAL(25,6))) AS DOUBLE) AS O,
+             CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                           AS DECIMAL(25,6))) AS DOUBLE) AS F
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'O' AS linestatus, O AS qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'F' AS linestatus, F AS qty FROM wide
+    """,
+)
+def unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack (G2 inverse): wide pivot back to long."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double"))
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'O', O, 'F', F) AS (linestatus, qty)"),
+    )
+
+
+@query(
+    "events_props_map",
+    oracle="""
+    SELECT event_id,
+           1 AS n_keys,
+           'k' AS first_key,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+    FROM events
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed semi-structured access: from_json to map<string,int>,
+    then map_keys/element_at (the only map-free zone in the reference —
+    no map type appears there at all, SURVEY §1.2)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+@query(
+    "embedding_array_ops",
+    oracle="""
+    SELECT vec_id,
+           64 AS dim,
+           CAST(list_reduce(list_transform(embedding, x -> CAST(greatest(x, 0) AS DOUBLE)),
+                            (a, b) -> a + b) AS DOUBLE) AS relu_sum,
+           CAST(list_reduce(list_transform(embedding[1:8],
+                                           x -> CAST(x AS DOUBLE)), (a, b) -> a + b)
+                AS DOUBLE) AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    """,
+)
+def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate/slice)
+    over the embedding column — all JVM-side, sequential folds for
+    cross-engine-exact doubles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    relu_sum = F.expr(
+        "aggregate(transform(embedding, x -> CAST(greatest(x, CAST(0 AS FLOAT)) AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    head_sum = F.expr(
+        "aggregate(transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return e.select(
+        "vec_id",
+        F.lit(64).alias("dim"),
+        relu_sum.alias("relu_sum"),
+        head_sum.alias("head_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )

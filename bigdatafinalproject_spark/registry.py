@@ -43,6 +43,7 @@ _MODULES = (
     "streaming",
     "multimodal",
     "sql_json",
+    "arrays",
 )
 
 
