@@ -118,6 +118,46 @@ def lsh_signatures(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup tier on top of
+    the ANN machinery): LSH-bucketed candidate generation over the WHOLE
+    corpus (id_a < id_b), exact cosine verification, threshold filter.
+
+    Returns (id_a, id_b, cosine). Never materializes N²: candidates
+    come from the (band, signature) equi-join.
+    """
+    sig = lsh_signatures(corpus, id_col, vec_col, num_planes, bands, dim)
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    cand = (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = with_norm(
+        corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "_va"
+    ).withColumnRenamed("_norm", "_na")
+    vb = with_norm(
+        corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "_vb"
+    ).withColumnRenamed("_norm", "_nb")
+    cos = _dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

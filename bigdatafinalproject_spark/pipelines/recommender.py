@@ -120,6 +120,56 @@ def cross_validate(
         folds.unpersist()
 
 
+def grid_search(
+    ratings: DataFrame,
+    ranks: list[int] = (4, 8),
+    reg_params: list[float] = (0.1, 0.5),
+    num_folds: int = 2,
+    max_iter: int = 5,
+    seed: int = 42,
+    parallelism: int = 2,
+):
+    """MLlib grid-search CV (M7 parity with the reference's superseded
+    open_session.py:36-67: ALS + ParamGridBuilder + CrossValidator).
+
+    Returns (best_model, best_rank, best_reg, avg_metrics). Unlike the
+    reference (whose chosen params were unconditionally overwritten
+    downstream, ALS_model3.py:218 — a documented bug we do not copy),
+    callers are expected to USE the winner."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    als = ALS(
+        userCol="userId",
+        itemCol="itemId",
+        ratingCol="rating",
+        maxIter=max_iter,
+        seed=seed,
+        nonnegative=True,
+        coldStartStrategy="drop",
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(als.rank, list(ranks))
+        .addGrid(als.regParam, list(reg_params))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=als,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            metricName="rmse", labelCol="rating", predictionCol="prediction"
+        ),
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    model = cv.fit(ratings)
+    best = model.bestModel
+    return best, best.rank, best._java_obj.parent().getRegParam(), list(model.avgMetrics)
+
+
 @dataclass
 class TrainedRecommender:
     model: object

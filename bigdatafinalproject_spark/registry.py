@@ -44,6 +44,7 @@ _MODULES = (
     "multimodal",
     "sql_json",
     "arrays",
+    "neardup_streamjoin",
 )
 
 
