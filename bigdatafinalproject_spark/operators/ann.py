@@ -118,6 +118,74 @@ def lsh_signatures(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_mod: int = 37,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: an inverted-file index with sampled
+    centroids (every ``centroid_mod``-th vector — IVF without k-means
+    iterations, deterministic and oracle-replayable).
+
+    1. assign every corpus vector to its nearest centroid (one pass,
+       centroids broadcast — the IVF build);
+    2. each query probes its ``nprobe`` nearest centroids;
+    3. exact cosine only within the probed buckets.
+
+    At 100 TB: centroid count ~ sqrt(N) keeps both the assign pass
+    (N × C with C broadcast) and the per-bucket search (N/C per probe)
+    subquadratic; the bucket join is a plain equi-join on centroid_id.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    centroids = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+    )
+
+    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
+        v = with_norm(
+            df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v")), "_v"
+        ).withColumnRenamed("_norm", "_vn")
+        cn = with_norm(centroids, "_cent").withColumnRenamed("_norm", "_cn")
+        cos = _dot("_v", "_cent") / (F.col("_vn") * F.col("_cn"))
+        w = W.partitionBy(out).orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
+        return (
+            v.crossJoin(F.broadcast(cn))
+            .withColumn("_cos", cos)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(out, "centroid_id")
+        )
+
+    assign = nearest(corpus, 1, "neighbor_id")
+    probes = nearest(queries, nprobe, "query_id")
+    cand = (
+        probes.join(assign, on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+    ).withColumnRenamed("_norm", "_qnorm")
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm")
+    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

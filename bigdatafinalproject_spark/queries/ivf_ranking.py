@@ -1,0 +1,125 @@
+"""IVF ANN variant + ranking-quality metrics (both oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.functions import oracle_hash64
+from bigdatafinalproject_spark.operators.ann import ivf_topk
+from bigdatafinalproject_spark.operators.ranking import ranking_metrics
+from bigdatafinalproject_spark.operators.splits import leave_n_out
+from bigdatafinalproject_spark.queries.ann import _DOT_AB, _NORMS_CTE
+from bigdatafinalproject_spark.registry import query
+
+_SEED = 42
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_NORMS_CTE},
+    cents AS (SELECT vec_id AS centroid_id, embedding AS cemb
+              FROM embeddings WHERE vec_id % 37 = 0),
+    acos AS (SELECT e.vec_id, c.centroid_id,
+                    {_DOT_AB.format(a='e.embedding', b='c.cemb')}
+                        / (ne.nrm * nc.nrm) AS cs
+             FROM embeddings e CROSS JOIN cents c
+             JOIN norms ne ON ne.vec_id = e.vec_id
+             JOIN norms nc ON nc.vec_id = c.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, centroid_id) AS rn
+                 FROM acos) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, centroid_id) AS rn
+                 FROM acos WHERE vec_id % 50 = 0) WHERE rn <= 2),
+    cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+             FROM probes p JOIN assign a USING (centroid_id)
+             WHERE p.query_id <> a.neighbor_id),
+    dots AS (SELECT cand.query_id, cand.neighbor_id,
+                    {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (qa.nrm * qb.nrm) AS cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot / (qa.nrm * qb.nrm) DESC,
+                                                  neighbor_id ASC) AS rank
+               FROM dots
+               JOIN norms qa ON qa.vec_id = query_id
+               JOIN norms qb ON qb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10: sampled centroids, nearest-centroid
+    assignment, nprobe=2 bucket search — the inverted-file scale path
+    alongside the hyperplane LSH variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=10, centroid_mod=37, nprobe=2)
+
+
+def _ranking_oracle() -> str:
+    h = oracle_hash64("u, concat_ws('-', i, ok, ln)", _SEED)
+    return f"""
+    WITH r AS (SELECT o_custkey AS u, l_partkey AS i, l_orderkey AS ok,
+                      l_linenumber AS ln, l_extendedprice AS ep
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    spend AS (SELECT u, i, SUM(CAST(ep AS DECIMAL(25,6))) AS s FROM r GROUP BY u, i),
+    recs AS (SELECT u, i FROM (
+               SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY s DESC, i) AS rn
+               FROM spend) WHERE rn <= 3),
+    t AS (SELECT DISTINCT u, i FROM (
+            SELECT u, i, row_number() OVER (PARTITION BY u
+                         ORDER BY {h}, concat_ws('-', i, ok, ln)) AS rn
+            FROM r) WHERE rn = 1),
+    users AS (SELECT DISTINCT u FROM recs),
+    hits AS (SELECT recs.u FROM recs
+             WHERE EXISTS (SELECT 1 FROM t WHERE t.u = recs.u AND t.i = recs.i)),
+    per_user AS (SELECT users.u, COALESCE(h.n_hit, 0) AS n_hit
+                 FROM users LEFT JOIN (SELECT u, COUNT(*) AS n_hit FROM hits GROUP BY u) h
+                 USING (u)),
+    pos AS (SELECT COUNT(*) AS n_pos FROM t
+            WHERE u IN (SELECT u FROM users))
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS hit_rate,
+           CAST(SUM(n_hit) AS DOUBLE) / (3 * COUNT(*)) AS precision_at_k,
+           CAST(SUM(n_hit) AS DOUBLE) / (SELECT n_pos FROM pos) AS recall_at_k
+    FROM per_user
+    """
+
+
+@query("eval_ranking_metrics", oracle=_ranking_oracle())
+def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hit_rate/precision/recall@3: deterministic top-spend recs scored
+    against a portable-hash leave-one-out holdout."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.concat_ws("-", "l_partkey", "l_orderkey", "l_linenumber").alias("_item"),
+        "l_extendedprice",
+    )
+    split = leave_n_out(r, "u", "_item", n=1, seed=_SEED)
+    test = split.filter(F.col("split") == "test").select("u", "i")
+    spend = r.groupBy("u", "i").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias("s")
+    )
+    w = W.partitionBy("u").orderBy(F.col("s").desc(), F.col("i").asc())
+    recs = (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("u", "i")
+    )
+    return ranking_metrics(recs, test, user_col="u", item_col="i", k=3)

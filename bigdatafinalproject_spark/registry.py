@@ -45,6 +45,7 @@ _MODULES = (
     "sql_json",
     "arrays",
     "neardup_streamjoin",
+    "ivf_ranking",
 )
 
 
