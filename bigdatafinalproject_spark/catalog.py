@@ -39,9 +39,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Make a FOREIGN SparkSession (e.g. the driver harness's) safe for
+    this engine's queries: nanosecond-parquet reads, UTC timestamp
+    rendering, Arrow transfers. All three are runtime-settable SQL
+    confs; our own session factory sets them at build time already."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static in this deployment; session factory covers it
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to

@@ -113,6 +113,42 @@ def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "full_outer_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (absent in the reference, §2.3 'absent' row):
+    customer vs supplier presence per nation, zero-filled."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, on="nationkey", how="full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
     "broadcast_dim_join",
     oracle="""
     SELECT s_suppkey, s_name, n_name, r_name

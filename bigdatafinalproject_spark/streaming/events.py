@@ -55,6 +55,9 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatafinalproject_spark.catalog import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     raw = (
         spark.readStream.format("parquet")
         .schema(_RAW_SCHEMA)
