@@ -258,7 +258,9 @@ def als_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = leave_n_out(r, "userId", "itemId", n=1, seed=42)
     train = split.filter(F.col("split") == "train").drop("split")
     test = split.filter(F.col("split") == "test").drop("split")
-    model = train_als(train, rank=8, reg_param=0.1, max_iter=5, seed=42)
+    # maxIter=3 keeps the bench honest-but-lean; the operator accepts
+    # the reference's full parameterization (rank=30, maxIter=15)
+    model = train_als(train, rank=8, reg_param=0.1, max_iter=3, seed=42)
     preds = model.transform(test).na.drop(subset=["prediction"])
     err = F.col("rating") - F.col("prediction")
     return preds.agg(
