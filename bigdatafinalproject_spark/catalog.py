@@ -75,9 +75,12 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
 
 
-def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register every table as a temp view for the SQL surface."""
-    dfs = load_tables(spark, sf_dir)
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register tables as temp views for the SQL surface (pass ``names``
+    to register only what a query reads)."""
+    dfs = load_tables(spark, sf_dir, names)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

@@ -39,6 +39,13 @@ def asof_join(
 
     Returns left's columns + payload_cols.
     """
+    # Equality-join semantics: a NULL key matches nothing. The window
+    # below would otherwise group NULL-key probe and build rows together
+    # (partitionBy puts NULLs in one partition) and hand out matches SQL
+    # would not. Dropping NULL-key build rows restores it: NULL-key
+    # probe rows then sit in a partition with no payloads -> NULL.
+    right = right.filter(F.col(on).isNotNull())
+
     l_cols = left.columns
     probe = left.select(
         *l_cols,

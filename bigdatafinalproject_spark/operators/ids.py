@@ -77,9 +77,13 @@ def dense_ids(
         .select("_pid", "_offset")
     )
 
+    # long, not int: at the 100 TB design point distinct keys can exceed
+    # 2^31-1 and an int cast would silently wrap. The one consumer that
+    # genuinely needs int ids (MLlib ALS) casts at its own boundary,
+    # where the cardinality bound is its requirement, not ours.
     return encoded.join(F.broadcast(offsets), on="_pid").select(
         F.col(key_col),
-        (F.col("_offset") + (F.col("_mid").bitwiseAND(F.lit(_LOW33)))).cast("int").alias(id_col),
+        (F.col("_offset") + (F.col("_mid").bitwiseAND(F.lit(_LOW33)))).cast("long").alias(id_col),
     )
 
 

@@ -74,9 +74,18 @@ def popular_items_with_names(
     recommendations3.py:73) and happens after the limit, so the join
     input is top_n rows regardless of fact-table size.
     """
-    top = popular_items(ratings, item_col, rating_col, min_ratings, top_n, lo, hi)
+    # dim MEMBERSHIP filters before the top-n (semi-join on the
+    # broadcast dim), names attach after: an item missing from the dim
+    # must promote the next candidate, not shrink the result (a plain
+    # inner join after limit() would silently return < top_n rows on FK
+    # gaps). The name join still touches only top_n rows.
+    names = dim.select(item_col, name_col)
+    in_dim = ratings.join(
+        F.broadcast(names.select(item_col)), on=item_col, how="left_semi"
+    )
+    top = popular_items(in_dim, item_col, rating_col, min_ratings, top_n, lo, hi)
     return (
-        top.join(F.broadcast(dim.select(item_col, name_col)), on=item_col, how="inner")
+        top.join(F.broadcast(names), on=item_col, how="inner")
         .select(item_col, name_col, "avg_rating", "num_ratings")
         .orderBy(
             F.col("avg_rating").desc(),

@@ -96,12 +96,14 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for lang, ws in STOPWORDS.items()
         ],
     )
-    long = None
-    for lang in STOPWORDS:
-        row = scored.select(
-            id_col, F.lit(lang).alias("pred_lang"), F.col(f"_s_{lang}").alias("score")
-        )
-        long = row if long is None else long.unionByName(row)
+    # ONE pass: stack unpivots the per-language scores (a 5-way union of
+    # the same projection would tokenize + intersect every document five
+    # times — the uncached branches each re-evaluate the scan)
+    stack_args = ", ".join(f"'{lang}', _s_{lang}" for lang in STOPWORDS)
+    long = scored.select(
+        F.col(id_col),
+        F.expr(f"stack({len(STOPWORDS)}, {stack_args}) AS (pred_lang, score)"),
+    )
     w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("pred_lang").asc())
     return (
         long.withColumn("_rn", F.row_number().over(w))

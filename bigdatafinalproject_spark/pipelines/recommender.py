@@ -70,9 +70,16 @@ def build_id_mappings(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def to_surrogate(ratings: DataFrame, users: DataFrame, items: DataFrame) -> DataFrame:
+    """ALS is the int-id consumer: MLlib requires 32-bit user/item ids,
+    so the cast (and its cardinality bound) lives HERE, not in the
+    generic long-id mapping."""
     keyed = with_surrogate_key(ratings, users, "user_id")
     keyed = with_surrogate_key(keyed, items, "item_id")
-    return keyed.select("userId", "itemId", F.col("rating").cast("float").alias("rating"))
+    return keyed.select(
+        F.col("userId").cast("int").alias("userId"),
+        F.col("itemId").cast("int").alias("itemId"),
+        F.col("rating").cast("float").alias("rating"),
+    )
 
 
 @dataclass

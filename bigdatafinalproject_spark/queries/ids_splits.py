@@ -27,7 +27,7 @@ _SEED = 42
 @query(
     "dense_customer_ids",
     oracle="""
-    SELECT c_name, CAST(row_number() OVER (ORDER BY c_name) - 1 AS INT) AS customer_id
+    SELECT c_name, row_number() OVER (ORDER BY c_name) - 1 AS customer_id
     FROM (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL)
     """,
 )
@@ -42,7 +42,7 @@ def dense_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "surrogate_join_back",
     oracle="""
     WITH mapping AS (
-      SELECT c_name, CAST(row_number() OVER (ORDER BY c_name) - 1 AS INT) AS customer_id
+      SELECT c_name, row_number() OVER (ORDER BY c_name) - 1 AS customer_id
       FROM (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL))
     SELECT m.customer_id, COUNT(o_orderkey) AS n_orders
     FROM customer c

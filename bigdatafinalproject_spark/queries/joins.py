@@ -38,8 +38,10 @@ def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "customers_without_orders_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    -- NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN return
+    -- zero rows while left_anti (correctly) keeps unmatched customers
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:

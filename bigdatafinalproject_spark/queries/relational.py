@@ -20,7 +20,7 @@ from bigdatafinalproject_spark.registry import query
     oracle="""
     SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
            CAST(l_partkey AS VARCHAR)  AS item_id,
-           CAST(l_quantity AS INT)     AS rating
+           CAST(floor(l_quantity) AS INT) AS rating
     FROM lineitem
     WHERE l_quantity > 0 AND l_quantity <= 50
       AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL
@@ -33,10 +33,15 @@ def clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     return (
+        # floor-then-cast, not a bare int cast: Spark truncates toward
+        # zero but DuckDB CAST(DOUBLE AS INT) rounds half away from zero
+        # — floor() pins ONE semantics in both engines for fractional
+        # inputs (today's quantities are integral; the operator is not
+        # allowed to depend on that)
         li.select(
             F.col("l_orderkey").cast("string").alias("order_id"),
             F.col("l_partkey").cast("string").alias("item_id"),
-            F.col("l_quantity").cast("int").alias("rating"),
+            F.floor("l_quantity").cast("int").alias("rating"),
         )
         .filter((q > 0) & (q <= 50))
         .na.drop(subset=["order_id", "item_id", "rating"])

@@ -55,7 +55,7 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw sqlite3 for ad-hoc SQL, sample_users.py:21-29; here SQL strings
     and DataFrame chains share one Catalyst path over registered
     views)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("orders",))
     return spark.sql(
         """
         SELECT o_orderpriority,

@@ -14,8 +14,6 @@ custom state scales with key cardinality, not event volume.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,8 +47,15 @@ def _stream_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"bdfp_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # lexists (not exists): a dangling link must be replaced, not
+    # re-created; tolerate a concurrent session winning the race
+    if os.path.lexists(link) and os.readlink(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
     return d
 
 
@@ -66,10 +71,13 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(df: DataFrame, mode: str, name: str) -> DataFrame:
     """Drive a streaming frame to completion into a memory sink and
-    return the materialized result (file source => finite input)."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
+    return the materialized result (file source => finite input).
+
+    The sink table name is STABLE per operation so repeated runs in one
+    session replace the previous result instead of leaking a new
+    materialized `mem_<uuid>` table per call."""
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
@@ -93,7 +101,7 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", "bdfp_mem_tumbling")
 
 
 def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,19 +118,24 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "append")
+    return _run_to_memory(agg, "append", "bdfp_mem_sessions")
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dropDuplicates on event_id (exactly-once
     ingestion semantics; state bounded by the watermark)."""
+    # dropDuplicatesWithinWatermark (not plain dropDuplicates): with
+    # the event-time column absent from the subset, plain dedup state is
+    # NEVER evicted by the watermark and grows unboundedly on a real
+    # stream; the WithinWatermark variant keys eviction off the
+    # watermark itself.
     dd = (
         read_event_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")
     )
-    return _run_to_memory(dd, "append")
+    return _run_to_memory(dd, "append", "bdfp_mem_dedup")
 
 
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,4 +179,4 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(updated, "update")
+    return _run_to_memory(updated, "update", "bdfp_mem_usertotals")

@@ -57,4 +57,4 @@ def click_purchase_join(
         "purchase_id",
         F.col("purchase_value").cast("double").alias("purchase_value"),
     )
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(joined, "append", "bdfp_mem_cpjoin")
