@@ -120,7 +120,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            upper(substr(p_name, 1, 8))                    AS name_prefix,
-           length(p_name)                                 AS name_len,
+           CAST(length(p_name) AS INT)                    AS name_len,
            p_partkey % 7                                  AS key_mod,
            round(p_retailprice, 1)                        AS price_r,
            concat(p_brand, ':', p_type)                   AS brand_type,

@@ -25,8 +25,8 @@ _DEC = "decimal(25,6)"
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
              CAST(o_totalprice AS DOUBLE) AS totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
       FROM orders)
     WHERE rn <= 3
     """,
@@ -51,8 +51,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_analytics",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           rank()       OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
            lag(l_quantity)  OVER seq AS prev_qty,
            lead(l_quantity) OVER seq AS next_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
