@@ -117,7 +117,7 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: 30-min-gap sessions via lag + running sum of
     session starts (the classic gaps-and-islands plan; the streaming
-    equivalent is session_window in streaming/windows.py)."""
+    equivalent is session_window in streaming/events.py)."""
     e = load_table(spark, sf_dir, "events")
     seq = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(seq).cast("long")
