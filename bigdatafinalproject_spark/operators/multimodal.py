@@ -110,6 +110,58 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(op, FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio leg of the multimodal surface: same Arrow-batched
+    ``mapInPandas`` plumbing as :func:`extract_image_features`, with the
+    codec stubbed deterministically (no soundfile/librosa in the
+    container). A real deployment swaps ``decode`` for a soundfile read;
+    schema, batching and partitioning stay identical."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def decode(payload: bytes) -> tuple[int, int, float, float]:
+            rates = (8000, 16000, 22050, 44100)
+            h = hashlib.md5(payload).hexdigest()
+            rate = rates[int(h[0:4], 16) % 4]
+            n_samples = len(payload) * 4  # fake 4 samples/byte
+            return (
+                rate,
+                n_samples,
+                float(n_samples) / rate,
+                float(int(h[4:8], 16) % 1000) / 1000.0,
+            )
+
+        for pdf in batches:
+            feats = pdf[payload_col].map(decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "sample_rate": feats.map(lambda t: t[0]).astype("int32"),
+                    "n_samples": feats.map(lambda t: t[1]).astype("int64"),
+                    "duration_sec": feats.map(lambda t: t[2]).astype("float64"),
+                    "rms": feats.map(lambda t: t[3]).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, AUDIO_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

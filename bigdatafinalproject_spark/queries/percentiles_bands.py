@@ -1,0 +1,180 @@
+"""Exact percentiles, GROUPING SETS, deterministic sampling, and a
+non-equi band join — SURVEY §2.4's "absent" aggregate rows and §2.3's
+"absent" theta-join row made present — plus the audio leg of the
+multimodal surface.
+
+Scale notes baked into each query's shape:
+- percentiles: ``percentile`` is a full-sort-per-group aggregate; at
+  100 TB prefer ``approx_percentile`` (see sql_json.approx_stats) —
+  the exact form is here because the oracle can verify it bit-for-bit.
+- band join: the bands side is O(10) rows — broadcast, so the big side
+  never shuffles (BroadcastNestedLoopJoin on the range predicate).
+- sampling: hash-of-key Bernoulli, not ``TABLESAMPLE``/``rand()`` —
+  reproducible across runs, engines, AND partitionings (fixes the
+  reference's rand-reproducibility hazard, SURVEY §4.3-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table, register_views
+from bigdatafinalproject_spark.functions import bucket, dsum, oracle_bucket
+from bigdatafinalproject_spark.operators.multimodal import (
+    extract_audio_features,
+    with_binary_payload,
+)
+from bigdatafinalproject_spark.registry import query
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           quantile_cont(l_quantity, 0.5)  AS qty_p50,
+           quantile_cont(l_quantity, 0.75) AS qty_p75,
+           quantile_cont(l_extendedprice, 0.5) AS price_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (absent in the
+    reference; its only distribution summary was describe(),
+    example.py:79). Both engines use the (n-1)*p linear-interpolation
+    definition, so doubles match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_quantity, 0.25)").alias("qty_p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("qty_p75"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("price_median"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (cube/rollup cousins live in sql_json /
+    aggregates): one shuffle produces all three aggregation levels —
+    at scale this beats unioning three separate groupBys because the
+    scan and the partial aggregation are shared."""
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "portable_sample",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE {oracle_bucket('o_orderkey', 100, seed=7)} < 10
+    GROUP BY o_orderstatus
+    """,
+)
+def portable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by key hash. Unlike
+    ``df.sample()``/TABLESAMPLE (partition-layout-dependent), the
+    hash-of-key predicate is stable across engines and re-runs and
+    pushes down to the scan like any other filter."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(bucket("o_orderkey", k=100, seed=7) < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+_BANDS = [
+    ("00_low", 0.0, 50_000.0),
+    ("01_mid", 50_000.0, 150_000.0),
+    ("02_high", 150_000.0, 300_000.0),
+    ("03_lux", 300_000.0, 1e12),
+]
+
+
+@query(
+    "price_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('00_low', 0.0, 50000.0),
+        ('01_mid', 50000.0, 150000.0),
+        ('02_high', 150000.0, 300000.0),
+        ('03_lux', 300000.0, 1e12))
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) band join — absent from the reference
+    (§2.3 'absent' row). The bands dim is O(10) rows so it is
+    broadcast: the fact side streams through a BroadcastNestedLoopJoin
+    with zero shuffle, which is the only plan shape that survives this
+    predicate at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "doc_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(([8000,16000,22050,44100])[(('0x' || substr(md5(text), 1, 4))::INT % 4) + 1]
+                AS INT) AS sample_rate,
+           CAST(octet_length(encode(text)) * 4 AS BIGINT) AS n_samples,
+           CAST(octet_length(encode(text)) * 4 AS DOUBLE)
+             / ([8000,16000,22050,44100])[(('0x' || substr(md5(text), 1, 4))::INT % 4) + 1]
+             AS duration_sec,
+           (('0x' || substr(md5(text), 5, 4))::INT % 1000) / 1000.0 AS rms
+    FROM documents
+    """,
+)
+def doc_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode/feature-extract over a binary column via
+    mapInPandas (operators/multimodal.extract_audio_features). Decode
+    is a deterministic md5 stand-in — the container ships no audio
+    codec — but schema/batching/partitioning are production-real."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    return extract_audio_features(docs, id_col="doc_id", payload_col="payload")

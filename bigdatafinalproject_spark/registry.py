@@ -46,6 +46,7 @@ _MODULES = (
     "arrays",
     "neardup_streamjoin",
     "ivf_ranking",
+    "percentiles_bands",
 )
 
 
