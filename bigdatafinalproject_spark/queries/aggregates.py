@@ -235,3 +235,56 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
     )
+
+
+@query(
+    "corr_covar_portable",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+                      * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+                      * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+                      * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem)
+    SELECT CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * (n - 1)) AS covar_qty_price,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS corr_qty_price
+    FROM m
+    """,
+)
+def corr_covar_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from exact decimal moment
+    sums (built-in corr()/covar_samp() stream doubles, so their result
+    depends on partitioning — this form is partition-independent AND
+    engine-exact: every sum is decimal-exact, the closing arithmetic is
+    a fixed sequence of IEEE double ops, and sqrt is correctly rounded).
+    One shuffle (global partial+final agg) regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d4 = "decimal(28,4)"
+    x = F.col("l_quantity").cast(d4)
+    y = F.col("l_extendedprice").cast(d4)
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("long").alias("n"),
+        ((n * sxy - sx * sy) / (n * (n - F.lit(1.0)))).alias("covar_qty_price"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )

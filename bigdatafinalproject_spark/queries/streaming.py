@@ -59,3 +59,22 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     running totals. Rows-only: update-mode emission cadence is
     batch-dependent."""
     return S.running_user_totals(spark, sf_dir)
+
+
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink with idempotent overwrite (the
+    exactly-once pattern for non-transactional sinks); returns the sink
+    contents, which must equal the batch tumbling aggregation."""
+    return S.tumbling_to_parquet_foreachbatch(spark, sf_dir)

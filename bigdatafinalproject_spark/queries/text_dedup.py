@@ -8,6 +8,8 @@ hashing is md5-derived (portable), all divisions double-on-exact-ints.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.operators import dedup as D
@@ -267,4 +269,48 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=60,
         max_hamming=3,
         bands=4,
+    )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (SELECT doc_id, token, tf, df,
+                 CAST(tf * ((n_docs * 1000000) // df) AS BIGINT) AS score_scaled
+          FROM tf JOIN dfq USING (token), nd)
+    SELECT doc_id, token, tf, df, score_scaled, CAST(rn AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_scaled DESC, token ASC) AS rn
+          FROM s)
+    WHERE rn <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. The idf is the integer-scaled
+    rational ``(n_docs * 1e6) div df`` rather than ``ln(n_docs/df)``:
+    JVM and DuckDB ``ln`` differ in the last ulp (measured ~7% of
+    inputs), while 64-bit integer arithmetic is exact everywhere and
+    preserves the df-ranking. Plan shape: explode -> two hash aggs ->
+    broadcast of the 1-row corpus count -> per-doc top-k window; the
+    only per-token state is the (token, df) table."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score_scaled", F.expr("tf * ((n_docs * 1000000) div df)"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_scaled").desc(), F.col("token").asc())
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score_scaled", "rnk")
     )

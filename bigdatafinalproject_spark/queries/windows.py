@@ -95,6 +95,41 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           CAST(ntile(4) OVER seq AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM lineitem
+    WINDOW seq AS (PARTITION BY l_suppkey
+                   ORDER BY l_orderkey, l_linenumber, l_quantity,
+                            l_extendedprice, l_partkey),
+           w AS (PARTITION BY l_suppkey ORDER BY l_quantity)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist
+    — §2.5 'absent' row). percent_rank and cume_dist are single double
+    divisions over exact integer ranks, so they compare bit-for-bit;
+    ntile rides the fully-extended deterministic ordering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = W.partitionBy("l_suppkey").orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+    )
+    qty_w = W.partitionBy("l_suppkey").orderBy("l_quantity")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.ntile(4).over(seq).alias("quartile"),
+        F.percent_rank().over(qty_w).alias("pct_rank"),
+        F.cume_dist().over(qty_w).alias("cdist"),
+    )
+
+
+@query(
     "sessionize",
     oracle="""
     WITH marked AS (

@@ -180,3 +180,44 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(updated, "update", "bdfp_mem_usertotals")
+
+
+def tumbling_to_parquet_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink with exactly-once-style delivery: the tumbling
+    aggregation runs in complete mode and each batch idempotently
+    OVERWRITES the parquet output, so a replayed batch (after a
+    checkpoint-recovery restart) rewrites identical content instead of
+    duplicating it — checkpoint + idempotent write is the standard
+    exactly-once recipe for sinks without transactional support.
+    Returns the sink read back; finite input ⇒ content equals the batch
+    tumbling aggregation (same oracle as stream_tumbling)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"bdfp_fb_sink_{tag}")
+
+    agg = (
+        read_event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
