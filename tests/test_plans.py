@@ -58,3 +58,41 @@ def test_aggregates_partial_final(spark):
     """Hash aggregates must have a partial (map-side) phase."""
     plan = formatted_plan(registry.QUERIES["pricing_summary"](spark, SF_DIR))
     assert "partial" in plan.lower()
+
+
+def test_band_join_broadcasts_nested_loop(spark):
+    """The non-equi band join must broadcast the O(10)-row bands side —
+    a shuffle or cartesian on the fact side would be fatal at scale."""
+    plan = formatted_plan(registry.QUERIES["price_band_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS plans one Expand + one shuffle, not three unioned
+    aggregations (shared scan + shared partial agg)."""
+    plan = formatted_plan(registry.QUERIES["grouping_sets_revenue"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    """The 1-row corpus count joins by broadcast; the doc×token side
+    never shuffles for it."""
+    plan = formatted_plan(registry.QUERIES["doc_tfidf_top_terms"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_portable_sample_filters_before_agg(spark):
+    """The hash-sample predicate must evaluate scan-side (before the
+    aggregation exchange), so only ~10% of rows shuffle."""
+    plan = formatted_plan(registry.QUERIES["portable_sample"](spark, SF_DIR))
+    assert "md5" in plan
+    # formatted plans print the tree root-first, scan last: the Filter
+    # node must sit BELOW (= later in text than) the agg Exchange
+    exchange_pos = plan.find("Exchange")
+    filter_pos = plan.find("Filter")
+    assert filter_pos != -1, "sample predicate missing from plan"
+    assert exchange_pos == -1 or filter_pos > exchange_pos, (
+        "hash-sample filter must run scan-side, before the shuffle"
+    )
