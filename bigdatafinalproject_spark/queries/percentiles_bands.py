@@ -178,3 +178,46 @@ def doc_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec — but schema/batching/partitioning are production-real."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
     return extract_audio_features(docs, id_col="doc_id", payload_col="payload")
+
+
+@query(
+    "orders_upsert_latest",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(1 AS INT) AS version
+      FROM orders),
+    updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, CAST(2 AS INT) AS version
+      FROM orders WHERE {oracle_bucket('o_orderkey', 100, seed=11)} < 10),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY version DESC, o_orderstatus) AS rn
+          FROM allr)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+    FROM r WHERE rn = 1
+    """,
+)
+def orders_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (operators/merge.upsert_latest): a simulated
+    update batch (~10% of keys by portable hash, repriced, status 'U')
+    applied over the base table; per key the newest version wins. One
+    shuffle on the key — the plan MERGE INTO lowers to for full-row
+    upserts, with no table-format dependency."""
+    from bigdatafinalproject_spark.operators.merge import upsert_latest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(1))
+    updates = (
+        o.filter(bucket("o_orderkey", k=100, seed=11) < 10)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("version", F.lit(2))
+    )
+    return upsert_latest(
+        base, updates, keys=["o_orderkey"], version_col="version",
+        tiebreak=["o_orderstatus"],
+    )

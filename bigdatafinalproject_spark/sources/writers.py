@@ -32,3 +32,27 @@ def write_csv(
 ) -> None:
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def compact_small_files(
+    spark, path: str, target_rows_per_file: int, out_path: str | None = None
+) -> int:
+    """Compact a parquet directory's small files (the classic many-tiny-
+    files problem a long-running ingest leaves behind; at 100 TB it
+    turns every scan's task scheduling into the bottleneck).
+
+    Rewrites to ceil(total_rows / target_rows_per_file) files and
+    returns that file count. Row-count-based sizing keeps this
+    dependency-free; a production variant would size on bytes. Writes
+    to ``out_path`` (or replaces ``path`` via a temp-swap when omitted —
+    here kept side-by-side to stay crash-safe without a transactional
+    table format).
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    total = df.count()
+    n_files = max(1, math.ceil(total / target_rows_per_file))
+    dest = out_path or (path.rstrip("/") + "_compacted")
+    df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    return n_files

@@ -58,3 +58,39 @@ def test_csv_header_only_read(spark):
         write_csv(df, f"{d}/r2", single_file=False)
         back = read_csv(spark, f"{d}/r2", infer=True)
         assert back.count() == df.count()
+
+
+def test_compact_small_files_reduces_files_preserves_rows(spark):
+    import glob
+
+    from bigdatafinalproject_spark.sources.writers import compact_small_files
+
+    df = load_table(spark, SF_DIR, "orders")
+    n = df.count()
+    with tempfile.TemporaryDirectory() as d:
+        # simulate a fragmented ingest: 32 tiny files
+        df.repartition(32).write.parquet(f"{d}/frag")
+        assert len(glob.glob(f"{d}/frag/*.parquet")) == 32
+        n_files = compact_small_files(
+            spark, f"{d}/frag", target_rows_per_file=n, out_path=f"{d}/compact"
+        )
+        assert n_files == 1
+        assert len(glob.glob(f"{d}/compact/*.parquet")) == 1
+        back = spark.read.parquet(f"{d}/compact")
+        assert back.count() == n
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    from bigdatafinalproject_spark.plans import formatted_plan
+    from bigdatafinalproject_spark.sources.writers import write_parquet
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    with tempfile.TemporaryDirectory() as d:
+        write_parquet(e, f"{d}/by_type", partition_by=["event_type"])
+        back = spark.read.parquet(f"{d}/by_type").filter(F.col("event_type") == "click")
+        plan = formatted_plan(back)
+        # the partition predicate must land in PartitionFilters (pruned
+        # at planning), NOT survive as a post-scan data filter
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+        assert "event_type" in pf
