@@ -40,6 +40,11 @@ def main() -> None:
     spark = get_spark(app_name="bdfp-bench")
     # warm the JVM + parquet footers so per-query numbers measure the query
     registry.QUERIES["popular_parts"](spark, sf_dir).count()
+    # warm the Python worker pool too — otherwise the alphabetically
+    # first mapInPandas query absorbs the whole pool's spin-up cost
+    spark.range(10_000).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

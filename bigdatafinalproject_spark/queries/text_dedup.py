@@ -314,3 +314,43 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "score_scaled", "rnk")
     )
+
+
+@query(
+    "doc_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_CTE},
+    sl AS (SELECT doc_id, simhash, CAST(b AS INT) AS band,
+                  (simhash >> (CAST(b AS INT) * 15)) & 32767 AS slice
+           FROM sig, LATERAL unnest(range(0, 4)) AS u(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+             FROM sl a JOIN sl b ON a.band = b.band AND a.slice = b.slice
+                                AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b FROM cand
+              WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+    e AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b AS s, id_a AS d FROM pairs),
+    walk(node, label) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.s, w.label FROM e JOIN walk w ON w.node = e.d
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: SimHash near-dup pairs grouped into connected
+    components by iterative min-label propagation
+    (operators/components.py — diameter-bounded rounds, lineage cut per
+    round). Output: every clustered doc labeled with its component's
+    minimum doc_id, i.e. the canonical keeper."""
+    from bigdatafinalproject_spark.operators.components import connected_components
+
+    pairs = D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=60, max_hamming=3, bands=4,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")

@@ -182,3 +182,34 @@ def test_lsh_topk_matches_exact_on_matched_pairs(spark):
     assert shared, "no overlap between exact and LSH top-k"
     for k in shared:
         assert exact[k] == approx[k]
+
+
+def test_connected_components_chain_clique_singleton_pair(spark):
+    """Min-label propagation: a diameter-3 chain (forces multiple
+    rounds), a triangle, and an isolated pair all label with their
+    component minimum; result is partitioning-independent."""
+    from bigdatafinalproject_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    for parts in (1, 7):
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(edges.repartition(parts)).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                        10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    from bigdatafinalproject_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1)
