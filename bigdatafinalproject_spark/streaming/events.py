@@ -71,19 +71,40 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _stream_partitions(spark: SparkSession) -> int:
+    """State-store count for streaming queries: stateful operators keep
+    one state store (and pay one commit) per shuffle partition per
+    micro-batch, so the session's batch setting (= core count) is pure
+    overhead for bounded-key state. A quarter of the parallelism
+    (floor 8) halves-to-quarters measured micro-batch latency here;
+    on a real cluster this still scales with executor count."""
+    return max(8, spark.sparkContext.defaultParallelism // 4)
+
+
 def _run_to_memory(df: DataFrame, mode: str, name: str) -> DataFrame:
     """Drive a streaming frame to completion into a memory sink and
     return the materialized result (file source => finite input).
 
     The sink table name is STABLE per operation so repeated runs in one
     session replace the previous result instead of leaking a new
-    materialized `mem_<uuid>` table per call."""
-    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    materialized `mem_<uuid>` table per call.
+
+    Shuffle partitions are bounded for the stream's lifetime (captured
+    at start()) and restored after — results are partition-count
+    independent (decimal sums, watermark-driven emission), only the
+    per-batch state-store commit cost changes."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_stream_partitions(spark)))
     try:
-        q.processAllAvailable()
+        q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,9 +236,14 @@ def tumbling_to_parquet_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFr
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out)
 
-    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_stream_partitions(spark)))
     try:
-        q.processAllAvailable()
+        q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
