@@ -12,9 +12,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.functions import oracle_bucket
 from bigdatafinalproject_spark.operators import dedup as D
 from bigdatafinalproject_spark.operators import text as T
 from bigdatafinalproject_spark.registry import query
+
+# shard key for sequence packing (must match pack_sequences' bucket args)
+_PACK_SHARD = oracle_bucket("doc_id", 16, seed=5)
 
 # Shared SQL fragments (DuckDB): normalized text and token list.
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -354,3 +358,42 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             {_PACK_SHARD} AS shard,
+             CAST(len({_TOKS}) AS INT) AS tok
+      FROM documents),
+    d AS (SELECT doc_id, shard, tok,
+                 CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                      AS INT) AS rn
+          FROM base),
+    walk(shard, rn, doc_id, tok, bin, fill) AS (
+      SELECT shard, rn, doc_id, tok, 0, tok FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.tok,
+             CASE WHEN w.fill + d.tok <= 512 THEN w.bin ELSE w.bin + 1 END,
+             CASE WHEN w.fill + d.tok <= 512 THEN w.fill + d.tok ELSE d.tok END
+      FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)
+    SELECT doc_id, CAST(shard AS INT) AS shard, CAST(bin AS INT) AS bin, tok
+    FROM walk
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy first-fit of docs into 512-token bins,
+    sharded 16 ways by portable hash for parallelism
+    (operators/packing.py). The greedy scan is inherently sequential so
+    it runs per-shard inside applyInPandas; the oracle replays it with
+    a linear recursive CTE advancing every shard one doc per step."""
+    from bigdatafinalproject_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tokens", capacity=512, num_shards=16, seed=5
+    )

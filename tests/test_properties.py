@@ -213,3 +213,47 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=1)
+
+
+def test_pack_sequences_capacity_and_determinism(spark):
+    """Greedy packing: no bin exceeds capacity unless it holds a single
+    oversized doc; bins are contiguous from 0 per shard; output is
+    identical across input partitionings."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(1, 400)]
+    rows.append((1000, 900))  # oversized doc (> capacity)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+
+    def run(parts):
+        return sorted(
+            map(
+                tuple,
+                pack_sequences(
+                    df.repartition(parts), "doc_id", "n_tokens",
+                    capacity=256, num_shards=4,
+                ).collect(),
+            )
+        )
+
+    a = run(1)
+    assert a == run(13), "packing must not depend on input partitioning"
+
+    out = spark.createDataFrame(
+        [tuple(r) for r in a], "doc_id long, shard int, bin int, tok int"
+    )
+    fills = out.groupBy("shard", "bin").agg(
+        F.sum("tok").alias("fill"), F.count("*").alias("n_docs")
+    )
+    bad = fills.filter((F.col("fill") > 256) & (F.col("n_docs") > 1)).count()
+    assert bad == 0, "multi-doc bin over capacity"
+    # bins contiguous per shard
+    per_shard = fills.groupBy("shard").agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi"),
+        F.countDistinct("bin").alias("nb"),
+    )
+    assert per_shard.filter(
+        (F.col("lo") != 0) | (F.col("nb") != F.col("hi") + 1)
+    ).count() == 0
