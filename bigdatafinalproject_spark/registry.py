@@ -47,6 +47,7 @@ _MODULES = (
     "neardup_streamjoin",
     "ivf_ranking",
     "percentiles_bands",
+    "etl_quality",
 )
 
 
