@@ -65,6 +65,55 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_benchmark: Column,
+    n: int = 8,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every non-benchmark (train)
+    document, the fraction of its char n-gram shingles that appear in
+    ANY benchmark document (``is_benchmark`` rows).
+
+    The benchmark shingle set is distinct-reduced and broadcast — eval
+    suites are small by construction, so the train side never shuffles;
+    if the benchmark outgrows the broadcast threshold, drop the hint and
+    Catalyst falls back to a shuffle join (semantics unchanged).
+
+    Returns (id, n_shingles, n_contaminated, contaminated_frac,
+    contaminated:int) for train docs with >= 1 shingle.
+    """
+    sh = shingles(df, text_col, id_col, n).join(
+        df.select(F.col(id_col), is_benchmark.alias("_bench")), id_col
+    )
+    bench_set = (
+        sh.filter(F.col("_bench"))
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = sh.filter(~F.col("_bench")).join(
+        F.broadcast(bench_set), "shingle", "left"
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            frac.alias("contaminated_frac"),
+            (frac >= flag_threshold).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

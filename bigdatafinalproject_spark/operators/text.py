@@ -112,6 +112,52 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token, and the fraction of
+    duplicated bigrams. High values mark boilerplate / degenerate text a
+    training pipeline should drop.
+
+    Everything is a pure per-row array expression — no shuffle, no UDF;
+    a corpus scan parallelizes embarrassingly. top-token counting is
+    O(distinct x tokens) per row, fine for web-scale short docs; for
+    book-length texts swap in the explode + groupBy(id, token) + window
+    formulation (same outputs, shuffle-based).
+
+    Returns (id, n_tokens:int, top_token_cnt:int, top_token_frac:double,
+    dup_bigram_frac:double, repetitive:int).
+    """
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    n = F.size("toks")
+    top_cnt = F.array_max(
+        F.expr("transform(array_distinct(toks), x -> size(filter(toks, t -> t = x)))")
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "  transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    b = d.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        top_cnt.alias("top_token_cnt"),
+        bigrams.alias("_bg"),
+    )
+    nb = F.size("_bg")
+    dup_frac = F.when(
+        nb > 0, (nb - F.size(F.array_distinct("_bg"))).cast("double") / nb
+    ).otherwise(F.lit(0.0))
+    top_frac = F.col("top_token_cnt").cast("double") / F.col("n_tokens")
+    return b.select(
+        F.col(id_col),
+        "n_tokens",
+        "top_token_cnt",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.2)).cast("int").alias("repetitive"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Broder-style document fingerprint: md5 over the sorted distinct
     token set — invariant to token order/duplication, so reordered or

@@ -1,0 +1,172 @@
+"""Training-data pipeline queries: time-series regularization,
+repetition-based quality filtering, mixture-weighted sampling, and
+benchmark-contamination checks.
+
+All net-new surface (no reference equivalent — the reference has no
+event-time or corpus-hygiene processing; SURVEY §2.10, §7.7): the
+operations an LLM data pipeline runs between raw corpus and tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.functions import dsum, oracle_hash64, portable_hash64
+from bigdatafinalproject_spark.operators.dedup import contamination
+from bigdatafinalproject_spark.operators.text import repetition_stats
+from bigdatafinalproject_spark.operators.timeseries import resample_ffill
+from bigdatafinalproject_spark.queries.text_dedup import _NORM, _TOKS
+from bigdatafinalproject_spark.registry import query
+
+# mixture-sampling rates, permille kept per language (downsample the
+# dominant language, keep the rest dense); unknown languages -> 500
+_MIX_PERMILLE = {"en": 350, "fr": 900, "de": 900, "es": 700, "zh": 800}
+_MIX_DEFAULT = 500
+_MIX_SEED = 11
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH per_bucket AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+               FROM per_bucket GROUP BY 1),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds),
+    j AS (SELECT s.event_type, s.bucket, p.v, p.n_events
+          FROM spine s LEFT JOIN per_bucket p USING (event_type, bucket))
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap,
+           COALESCE(n_events, 0) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+    FROM j
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the irregular event stream per event_type with
+    a densified time spine and forward-filled values
+    (operators/timeseries.resample_ffill): gaps become explicit rows,
+    carried values stay exact via the decimal-sum per bucket."""
+    e = load_table(spark, sf_dir, "events")
+    out = resample_ffill(
+        e, "ts", ["event_type"], dsum(F.col("value")), unit="hour"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "was_gap",
+        "n_events",
+        "v_fill",
+    )
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n,
+            list_max(list_transform(list_distinct(toks),
+                     x -> len(list_filter(toks, tk -> tk = x)))) AS top_cnt,
+            CASE WHEN len(toks) >= 2 THEN
+              list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1])
+            ELSE [] END AS bg
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(top_cnt AS INT) AS top_token_cnt,
+           CAST(top_cnt AS DOUBLE) / n AS top_token_frac,
+           CASE WHEN len(bg) > 0
+                THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CAST(CASE WHEN CAST(top_cnt AS DOUBLE) / n > 0.2
+                       OR (len(bg) > 0 AND
+                           CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                               / len(bg) > 0.2)
+                THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM b
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-token fraction,
+    duplicate-bigram fraction) — pure per-row array expressions, no
+    shuffle (operators/text.repetition_stats)."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {p}" for lang, p in _MIX_PERMILLE.items()
+    )
+    return f"CASE lang {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@query(
+    "doc_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({oracle_hash64('doc_id', seed=_MIX_SEED)} % 1000 AS INT)
+               AS permille
+    FROM documents
+    WHERE {oracle_hash64('doc_id', seed=_MIX_SEED)} % 1000 < {_mix_case_sql()}
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sampling: per-language keep rates applied
+    via a deterministic portable hash of doc_id — reproducible across
+    runs, engines, and partitionings (no rand()), and a pure filter, so
+    it costs one scan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _MIX_PERMILLE.items() for x in kv]
+    )
+    permille = F.pmod(portable_hash64("doc_id", seed=_MIX_SEED), F.lit(1000))
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col("lang")), F.lit(_MIX_DEFAULT)
+    )
+    return d.filter(permille < rate).select(
+        "doc_id", "lang", "source", permille.cast("int").alias("permille")
+    )
+
+
+@query(
+    "doc_contamination",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_NORM} AS t FROM documents
+               WHERE length({_NORM}) >= 8),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  substr(t, CAST(i AS INT), 8) AS shingle
+           FROM d, LATERAL unnest(range(1, length(t) - 6)) AS u(i)),
+    bs AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    m AS (SELECT sh.doc_id,
+                 CASE WHEN bs.shingle IS NULL THEN 0 ELSE 1 END AS hit
+          FROM sh LEFT JOIN bs ON sh.shingle = bs.shingle
+          WHERE sh.source <> 'src0')
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS contaminated_frac,
+           CAST(CASE WHEN CAST(SUM(hit) AS DOUBLE) / COUNT(*) >= 0.5
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM m GROUP BY doc_id
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each train doc's
+    char-8-gram shingles present in the benchmark slice (source =
+    'src0'), benchmark shingle set broadcast
+    (operators/dedup.contamination)."""
+    d = load_table(spark, sf_dir, "documents")
+    return contamination(
+        d, "text", "doc_id", F.col("source") == "src0", n=8, flag_threshold=0.5
+    )

@@ -48,6 +48,7 @@ _MODULES = (
     "ivf_ranking",
     "percentiles_bands",
     "etl_quality",
+    "pipeline_ops",
 )
 
 
