@@ -47,12 +47,14 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame
     (id, shingle). Docs shorter than n chars produce no shingles."""
     norm = norm_text(F.col(text_col))
     d = df.select(F.col(id_col), norm.alias("_t")).filter(F.length("_t") >= n)
-    pos = F.sequence(F.lit(1), F.length("_t") - (n - 1))
-    return (
-        d.select(id_col, F.explode(pos).alias("_i"), "_t")
-        .select(id_col, F.expr(f"substring(_t, _i, {n})").alias("shingle"))
-        .distinct()
+    # dedup WITHIN each doc's array before exploding: map-side, so no
+    # global distinct exchange (ids are unique per row, so the output —
+    # distinct (id, shingle) pairs — is identical)
+    arr = F.expr(
+        f"array_distinct(transform(sequence(1, length(_t) - {n - 1}),"
+        f" i -> substring(_t, i, {n})))"
     )
+    return d.select(id_col, F.explode(arr).alias("shingle"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -85,18 +87,16 @@ def contamination(
     Returns (id, n_shingles, n_contaminated, contaminated_frac,
     contaminated:int) for train docs with >= 1 shingle.
     """
-    sh = shingles(df, text_col, id_col, n).join(
-        df.select(F.col(id_col), is_benchmark.alias("_bench")), id_col
-    )
+    # filter BEFORE shingling: each branch explodes only its own docs
+    # (the benchmark slice is a small fraction), and no doc-flag join
     bench_set = (
-        sh.filter(F.col("_bench"))
+        shingles(df.filter(is_benchmark), text_col, id_col, n)
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    marked = sh.filter(~F.col("_bench")).join(
-        F.broadcast(bench_set), "shingle", "left"
-    )
+    train_sh = shingles(df.filter(~is_benchmark), text_col, id_col, n)
+    marked = train_sh.join(F.broadcast(bench_set), "shingle", "left")
     frac = F.col("n_contaminated").cast("double") / F.col("n_shingles")
     return (
         marked.groupBy(id_col)
@@ -111,6 +111,39 @@ def contamination(
             frac.alias("contaminated_frac"),
             (frac >= flag_threshold).cast("int").alias("contaminated"),
         )
+    )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+    block: Column | None = None,
+) -> DataFrame:
+    """Fuzzy string-match pairs by blocked Levenshtein distance.
+
+    Scale design: reduce to the DISTINCT name vocabulary first (for
+    catalog-like columns the vocabulary is orders of magnitude smaller
+    than the table), then all-pairs ONLY within a blocking key (default:
+    the last whitespace token), then exact edit distance <= ``max_dist``.
+    The quadratic step runs on (vocab-per-block)^2, never on table rows;
+    both vocab sides are small, so Catalyst broadcasts the self-join.
+
+    Returns (name_a, name_b, dist) with name_a < name_b.
+    """
+    if block is None:
+        block = F.element_at(F.split(F.col("name"), " "), -1)
+    names = (
+        df.select(F.col(name_col).alias("name")).distinct().withColumn("_blk", block)
+    )
+    a = names.select(F.col("name").alias("name_a"), "_blk")
+    b = names.select(F.col("name").alias("name_b"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
     )
 
 

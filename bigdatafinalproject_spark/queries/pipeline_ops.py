@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.functions import dsum, oracle_hash64, portable_hash64
-from bigdatafinalproject_spark.operators.dedup import contamination
+from bigdatafinalproject_spark.operators.dedup import contamination, fuzzy_name_pairs
 from bigdatafinalproject_spark.operators.text import repetition_stats
 from bigdatafinalproject_spark.operators.timeseries import resample_ffill
 from bigdatafinalproject_spark.queries.text_dedup import _NORM, _TOKS
@@ -136,6 +136,68 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.filter(permille < rate).select(
         "doc_id", "lang", "source", permille.cast("int").alias("permille")
+    )
+
+
+@query(
+    "part_fuzzy_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    nb AS (SELECT name,
+                  list_extract(string_split(name, ' '),
+                               len(string_split(name, ' '))) AS blk
+           FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM nb a JOIN nb b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def part_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching (operators/dedup.fuzzy_name_pairs): distinct
+    vocabulary -> block by last token -> Levenshtein <= 3. The quadratic
+    step touches vocab-per-block rows only, never the table."""
+    return fuzzy_name_pairs(load_table(spark, sf_dir, "part"), "p_name", max_dist=3)
+
+
+@query(
+    "events_trailing_window",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour event-time window per user (RANGE frame over
+    epoch-microseconds — exact integer ordering, so frame boundaries and
+    tie groups are engine-identical; the sliding sum accumulates in
+    DECIMAL, so Spark's per-row frame recompute and DuckDB's segment
+    tree produce the same double). At scale Spark recomputes each frame
+    (no retraction): for frames spanning millions of rows, pre-bucket to
+    a coarser grain first (resample_ffill) and slide over buckets."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w)
+        .cast("double")
+        .alias("sum_trailing"),
     )
 
 

@@ -96,3 +96,35 @@ def test_portable_sample_filters_before_agg(spark):
     assert exchange_pos == -1 or filter_pos > exchange_pos, (
         "hash-sample filter must run scan-side, before the shuffle"
     )
+
+
+def test_contamination_broadcasts_benchmark_no_distinct_exchange(spark):
+    """The benchmark shingle set must broadcast (train side unshuffled
+    by the join), and shingle generation must dedup map-side via
+    array_distinct — no global-distinct exchange on the exploded rows."""
+    plan = formatted_plan(registry.QUERIES["doc_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "array_distinct" in plan
+
+
+def test_resample_ffill_single_fill_window(spark):
+    """Gap fill plans exactly one window (last over key, ordered by
+    bucket); the spine join keys match the aggregation keys."""
+    plan = formatted_plan(registry.QUERIES["events_resample_ffill"](spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "last" in plan.lower()
+
+
+def test_repetition_no_shuffle(spark):
+    """Repetition stats are pure per-row expressions: the plan must
+    contain no Exchange at all."""
+    plan = formatted_plan(registry.QUERIES["doc_repetition"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_filters_at_scan(spark):
+    """The mixture-rate predicate is a scan-side filter — no shuffle,
+    no join for the per-language rates (literal map lookup)."""
+    plan = formatted_plan(registry.QUERIES["doc_mixture_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "md5" in plan
