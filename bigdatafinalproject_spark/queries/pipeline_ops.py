@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.functions import dsum, oracle_hash64, portable_hash64
 from bigdatafinalproject_spark.operators.dedup import contamination, fuzzy_name_pairs
+from bigdatafinalproject_spark.operators.features import (
+    grouped_split,
+    hashed_bow,
+    standardize,
+)
 from bigdatafinalproject_spark.operators.text import repetition_stats
 from bigdatafinalproject_spark.operators.timeseries import resample_ffill
 from bigdatafinalproject_spark.queries.text_dedup import _NORM, _TOKS
@@ -198,6 +203,83 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(25,6)")).over(w)
         .cast("double")
         .alias("sum_trailing"),
+    )
+
+
+@query(
+    "lineitem_standardize",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+                      * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+      FROM lineitem GROUP BY 1),
+    s AS (SELECT l_returnflag, sx / n AS mean,
+                 sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std, mn, mx
+          FROM m)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_quantity AS x,
+           (l.l_quantity - s.mean) / s.std AS z,
+           (l.l_quantity - s.mn) / (s.mx - s.mn) AS minmax
+    FROM lineitem l JOIN s USING (l_returnflag)
+    """,
+)
+def lineitem_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score + min-max feature scaling
+    (operators/features.standardize): one moments pass per group,
+    moments broadcast back — the fact side never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = standardize(li, "l_quantity", ["l_returnflag"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        "z",
+        "minmax",
+    )
+
+
+@query(
+    "doc_hashed_bow",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({oracle_hash64('tok')} % 64 AS INT) AS slot,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def doc_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words featurization
+    (operators/features.hashed_bow): fixed 64-dim sparse vectors with no
+    vocabulary pass — one explode + one combinable aggregation."""
+    return hashed_bow(load_table(spark, sf_dir, "documents"), "text", "doc_id", dim=64)
+
+
+@query(
+    "doc_grouped_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN {oracle_hash64('source', seed=17)} % 1000 < 800 THEN 'train'
+                WHEN {oracle_hash64('source', seed=17)} % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment (operators/features.grouped_split):
+    the split hashes the SOURCE, so near-duplicate documents from one
+    source can never straddle train/test. Pure expression, zero extra
+    passes."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", grouped_split(d, "source").alias("split")
     )
 
 
