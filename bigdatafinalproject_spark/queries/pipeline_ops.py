@@ -25,6 +25,10 @@ from bigdatafinalproject_spark.operators.timeseries import resample_ffill
 from bigdatafinalproject_spark.queries.text_dedup import _NORM, _TOKS
 from bigdatafinalproject_spark.registry import query
 
+# BPE-ish token classes: letter runs, digit runs, punctuation runs —
+# the pattern subset that means the same thing in Java regex and RE2
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
 # mixture-sampling rates, permille kept per language (downsample the
 # dominant language, keep the rest dense); unknown languages -> 500
 _MIX_PERMILLE = {"en": 350, "fr": 900, "de": 900, "es": 700, "zh": 800}
@@ -280,6 +284,83 @@ def doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "source", grouped_split(d, "source").alias("split")
+    )
+
+
+@query(
+    "doc_bpe_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_BPE_PAT}') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]'))) AS INT)
+               AS n_alpha,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS INT)
+               AS n_num
+    FROM t
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter / digit / punctuation runs —
+    the pre-tokenization split every BPE tokenizer applies before
+    merges): per-doc token counts by class, pure per-row expressions
+    over regexp_extract_all, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), F.lit(0))
+    b = d.select(F.col("doc_id"), toks.alias("toks"))
+    return b.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.expr("filter(toks, x -> x rlike '^[a-z]')")).alias("n_alpha"),
+        F.size(F.expr("filter(toks, x -> x rlike '^[0-9]')")).alias("n_num"),
+    )
+
+
+@query(
+    "events_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT least(CAST(floor(((value - lo) / (hi - lo)) * 20) AS INT), 19)
+                 AS bin, lo, hi
+      FROM events, b)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           lo + bin * ((hi - lo) / 20) AS bin_lo,
+           lo + (bin + 1) * ((hi - lo) / 20) AS bin_hi
+    FROM binned GROUP BY bin, lo, hi
+    """,
+)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram with data-driven bounds: one min/max
+    pass, bounds broadcast (literal cross join), then a combinable
+    count per bin — two scans total at any scale. Bin arithmetic is a
+    fixed sequence of double ops, so edges are engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))) * 20)
+            .cast("int"),
+            F.lit(19),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bin",
+        "n",
+        (F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / 20)).alias("bin_lo"),
+        (F.col("lo") + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / 20)).alias(
+            "bin_hi"
+        ),
     )
 
 
