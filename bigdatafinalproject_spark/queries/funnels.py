@@ -1,0 +1,105 @@
+"""Product-analytics queries over the events table: ordered funnel
+conversion and cohort retention. Net-new surface (the reference has no
+event-time analytics, SURVEY §2.10) — the aggregate shapes every
+analytics engine is asked for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.registry import query
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT s1.user_id,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS first_view,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS first_click_after,
+           strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS first_purchase_after,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each stage is the
+    MIN event time strictly after the previous stage's time, so
+    out-of-order events never count. Three conditional aggregations
+    joined on user_id; the per-stage frames are one row per user —
+    broadcastable, the events scan is the only big input each pass."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return out.select(
+        "user_id",
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("first_click_after"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("first_purchase_after"),
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("stage_reached"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    coh AS (SELECT user_id, MIN(d) AS c FROM act GROUP BY 1)
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c, d) AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted per
+    day offset. The (user, day) activity set is distinct-reduced first
+    (combinable), cohorts are one row per user (broadcast), and the
+    final count per (cohort, offset) needs no distinct — (user, day)
+    is already unique."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("c"))
+    return (
+        act.join(F.broadcast(coh), "user_id")
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "c").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

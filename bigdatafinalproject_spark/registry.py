@@ -49,6 +49,7 @@ _MODULES = (
     "percentiles_bands",
     "etl_quality",
     "pipeline_ops",
+    "funnels",
 )
 
 
