@@ -20,7 +20,7 @@ from bigdatafinalproject_spark.operators.features import (
     hashed_bow,
     standardize,
 )
-from bigdatafinalproject_spark.operators.text import repetition_stats
+from bigdatafinalproject_spark.operators.text import repetition_stats, tokens
 from bigdatafinalproject_spark.operators.timeseries import resample_ffill
 from bigdatafinalproject_spark.queries.text_dedup import _NORM, _TOKS
 from bigdatafinalproject_spark.registry import query
@@ -361,6 +361,61 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo") + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / 20)).alias(
             "bin_hi"
         ),
+    )
+
+
+@query(
+    "doc_bigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                         i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+           FROM t WHERE len(toks) >= 2),
+    c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    r AS (SELECT c2.w1, c2.w2, c2.c12, c1.c1,
+                 CAST(c2.c12 AS DOUBLE) / c1.c1 AS cond_p,
+                 row_number() OVER (PARTITION BY c2.w1
+                                    ORDER BY c2.c12 DESC, c2.w2) AS rn
+          FROM c2 JOIN c1 USING (w1))
+    SELECT w1, w2, c12, c1, cond_p FROM r WHERE rn <= 5
+    """,
+)
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts: P(w2|w1) from exact bigram /
+    unigram-context counts, top-5 continuations per context. The
+    unigram count reuses the bigram aggregate (SUM over c12 — no second
+    corpus pass); per-row bigram arrays explode map-side; both
+    aggregations combine partially before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    b = (
+        d.select(tokens(F.col("text")).alias("toks"))
+        .filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("w1").orderBy(F.col("c12").desc(), F.col("w2"))
+    )
+    return (
+        c2.join(c1, "w1")
+        .withColumn("cond_p", F.col("c12").cast("double") / F.col("c1"))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= 5)
+        .select("w1", "w2", "c12", "c1", "cond_p")
     )
 
 
