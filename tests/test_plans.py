@@ -128,3 +128,29 @@ def test_mixture_sample_filters_at_scan(spark):
     plan = formatted_plan(registry.QUERIES["doc_mixture_sample"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "md5" in plan
+
+
+def test_standardize_broadcasts_moments(spark):
+    """Per-group moments join back by broadcast; the fact side must not
+    shuffle for the join."""
+    plan = formatted_plan(registry.QUERIES["lineitem_standardize"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_broadcasts_stage_frames(spark):
+    """Each funnel stage joins the (one row per user) previous-stage
+    frame by broadcast against the filtered events scan."""
+    plan = formatted_plan(registry.QUERIES["events_funnel"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bpe_tokens_no_shuffle(spark):
+    """Regex pre-tokenization is pure per-row work: no Exchange."""
+    plan = formatted_plan(registry.QUERIES["doc_bpe_tokens"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_hashed_bow_partial_agg(spark):
+    """The (id, slot) count must have a map-side partial phase."""
+    plan = formatted_plan(registry.QUERIES["doc_hashed_bow"](spark, SF_DIR))
+    assert "partial" in plan.lower()
