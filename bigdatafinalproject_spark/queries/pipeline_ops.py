@@ -20,7 +20,12 @@ from bigdatafinalproject_spark.operators.features import (
     hashed_bow,
     standardize,
 )
-from bigdatafinalproject_spark.operators.text import repetition_stats, tokens
+from bigdatafinalproject_spark.operators.text import (
+    norm_text,
+    quality_score,
+    repetition_stats,
+    tokens,
+)
 from bigdatafinalproject_spark.operators.timeseries import resample_ffill
 from bigdatafinalproject_spark.queries.text_dedup import _NORM, _TOKS
 from bigdatafinalproject_spark.registry import query
@@ -361,6 +366,85 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo") + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / 20)).alias(
             "bin_hi"
         ),
+    )
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS raw_len,
+             CAST(length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                 AS INT) AS punct,
+             {_TOKS} AS toks
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             CAST(punct AS DOUBLE) / raw_len AS punct_ratio,
+             CAST(len(list_filter(toks,
+                  x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+                  AS DOUBLE) / len(toks) AS stopword_ratio,
+             CAST(len(toks) AS INT) AS n_tokens
+      FROM c),
+    q AS (
+      SELECT doc_id,
+             1.0 - least(punct_ratio * 2, 0.5)
+                 - CASE WHEN stopword_ratio < 0.05 THEN 0.25 ELSE 0.0 END
+                 - CASE WHEN n_tokens < 10 THEN 0.25 ELSE 0.0 END AS quality
+      FROM r),
+    base AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, q.quality
+      FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.8),
+    dd AS (SELECT *, md5({_NORM}) AS digest FROM base),
+    k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS min_id FROM dd),
+    s AS (SELECT * FROM k
+          WHERE doc_id = min_id
+            AND {oracle_hash64('doc_id', seed=_MIX_SEED)} % 1000 <
+                CASE lang WHEN 'en' THEN 350 WHEN 'fr' THEN 900
+                          WHEN 'de' THEN 900 WHEN 'es' THEN 700
+                          WHEN 'zh' THEN 800 ELSE 500 END)
+    SELECT doc_id, lang, source, quality,
+           CASE WHEN {oracle_hash64('source', seed=17)} % 1000 < 800 THEN 'train'
+                WHEN {oracle_hash64('source', seed=17)} % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM s
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the operators composed into the
+    production flow: quality filter (>= 0.8) -> exact dedup (keep the
+    min doc_id per normalized-content digest) -> mixture-weighted
+    sampling (per-language hash rates) -> leakage-safe grouped split.
+    Every stage is the same portable primitive its standalone query
+    uses, so the whole pipeline stays oracle-checkable; physically it
+    is one scan, one metrics join, one window over digest, then pure
+    filters."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(d, "text", "doc_id").select("doc_id", "quality")
+    base = d.join(q, "doc_id").filter(F.col("quality") >= 0.8)
+    from pyspark.sql import Window as W
+
+    dd = base.withColumn("digest", F.md5(norm_text(F.col("text"))))
+    kept = dd.withColumn(
+        "_min_id", F.min("doc_id").over(W.partitionBy("digest"))
+    ).filter(F.col("doc_id") == F.col("_min_id"))
+    permille = F.pmod(portable_hash64("doc_id", seed=_MIX_SEED), F.lit(1000))
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _MIX_PERMILLE.items() for x in kv]),
+            F.col("lang"),
+        ),
+        F.lit(_MIX_DEFAULT),
+    )
+    sampled = kept.filter(permille < rate)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality",
+        grouped_split(sampled, "source").alias("split"),
     )
 
 
