@@ -370,6 +370,73 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_scd2",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity intervals from an event history: each order
+    becomes a [valid_from, valid_to) range per customer via lead(), the
+    open range marking the current record — the standard
+    snapshot-to-dimension transform, one window, one shuffle on the
+    partition key."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "customer_stratified_k",
+    oracle=f"""
+    WITH r AS (
+      SELECT c_custkey, c_nationkey,
+             row_number() OVER (
+                 PARTITION BY c_nationkey
+                 ORDER BY {oracle_hash64('c_custkey', seed=23)}, c_custkey)
+                 AS rn
+      FROM customer)
+    SELECT c_custkey, c_nationkey, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 5
+    """,
+)
+def customer_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside
+    each stratum by a portable hash of the key (reproducible
+    'randomness' across runs, engines, partitionings — the engine's
+    replacement for rand()-ordered sampling, SURVEY §4.3-6) and keep
+    rank <= k. One window, one shuffle on the stratum key."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    rn = F.row_number().over(
+        W.partitionBy("c_nationkey").orderBy(
+            portable_hash64("c_custkey", seed=23), "c_custkey"
+        )
+    )
+    return (
+        c.select("c_custkey", "c_nationkey", rn.alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
     "corpus_curation",
     oracle=f"""
     WITH c AS (
