@@ -370,6 +370,98 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_bayesian_rating",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS DOUBLE) AS v,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s
+      FROM lineitem GROUP BY 1),
+    g AS (
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*) AS c
+      FROM lineitem)
+    SELECT l_partkey,
+           CAST(v AS BIGINT) AS n,
+           s / v AS raw_avg,
+           (v / (v + 20.0)) * (s / v) + (20.0 / (v + 20.0)) * c
+               AS smoothed_avg
+    FROM per_part, g
+    """,
+)
+def part_bayesian_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-smoothed per-item average (the IMDB weighted-rating
+    formula): shrink low-evidence items toward the global mean with
+    prior weight m=20 — the principled version of the reference's
+    'count >= 20' popularity cutoff (ALS_model3.py:188). One grouped
+    pass + a 1-row global frame broadcast; every division is a fixed
+    double op over decimal-exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        dsum(F.col("l_quantity")).alias("s"),
+    )
+    g = li.agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("c")
+    )
+    v, s, c = F.col("v"), F.col("s"), F.col("c")
+    return per.crossJoin(F.broadcast(g)).select(
+        "l_partkey",
+        v.cast("long").alias("n"),
+        (s / v).alias("raw_avg"),
+        ((v / (v + F.lit(20.0))) * (s / v) + (F.lit(20.0) / (v + F.lit(20.0))) * c)
+        .alias("smoothed_avg"),
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH per_nation AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6))
+                 AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT c_nationkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+               / CAST(SUM(rev) OVER () AS DOUBLE) AS share,
+           CAST(rank() OVER (ORDER BY rev DESC, c_nationkey) AS INT)
+               AS rev_rank
+    FROM per_nation
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution: per-nation revenue share via an
+    unpartitioned window over the 25-row aggregate (the global window
+    runs on GROUPED rows — bounded by group count, never by table size
+    — so the reference's global-window anti-pattern does not apply).
+    The total is summed in DECIMAL inside the window, exact in any
+    order."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("decimal(38,6)").alias("rev"))
+    )
+    total = F.sum("rev").over(W.partitionBy())
+    return per.select(
+        "c_nationkey",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / total.cast("double")).alias("share"),
+        F.rank()
+        .over(W.orderBy(F.col("rev").desc(), "c_nationkey"))
+        .cast("int")
+        .alias("rev_rank"),
+    )
+
+
+@query(
     "orders_scd2",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderstatus,
