@@ -462,6 +462,122 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_abc_analysis",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6))
+                 AS rev
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+             SUM(rev) OVER () AS total
+      FROM per_part)
+    SELECT l_partkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: items ranked by revenue, classified
+    by cumulative share (A <= 80 %, B <= 95 %, C rest). The running and
+    grand totals accumulate in DECIMAL inside the windows (exact in any
+    order); the global windows run over the per-item AGGREGATE — item
+    cardinality, not table size — with a deterministic tie-broken
+    ordering. At catalog scale beyond one partition, range-partition by
+    revenue and add per-partition offsets (the dense_ids pattern)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("decimal(38,6)")
+        .alias("rev")
+    )
+    order = W.orderBy(F.col("rev").desc(), "l_partkey")
+    cum = F.sum("rev").over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+    total = F.sum("rev").over(W.partitionBy())
+    share = cum.cast("double") / total.cast("double")
+    return per.select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "basket_pair_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM lineitem),
+    freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
+             FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT part_a, part_b, together,
+           CAST(together AS DOUBLE) / n_orders AS support,
+           (CAST(together AS DOUBLE) / n_orders)
+             / ((fa.f / n_orders) * (fb.f / n_orders)) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b, n
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: co-occurrence counts, support, and
+    lift for part pairs bought in the same order (min support count 3).
+    The self-join is per-basket — cost is sum(lines-per-order^2), not
+    table^2; at 100 TB prune hot items by frequency cap first (the
+    jaccard stop-shingle pattern) and let AQE handle basket skew. Every
+    ratio is a fixed double op over exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("_fa"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("_fb"))
+    t = F.col("together").cast("double")
+    no = F.col("n_orders")
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            (t / no).alias("support"),
+            ((t / no) / ((F.col("_fa") / no) * (F.col("_fb") / no))).alias("lift"),
+        )
+    )
+
+
+@query(
     "orders_scd2",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderstatus,
