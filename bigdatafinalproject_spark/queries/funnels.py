@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.functions import dsum
 from bigdatafinalproject_spark.registry import query
 
 
@@ -71,6 +72,85 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .cast("int")
         .alias("stage_reached"),
+    )
+
+
+@query(
+    "events_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5) AS p50_us,
+           quantile_cont(gap, 0.9) AS p90_us,
+           quantile_cont(gap, 0.99) AS p99_us
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time distribution: per-user gaps in exact
+    epoch-microseconds (lag over an integer ordering — engine-identical
+    ties), summarized per event_type with exact percentiles (integer
+    inputs, one interpolation divide — bit-portable per the
+    exact_percentiles precedent)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.expr("percentile(gap, 0.5)").alias("p50_us"),
+        F.expr("percentile(gap, 0.9)").alias("p90_us"),
+        F.expr("percentile(gap, 0.99)").alias("p99_us"),
+    )
+
+
+@query(
+    "events_moving_median",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           v,
+           quantile_cont(v, 0.5) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS smoothed
+    FROM hourly
+    """,
+)
+def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-median smoothing of the hourly series: a centered 3-bucket
+    median per event_type — robust to single-bucket spikes where a
+    moving average is not. The 3-element median picks the middle value
+    (or one interpolation divide at the series edges), so it is exactly
+    portable; inputs are the decimal-exact hourly sums."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(dsum(F.col("value")).alias("v"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-1, 1)
+    )
+    return hourly.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "v",
+        F.expr("percentile(v, 0.5)").over(w).alias("smoothed"),
     )
 
 
