@@ -155,6 +155,116 @@ def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_count_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket, n,
+             quantile_cont(n, 0.5) OVER (
+                 PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS med
+      FROM hourly)
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n, med,
+           CAST(CASE WHEN med IS NOT NULL AND n > 2.0 * med
+                THEN 1 ELSE 0 END AS INT) AS anomaly
+    FROM w
+    """,
+)
+def events_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type compared
+    to the trailing 6-bucket median (ROWS frame strictly before the
+    current bucket — no self-inclusion); a bucket at more than 2x its
+    trailing median flags. Counts are exact integers, the median is at
+    worst one interpolation divide — fully portable."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("bucket").rowsBetween(-6, -1)
+    med = F.expr("percentile(n, 0.5)").over(w)
+    return hourly.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        med.alias("med"),
+        (med.isNotNull() & (F.col("n") > F.lit(2.0) * med))
+        .cast("int")
+        .alias("anomaly"),
+    )
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    per AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            CAST(maxd AS DATE)) AS INT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 AS monetary
+      FROM orders, mx GROUP BY o_custkey, maxd)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m
+    FROM per
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order, anchored to
+    the dataset max date), frequency, and decimal-exact monetary value
+    per customer, each quintiled with a key-tiebroken ntile. The
+    quintile windows are global but run over the per-customer AGGREGATE
+    — at larger customer counts swap in percent_rank bucketing over a
+    range partition (the dense_ids pattern)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("maxd"), F.to_date("lastd"))
+            .cast("int")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).cast("int").alias("r"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("int")
+        .alias("f"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .cast("int")
+        .alias("m"),
+    )
+
+
+@query(
     "events_retention",
     oracle="""
     WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
