@@ -14,6 +14,7 @@ from bigdatafinalproject_spark.sources.readers import (
 )
 from bigdatafinalproject_spark.sources.writers import (
     write_csv,
+    write_jsonl,
     write_parquet,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "read_json",
     "read_parquet",
     "write_csv",
+    "write_jsonl",
     "write_parquet",
 ]

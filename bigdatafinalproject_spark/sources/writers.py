@@ -56,3 +56,20 @@ def compact_small_files(
     dest = out_path or (path.rstrip("/") + "_compacted")
     df.repartition(n_files).write.mode("overwrite").parquet(dest)
     return n_files
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink — the interchange format tokenizer/training
+    pipelines ingest. Spark's json writer emits one object per line per
+    partition file (already JSONL); pass compression='gzip' for the
+    common .jsonl.gz layout. Distributed write, never a driver
+    collect."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -154,3 +154,20 @@ def test_hashed_bow_partial_agg(spark):
     """The (id, slot) count must have a map-side partial phase."""
     plan = formatted_plan(registry.QUERIES["doc_hashed_bow"](spark, SF_DIR))
     assert "partial" in plan.lower()
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine can steer Catalyst's join strategy per-site: a
+    shuffle_hash hint must produce ShuffledHashJoin (vs the sort-merge
+    default for large equi-joins), and merge must force sort-merge —
+    the control surface for skew/memory tradeoffs at scale."""
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    shj = formatted_plan(
+        o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+    )
+    assert "ShuffledHashJoin" in shj
+    smj = formatted_plan(
+        o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+    )
+    assert "SortMergeJoin" in smj

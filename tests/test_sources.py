@@ -94,3 +94,30 @@ def test_partitioned_write_prunes_partitions(spark):
         assert "PartitionFilters" in plan
         pf = plan.split("PartitionFilters:")[1].split("\n")[0]
         assert "event_type" in pf
+
+
+def test_jsonl_roundtrip_training_records(spark):
+    """write_jsonl emits one JSON object per line (the training-record
+    interchange shape) and reads back with identical content."""
+    import json
+
+    from bigdatafinalproject_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    import glob
+
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/recs_jsonl"
+        write_jsonl(df, out)
+        back = spark.read.json(out)
+        assert sorted(r["doc_id"] for r in back.collect()) == [1, 2]
+        # raw layout check: every non-empty line parses as one JSON object
+        lines = []
+        for f in glob.glob(out + "/part-*"):
+            with open(f) as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+        assert len(lines) == 2
+        assert all(isinstance(json.loads(ln), dict) for ln in lines)
