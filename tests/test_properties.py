@@ -257,3 +257,79 @@ def test_pack_sequences_capacity_and_determinism(spark):
     assert per_shard.filter(
         (F.col("lo") != 0) | (F.col("nb") != F.col("hi") + 1)
     ).count() == 0
+
+
+def test_resample_ffill_spine_complete_and_filled(spark):
+    """The resampled series has every bucket between each key's min and
+    max (no holes), v_fill is never NULL, and the non-gap buckets
+    preserve the original per-bucket event counts exactly."""
+    from bigdatafinalproject_spark.functions import dsum
+    from bigdatafinalproject_spark.operators.timeseries import resample_ffill
+
+    e = load_table(spark, SF_DIR, "events")
+    out = resample_ffill(e, "ts", ["event_type"], dsum(F.col("value")), unit="hour")
+    rows = out.collect()
+    assert all(r["v_fill"] is not None for r in rows)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r)
+    total_events = 0
+    for _, krows in by_key.items():
+        buckets = sorted(r["bucket"] for r in krows)
+        # spine completeness: consecutive buckets are exactly 1 h apart
+        diffs = {
+            (b2 - b1).total_seconds() for b1, b2 in zip(buckets, buckets[1:])
+        }
+        assert diffs <= {3600.0}
+        assert all(r["n_events"] == 0 for r in krows if r["was_gap"] == 1)
+        total_events += sum(r["n_events"] for r in krows)
+    assert total_events == e.count(), "resample must not lose or invent events"
+
+
+def test_grouped_split_is_constant_per_group(spark):
+    """Every group key maps to exactly ONE split (the leakage guard),
+    and all three splits are non-degenerate on enough groups."""
+    from bigdatafinalproject_spark.operators.features import grouped_split
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = d.select("source", grouped_split(d, "source").alias("split"))
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_group.filter(F.col("k") > 1).count() == 0
+    assert out.select("split").distinct().count() >= 2
+
+
+def test_standardize_moments(spark):
+    """z-scores have ~zero mean and ~unit variance per group; minmax
+    lands in [0, 1] with both endpoints attained."""
+    from bigdatafinalproject_spark.operators.features import standardize
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_returnflag", "l_quantity")
+    out = standardize(li, "l_quantity", ["l_returnflag"])
+    stats = out.groupBy("l_returnflag").agg(
+        F.avg("z").alias("mz"),
+        F.stddev_samp("z").alias("sz"),
+        F.min("minmax").alias("lo"),
+        F.max("minmax").alias("hi"),
+    )
+    for r in stats.collect():
+        assert abs(r["mz"]) < 1e-9
+        assert abs(r["sz"] - 1.0) < 1e-6
+        assert r["lo"] == 0.0 and r["hi"] == 1.0
+
+
+def test_hashed_bow_conserves_tokens_and_dim(spark):
+    """Slot counts conserve the total token count, and every slot is in
+    [0, dim)."""
+    from bigdatafinalproject_spark.operators.features import hashed_bow
+    from bigdatafinalproject_spark.operators.text import tokens
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = hashed_bow(d, "text", "doc_id", dim=16)
+    assert out.filter((F.col("slot") < 0) | (F.col("slot") >= 16)).count() == 0
+    total = out.agg(F.sum("cnt")).collect()[0][0]
+    expect = d.select(F.size(tokens(F.col("text"))).alias("n")).agg(
+        F.sum("n")
+    ).collect()[0][0]
+    assert total == expect
