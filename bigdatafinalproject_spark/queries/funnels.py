@@ -265,6 +265,76 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    c2 AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    c1 AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM c2 GROUP BY 1)
+    SELECT c2.cur, c2.nxt, c2.n, c1.n_cur,
+           CAST(c2.n AS DOUBLE) / c1.n_cur AS p
+    FROM c2 JOIN c1 USING (cur)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next | current) from exact transition counts (lead
+    over an integer epoch-microsecond ordering — engine-identical
+    ties). The context total reuses the transition aggregate, no second
+    scan; output is event-type-squared rows, bounded regardless of
+    table size."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c2 = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    c1 = c2.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (
+        c2.join(c1, "cur")
+        .withColumn("p", F.col("n").cast("double") / F.col("n_cur"))
+        .select("cur", "nxt", "n", "n_cur", "p")
+    )
+
+
+@query(
+    "part_degree_distribution",
+    oracle="""
+    WITH deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d
+                 FROM lineitem GROUP BY 1)
+    SELECT CAST(length(bin(d)) AS INT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           MIN(d) AS min_degree,
+           MAX(d) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the order-part bipartite graph in
+    power-of-two bins — THE skew diagnostic before choosing join/agg
+    strategies (SURVEY §7.8-3). Bins come from the binary-string length
+    of the degree (exact floor(log2)+1 — never float log2, whose
+    rounding at powers of two differs across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(
+        F.length(F.bin("d")).cast("int").alias("log2_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )
+
+
+@query(
     "events_retention",
     oracle="""
     WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
