@@ -124,3 +124,30 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_sum.alias("head_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@query(
+    "doc_positional_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS toks
+      FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+    FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+    WHERE i <= 20
+    """,
+)
+def doc_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (SURVEY §2.9 generator family): tokens with their
+    0-based positions — the generator that keeps ordinal context (the
+    plain explode discards it), capped at the first 20 positions per
+    doc so output stays bounded per row."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id"), F.posexplode(tokens(F.col("text"))))
+        .withColumnRenamed("col", "token")
+        .filter(F.col("pos") < 20)
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )

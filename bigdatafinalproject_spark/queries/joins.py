@@ -169,3 +169,41 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "n_name", "r_name")
     )
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(l_linenumber % 3, 0) AS k,
+             CAST(COUNT(*) AS BIGINT) AS cnt_a
+      FROM lineitem GROUP BY 1),
+    b AS (
+      SELECT NULLIF(o_orderkey % 3, 0) AS k,
+             CAST(COUNT(*) AS BIGINT) AS cnt_b
+      FROM orders GROUP BY 1)
+    SELECT a.k, a.cnt_a, b.cnt_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM — SURVEY §2.3
+    'absent' family): NULL keys match each other instead of dropping
+    out, the semantic needed when joining on nullable dimension keys.
+    Spark plans it as a regular hash join on the coalesced key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        li.select(F.nullif(F.col("l_linenumber") % 3, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    b = (
+        o.select(F.nullif(F.col("o_orderkey") % 3, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "cnt_a", "cnt_b")
+    )
