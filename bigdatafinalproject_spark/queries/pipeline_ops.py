@@ -370,6 +370,81 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_profile",
+    oracle="""
+    SELECT 'c_custkey' AS column_name,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_name',
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+    """,
+)
+def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in ONE aggregation pass: null and distinct counts
+    for every profiled column as a single wide agg, unpivoted to one
+    row per column with stack — the oracle's 4-way UNION reads the
+    table four times; the engine reads it once. At 100 TB swap
+    count_distinct for approx_count_distinct per column (same shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    aggs = []
+    for col in cols:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_n_{col}")
+        )
+        aggs.append(F.countDistinct(col).alias(f"_d_{col}"))
+    wide = c.agg(*aggs)
+    stack_args = ", ".join(f"'{col}', _n_{col}, _d_{col}" for col in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+@query(
+    "customer_name_parse",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS parsed_id,
+           regexp_extract(c_name, '^([A-Za-z]+)#', 1) AS entity,
+           CAST(CASE WHEN CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+                          = c_custkey
+                THEN 1 ELSE 0 END AS INT) AS id_consistent
+    FROM customer
+    """,
+)
+def customer_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction with regexp_extract capture groups (§2.8
+    string family): parse the entity prefix and numeric id out of the
+    formatted name and cross-check the id against the key — the
+    schema-on-read validation pattern for semi-structured columns."""
+    c = load_table(spark, sf_dir, "customer")
+    parsed = F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long")
+    return c.select(
+        "c_custkey",
+        "c_name",
+        parsed.alias("parsed_id"),
+        F.regexp_extract("c_name", r"^([A-Za-z]+)#", 1).alias("entity"),
+        (parsed == F.col("c_custkey")).cast("int").alias("id_consistent"),
+    )
+
+
+@query(
     "part_bayesian_rating",
     oracle="""
     WITH per_part AS (
