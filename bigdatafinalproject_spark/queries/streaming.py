@@ -78,3 +78,45 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once pattern for non-transactional sinks); returns the sink
     contents, which must equal the batch tumbling aggregation."""
     return S.tumbling_to_parquet_foreachbatch(spark, sf_dir)
+
+
+@query(
+    "stream_doc_quality",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS raw_len,
+             CAST(length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                 AS INT) AS punct,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS toks
+      FROM documents),
+    r AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             CAST(punct AS DOUBLE) / raw_len AS punct_ratio,
+             CAST(len(list_filter(toks,
+                  x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+                  AS DOUBLE) / len(toks) AS stopword_ratio
+      FROM c)
+    SELECT doc_id, n_tokens,
+           1.0 - least(punct_ratio * 2, 0.5)
+               - CASE WHEN stopword_ratio < 0.05 THEN 0.25 ELSE 0.0 END
+               - CASE WHEN n_tokens < 10 THEN 0.25 ELSE 0.0 END AS quality
+    FROM r
+    WHERE 1.0 - least(punct_ratio * 2, 0.5)
+              - CASE WHEN stopword_ratio < 0.05 THEN 0.25 ELSE 0.0 END
+              - CASE WHEN n_tokens < 10 THEN 0.25 ELSE 0.0 END >= 0.8
+    """,
+)
+def stream_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus quality filter (streaming/documents.py):
+    stateless projection + filter over a document stream, so the
+    append-mode sink is row-identical to the batch expressions — a true
+    oracle for a streaming query, and a zero-state-store path that
+    scales with source parallelism alone."""
+    from bigdatafinalproject_spark.streaming.documents import (
+        stream_quality_filter,
+    )
+
+    return stream_quality_filter(spark, sf_dir, min_quality=0.8)

@@ -1,0 +1,79 @@
+"""Streaming text ingest (SURVEY §7.7 breadth): a stateless corpus
+quality filter over a document stream.
+
+The file source stands in for Kafka as in streaming/events.py; the
+transform is pure projection + filter, so append-mode output is
+row-identical to the batch run of the same expressions — the strongest
+correctness statement available for a stream (and a true DuckDB
+oracle). Stateless streams carry ZERO state-store cost: at 100 TB/day
+this path scales with source parallelism alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bigdatafinalproject_spark.catalog import table_path
+from bigdatafinalproject_spark.operators.text import quality_score
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _doc_stream_dir(sf_dir: str) -> str:
+    """Stage the single-file documents table into a directory for the
+    parquet file source (same symlink scheme as streaming/events)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(table_path(sf_dir, "documents"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"bdfp_docstream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if os.path.lexists(link) and os.readlink(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def stream_quality_filter(
+    spark: SparkSession, sf_dir: str, min_quality: float = 0.8
+) -> DataFrame:
+    """Run the quality filter as a stream to completion; return the
+    sink contents (doc_id, lang, quality) for kept docs."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_doc_stream_dir(sf_dir))
+    )
+    # stateless path: projection + filter only (no joins, no state)
+    scored = quality_score(raw, "text", "doc_id")
+    out = scored.filter(scored["quality"] >= min_quality).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    name = f"doc_quality_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
