@@ -25,8 +25,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["popular_parts"](spark, SMOKE_SF_DIR)
 
 
+# Driver-coverage rotation: CORRECTNESS_r01.json shows the r1 driver
+# verified exactly the FIRST 50 queries in dict order and stopped — 64
+# registered queries got no correctness row at all. The registry order
+# is stable (module import order), so we rotate: queries changed or
+# added this round come first (their results/plans are new and need
+# re-verification), then everything the driver has never checked, then
+# the 50 that are already r1-green. Every query is still present; only
+# the dict ordering changes.
+_R1_DRIVER_CHECKED = (
+    "popular_parts", "clean_project", "case_when_priority", "distinct_pairs",
+    "null_handling", "scalar_functions", "set_operations",
+    "customers_with_orders_semi", "customers_without_orders_anti",
+    "left_join_order_counts", "star_join_revenue_by_nation",
+    "full_outer_join", "broadcast_dim_join", "null_safe_join",
+    "pricing_summary", "top_orders_by_revenue", "summary_stats",
+    "pivot_status", "rollup_revenue", "distinct_counts",
+    "corr_covar_portable", "topk_per_group", "window_analytics",
+    "window_distribution", "sessionize", "dense_customer_ids",
+    "surrogate_join_back", "kfold_assignment", "leave_one_out_split",
+    "cold_start_filtered_count", "recs_wide_assembly", "eval_rmse",
+    "eval_auc", "eval_roc_points", "als_recommendations", "als_eval_rmse",
+    "item_cosine_similarity", "doc_exact_dups", "doc_token_stats",
+    "doc_quality", "doc_language_id", "doc_fingerprint",
+    "doc_ngram_jaccard", "doc_minhash_sigs", "doc_minhash_candidates",
+    "doc_simhash", "doc_simhash_pairs", "doc_tfidf_top_terms",
+    "doc_neardup_components", "doc_sequence_packing",
+)
+
+# changed in round 2 (plan rewrites / semantics updates) -> verify first
+_R2_CHANGED = (
+    "recs_wide_assembly", "item_cosine_similarity", "customer_rfm",
+    "part_abc_analysis", "als_persist_recommend_all",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    names = list(registry.QUERIES)
+    checked = set(_R1_DRIVER_CHECKED)
+    changed = [n for n in _R2_CHANGED if n in registry.QUERIES]
+    fresh = [n for n in names if n not in checked and n not in set(changed)]
+    green = [n for n in names if n in checked and n not in set(changed)]
+    ordered = changed + fresh + green
+    return {n: registry.QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

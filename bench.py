@@ -54,13 +54,31 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures a bounded tail of stdout: the ONE contract
+    # JSON line must stay compact (r1's full 114-query map overflowed
+    # the window and parsed as null). The line carries the total + the
+    # slowest 10; the full per-query map goes to a sidecar file.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    full = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    sidecar = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    sidecar.write_text(json.dumps(full, indent=1) + "\n")
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

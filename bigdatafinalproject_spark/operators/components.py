@@ -23,12 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum
     node id reachable from it (= a canonical component id).
@@ -36,27 +39,32 @@ def connected_components(
     Returns (node, component). Raises if the graph has not converged
     within ``max_iterations`` (diameter larger than expected) rather
     than silently returning partial components.
+
+    ``checkpoint_dir``: optional fault-tolerant directory — switches
+    the per-round lineage cut from localCheckpoint to a reliable
+    checkpoint so a long CC job survives executor loss
+    (operators/barrier.py).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = materialize_barrier(e, checkpoint_dir=checkpoint_dir)
 
-    labels = (
+    labels = materialize_barrier(
         e.select(F.col("s").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        checkpoint_dir=checkpoint_dir,
     )
 
     for _ in range(max_iterations):
         nbr_labels = e.join(
             labels, e["d"] == labels["node"], "inner"
         ).select(F.col("s").alias("node"), "label")
-        new_labels = (
+        new_labels = materialize_barrier(
             labels.unionByName(nbr_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            checkpoint_dir=checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")

@@ -25,6 +25,8 @@ also standard practice for quality (they carry no signal).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -118,7 +120,7 @@ def fuzzy_name_pairs(
     df: DataFrame,
     name_col: str,
     max_dist: int = 3,
-    block: Column | None = None,
+    block: Column | Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Fuzzy string-match pairs by blocked Levenshtein distance.
 
@@ -129,10 +131,18 @@ def fuzzy_name_pairs(
     The quadratic step runs on (vocab-per-block)^2, never on table rows;
     both vocab sides are small, so Catalyst broadcasts the self-join.
 
+    ``block`` may be a Column expression or a callable taking the name
+    Column. NOTE: a Column expression is evaluated AFTER the name
+    column is aliased to ``name`` — build it on ``F.col("name")``, or
+    (safer) pass a callable and receive the aliased column directly.
+
     Returns (name_a, name_b, dist) with name_a < name_b.
     """
+    name = F.col("name")
     if block is None:
-        block = F.element_at(F.split(F.col("name"), " "), -1)
+        block = F.element_at(F.split(name, " "), -1)
+    elif callable(block):
+        block = block(name)
     names = (
         df.select(F.col(name_col).alias("name")).distinct().withColumn("_blk", block)
     )

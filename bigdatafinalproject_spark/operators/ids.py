@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
 _LOW33 = (1 << 33) - 1
 
 
@@ -35,12 +37,17 @@ def dense_ids(
     key_col: str,
     id_col: str = "id",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Map distinct non-null ``key_col`` values to dense ids 0..N-1 in
     natural-key order. Returns ``(key_col, id_col int)``.
 
     Equivalent SQL (the oracle): ``row_number() OVER (ORDER BY key) - 1``
     over the distinct keys — but executed without a global window.
+
+    ``checkpoint_dir``: optional fault-tolerant directory for a
+    reliable checkpoint barrier instead of localCheckpoint (survives
+    executor loss on real clusters; operators/barrier.py).
     """
     keys = df.select(key_col).na.drop().distinct()
     if num_partitions:
@@ -54,9 +61,9 @@ def dense_ids(
     # aggregate below and the final join would otherwise each re-evaluate
     # the range exchange and can see DIFFERENT partitionings (observed:
     # an upstream .cache() broke exchange reuse and the pid join silently
-    # dropped most rows). localCheckpoint materializes the distinct-key
+    # dropped most rows). The barrier materializes the distinct-key
     # set (bounded size) once; every branch reads that single evaluation.
-    keys = keys.localCheckpoint(eager=True)
+    keys = materialize_barrier(keys, checkpoint_dir=checkpoint_dir)
 
     encoded = keys.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.shiftrightunsigned("_mid", 33)

@@ -47,16 +47,76 @@ def train_als(
     return als.fit(ratings)
 
 
-def als_topk_flat(model, users: DataFrame, k: int) -> DataFrame:
-    """recommendForUserSubset + explode + struct-field select (the
-    reference's flatten at recommendations3.py:65-70). Returns
-    (userId, itemId, score)."""
-    recs = model.recommendForUserSubset(users, k)
+def _flatten_recs(recs: DataFrame) -> DataFrame:
+    """explode the array<struct<itemId,rating>> recommendation column
+    (the reference's flatten at recommendations3.py:65-70)."""
     rec = F.explode("recommendations").alias("rec")
     return recs.select(recs.columns[0], rec).select(
         recs.columns[0],
         F.col("rec.*"),
     ).toDF(recs.columns[0], "itemId", "score")
+
+
+def als_topk_flat(model, users: DataFrame, k: int) -> DataFrame:
+    """recommendForUserSubset + flatten (M4, reference
+    recommendations3.py:60-70). Returns (userId, itemId, score)."""
+    return _flatten_recs(model.recommendForUserSubset(users, k))
+
+
+def als_topk_all_flat(model, k: int) -> DataFrame:
+    """recommendForAllUsers + flatten (M3, reference ALS_model3.py:260,
+    open_session.py:77). Returns (userId, itemId, score) for EVERY user
+    the model knows — the factor-matrix block cross-product runs
+    distributed in MLlib; nothing is collected."""
+    return _flatten_recs(model.recommendForAllUsers(k))
+
+
+def save_model(
+    model,
+    path: str,
+    user_mapping: DataFrame | None = None,
+    item_mapping: DataFrame | None = None,
+) -> None:
+    """Persist the trained ALS model + its id mappings (S4 — the
+    reference contract at ALS_model3.py:251-253: mapping parquets
+    written next to ``model.write().overwrite().save()``; re-read by
+    recommendations3.py:46-49 / Model_evaluation.py:47-48,69).
+
+    Layout: ``<path>/als_model`` (MLlib native: userFactors/
+    itemFactors/metadata parquet), ``<path>/user_mapping`` and
+    ``<path>/item_mapping`` (parquet, overwrite mode).
+    """
+    import os
+
+    model.write().overwrite().save(os.path.join(path, "als_model"))
+    if user_mapping is not None:
+        user_mapping.write.mode("overwrite").parquet(
+            os.path.join(path, "user_mapping")
+        )
+    if item_mapping is not None:
+        item_mapping.write.mode("overwrite").parquet(
+            os.path.join(path, "item_mapping")
+        )
+
+
+def load_model(spark, path: str):
+    """Load a persisted recommender (S4 — ALSModel.load at
+    recommendations3.py:49 + the mapping re-reads at 46-47).
+
+    Returns (model, user_mapping | None, item_mapping | None) — the
+    mappings are None when the directory was saved without them.
+    """
+    import os
+
+    from pyspark.ml.recommendation import ALSModel
+
+    model = ALSModel.load(os.path.join(path, "als_model"))
+
+    def _maybe(sub: str) -> DataFrame | None:
+        p = os.path.join(path, sub)
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    return model, _maybe("user_mapping"), _maybe("item_mapping")
 
 
 def rmse(predictions: DataFrame, label_col: str = "rating", pred_col: str = "prediction") -> float:
@@ -73,6 +133,30 @@ def auc(predictions: DataFrame, label_col: str = "label", score_col: str = "scor
     return BinaryClassificationEvaluator(
         labelCol=label_col, rawPredictionCol=score_col, metricName="areaUnderROC"
     ).evaluate(predictions)
+
+
+def top_pool(
+    counts: DataFrame,
+    item_col: str,
+    cnt_col: str,
+    k: int,
+) -> DataFrame:
+    """Globally-ranked top-k popularity pool: (item, pool_rank 1..k).
+
+    The reference ranked its popular pool with a row_number over ALL
+    items (recommendations3.py:85-86 via orderBy+limit; our first cut
+    used a global window — the SURVEY §4.3-1 single-task anti-pattern).
+    Here ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition top-k, driver-side merge of k×partitions rows — no
+    global sort exchange); the ranking window then runs over the k-row
+    result only, so no stage ever sees more than k rows in one task.
+    """
+    order = [F.col(cnt_col).desc(), F.col(item_col).asc()]
+    topk = counts.select(item_col, cnt_col).orderBy(*order).limit(k)
+    return (
+        topk.withColumn("pool_rank", F.row_number().over(W.orderBy(*order)))
+        .select(item_col, "pool_rank")
+    )
 
 
 def assemble_topn(

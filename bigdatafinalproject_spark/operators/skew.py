@@ -57,7 +57,19 @@ def salted_join(
 
     Cost: small side × num_salts (fine — it is small); benefit: the hot
     key's rows spread over num_salts reducers instead of one.
+
+    ``how`` is restricted to big-side-preserving joins: for right/full
+    outer joins the replicated small side would emit one null-extended
+    row PER SALT for unmatched small-side keys (num_salts duplicates).
+    Use a plain join (plus AQE skew handling) for those.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — "
+            "right/full joins would duplicate unmatched small-side rows "
+            "once per salt"
+        )
     discr = salt_from or on
     b = big.withColumn(
         "_salt", F.pmod(portable_hash64(discr, seed=7), F.lit(num_salts)).cast("int")

@@ -29,7 +29,10 @@ from bigdatafinalproject_spark.operators.recommend import (
     als_topk_flat,
     assemble_topn,
     auc,
+    load_model,
     rmse,
+    save_model,
+    top_pool,
     train_als,
 )
 from bigdatafinalproject_spark.operators.splits import (
@@ -223,6 +226,29 @@ def train_final(
     )
 
 
+def save_recommender(trained: TrainedRecommender, path: str) -> None:
+    """Persist the full serving state (S4): ALS factors + both id
+    mappings, the exact cross-script contract the reference relies on
+    (ALS_model3.py:251-253 writes; recommendations3.py:46-49 and
+    Model_evaluation.py:47-48,69 re-read in separate runs)."""
+    save_model(
+        trained.model, path, user_mapping=trained.users, item_mapping=trained.items
+    )
+
+
+def load_recommender(spark, path: str) -> TrainedRecommender:
+    """Re-open a persisted recommender for serving (the
+    recommendations3.py session shape: load model + mappings, no
+    retraining). Metrics are not persisted — they belong to the
+    training run's report — so they come back as NaN."""
+    model, users, items = load_model(spark, path)
+    nan = float("nan")
+    return TrainedRecommender(
+        model=model, users=users, items=items,
+        train_rmse=nan, test_rmse=nan, test_auc=nan,
+    )
+
+
 def serve_wide(
     trained: TrainedRecommender,
     ratings: DataFrame,
@@ -237,15 +263,9 @@ def serve_wide(
     (the reference emitted original_userId + userId columns)."""
     subset = trained.users.orderBy("userId").limit(n_users).select("userId")
     recs = als_topk_flat(trained.model, subset, raw_k)
-    pool = (
-        ratings.groupBy("itemId")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "pool_rank",
-            F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("itemId").asc())),
-        )
-        .filter(F.col("pool_rank") <= pool_size)
-        .select("itemId", "pool_rank")
+    pool = top_pool(
+        ratings.groupBy("itemId").agg(F.count(F.lit(1)).alias("cnt")),
+        item_col="itemId", cnt_col="cnt", k=pool_size,
     )
     wide = assemble_topn(
         recs, pool, user_col="userId", item_col="itemId", score_col="score",

@@ -211,23 +211,48 @@ def events_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS frequency,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
                  AS monetary
-      FROM orders, mx GROUP BY o_custkey, maxd)
+      FROM orders, mx GROUP BY o_custkey, maxd),
+    cuts AS (
+      SELECT quantile_cont(recency_days, 0.2) AS r1,
+             quantile_cont(recency_days, 0.4) AS r2,
+             quantile_cont(recency_days, 0.6) AS r3,
+             quantile_cont(recency_days, 0.8) AS r4,
+             quantile_cont(frequency, 0.2) AS f1,
+             quantile_cont(frequency, 0.4) AS f2,
+             quantile_cont(frequency, 0.6) AS f3,
+             quantile_cont(frequency, 0.8) AS f4,
+             quantile_cont(monetary, 0.2) AS m1,
+             quantile_cont(monetary, 0.4) AS m2,
+             quantile_cont(monetary, 0.6) AS m3,
+             quantile_cont(monetary, 0.8) AS m4
+      FROM per)
     SELECT o_custkey, recency_days, frequency, monetary,
-           CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r,
-           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
-           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m
-    FROM per
+           CAST(1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+                  + CAST(recency_days > r3 AS INT) + CAST(recency_days > r4 AS INT)
+                AS INT) AS r,
+           CAST(1 + CAST(frequency < f4 AS INT) + CAST(frequency < f3 AS INT)
+                  + CAST(frequency < f2 AS INT) + CAST(frequency < f1 AS INT)
+                AS INT) AS f,
+           CAST(1 + CAST(monetary < m4 AS INT) + CAST(monetary < m3 AS INT)
+                  + CAST(monetary < m2 AS INT) + CAST(monetary < m1 AS INT)
+                AS INT) AS m
+    FROM per, cuts
     """,
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency (days since last order, anchored to
     the dataset max date), frequency, and decimal-exact monetary value
-    per customer, each quintiled with a key-tiebroken ntile. The
-    quintile windows are global but run over the per-customer AGGREGATE
-    — at larger customer counts swap in percent_rank bucketing over a
-    range partition (the dense_ids pattern)."""
-    from pyspark.sql import Window as W
+    per customer, banded 1-5 by broadcast quintile cut values (best
+    band 1 = most recent / most frequent / highest spend; value ties
+    share a band).
 
+    The r1 version ran three unpartitioned ntile windows over ALL
+    customers — a single task at scale (SURVEY §4.3-1). Here the cut
+    values are a 12-number aggregate broadcast back, and band
+    assignment is a per-row comparison: one extra reduction, zero
+    global sorts. ``percentile`` is exact (bit-matches DuckDB
+    quantile_cont — see exact_percentiles); at 100 TB swap in
+    approx_percentile, same shape."""
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("maxd"))
     per = (
@@ -247,20 +272,34 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return per.select(
+    cuts = per.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{a}{i}")
+            for c, a in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m"))
+            for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
+    )
+
+    def asc_band(val: str, pre: str):
+        b = F.lit(1)
+        for i in (1, 2, 3, 4):
+            b = b + (F.col(val) > F.col(f"{pre}{i}")).cast("int")
+        return b.cast("int")
+
+    def desc_band(val: str, pre: str):
+        b = F.lit(1)
+        for i in (4, 3, 2, 1):
+            b = b + (F.col(val) < F.col(f"{pre}{i}")).cast("int")
+        return b.cast("int")
+
+    return per.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).cast("int").alias("r"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .cast("int")
-        .alias("f"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .cast("int")
-        .alias("m"),
+        asc_band("recency_days", "r").alias("r"),
+        desc_band("frequency", "f").alias("f"),
+        desc_band("monetary", "m").alias("m"),
     )
 
 

@@ -562,13 +562,14 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification: items ranked by revenue, classified
-    by cumulative share (A <= 80 %, B <= 95 %, C rest). The running and
-    grand totals accumulate in DECIMAL inside the windows (exact in any
-    order); the global windows run over the per-item AGGREGATE — item
-    cardinality, not table size — with a deterministic tie-broken
-    ordering. At catalog scale beyond one partition, range-partition by
-    revenue and add per-partition offsets (the dense_ids pattern)."""
-    from pyspark.sql import Window as W
+    by cumulative share (A <= 80 %, B <= 95 %, C rest). The running
+    total uses operators/cumsum.running_sum — range-partition on the
+    ordering keys + parallel per-partition prefix sums + broadcast
+    offsets — so no stage holds the whole item aggregate in one task
+    (the r1 global-window version did; SURVEY §4.3-1). The grand total
+    is a scalar aggregate broadcast back, not an unpartitioned window.
+    Sums accumulate in DECIMAL (exact in any order)."""
+    from bigdatafinalproject_spark.operators.cumsum import running_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(
@@ -576,16 +577,21 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("rev")
     )
-    order = W.orderBy(F.col("rev").desc(), "l_partkey")
-    cum = F.sum("rev").over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
-    total = F.sum("rev").over(W.partitionBy())
-    share = cum.cast("double") / total.cast("double")
-    return per.select(
-        "l_partkey",
-        F.col("rev").cast("double").alias("revenue"),
-        share.alias("cum_share"),
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
-        .alias("abc_class"),
+    cum = running_sum(
+        per, "rev", order_by=[F.col("rev").desc(), F.col("l_partkey")],
+        out_col="_cum",
+    )
+    total = per.agg(F.sum("rev").alias("_total"))
+    share = F.col("_cum").cast("double") / F.col("_total").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+            .alias("abc_class"),
+        )
     )
 
 

@@ -18,8 +18,12 @@ from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.operators.recommend import (
+    als_topk_all_flat,
     als_topk_flat,
     assemble_topn,
+    load_model,
+    save_model,
+    top_pool,
     train_als,
 )
 from bigdatafinalproject_spark.registry import query
@@ -85,15 +89,10 @@ def recs_wide_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("userId"), F.col("l_partkey").alias("itemId"))
         .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("score"))
     )
-    pool = (
+    pool = top_pool(
         li.groupBy(F.col("l_partkey").alias("itemId"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "pool_rank",
-            F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("itemId").asc())),
-        )
-        .filter(F.col("pool_rank") <= 10)
-        .select("itemId", "pool_rank")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        item_col="itemId", cnt_col="cnt", k=10,
     )
     return assemble_topn(
         spend, pool, user_col="userId", item_col="itemId", score_col="score",
@@ -245,6 +244,30 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_als(r, rank=8, reg_param=0.1, max_iter=5, seed=42)
     users = r.select("userId").distinct().orderBy("userId").limit(20)
     return als_topk_flat(model, users, 5)
+
+
+@query("als_persist_recommend_all")
+def als_persist_recommend_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + M3 end-to-end: train ALS, persist (model + mappings), load
+    in the MLlib-native way, and serve top-3 for ALL users from the
+    LOADED model — the reference's cross-script contract
+    (ALS_model3.py:251-253,260 -> recommendations3.py:46-49) in one
+    verifiable path. Rows-only driver check (float training)."""
+    import hashlib
+    import os
+    import tempfile
+
+    r = _ratings(spark, sf_dir)
+    model = train_als(r, rank=4, reg_param=0.1, max_iter=2, seed=42)
+    users = r.select("userId").distinct()
+    items = r.select("itemId").distinct()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"bdfp_alsmodel_{tag}")
+    save_model(model, path, user_mapping=users, item_mapping=items)
+    loaded, loaded_users, _ = load_model(spark, path)
+    # serve from the LOADED model, restricted to the persisted user
+    # mapping — proves the round trip, not just the save
+    return als_topk_all_flat(loaded, 3).join(loaded_users, on="userId")
 
 
 @query("als_eval_rmse")

@@ -55,8 +55,6 @@ def stream_quality_filter(
 ) -> DataFrame:
     """Run the quality filter as a stream to completion; return the
     sink contents (doc_id, lang, quality) for kept docs."""
-    import uuid
-
     raw = (
         spark.readStream.schema(_DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -67,7 +65,10 @@ def stream_quality_filter(
     out = scored.filter(scored["quality"] >= min_quality).select(
         "doc_id", "n_tokens", "quality"
     )
-    name = f"doc_quality_{uuid.uuid4().hex[:8]}"
+    # stable sink name: repeated runs REPLACE the driver-cached memory
+    # table instead of leaking a new one per call (same policy as
+    # streaming/events._run_to_memory)
+    name = "bdfp_mem_doc_quality"
     q = (
         out.writeStream.format("memory")
         .queryName(name)

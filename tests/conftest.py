@@ -52,8 +52,26 @@ def assert_df_matches_oracle(spark_df, duck_con, sql, float_tol=0.0):
         f"columns differ: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
     )
     cols = sorted(sdf.columns)
-    srows = sorted(map(tuple, sdf[cols].itertuples(index=False)), key=repr)
-    drows = sorted(map(tuple, ddf[cols].itertuples(index=False)), key=repr)
+
+    if float_tol > 0:
+        # Tolerance-stable row alignment: floats that differ within tol
+        # could repr-sort into different positions on each side. Sort
+        # primarily on the non-float values; floats participate only as
+        # a numeric (not repr) secondary key, so near-equal values stay
+        # adjacent and pair up.
+        def sort_key(row):
+            hard = tuple(
+                repr(v) for v in row if not isinstance(v, float)
+            )
+            soft = tuple(
+                (0.0 if math.isnan(v) else v) for v in row if isinstance(v, float)
+            )
+            return (hard, soft)
+    else:
+        sort_key = repr
+
+    srows = sorted(map(tuple, sdf[cols].itertuples(index=False)), key=sort_key)
+    drows = sorted(map(tuple, ddf[cols].itertuples(index=False)), key=sort_key)
     assert len(srows) == len(drows), f"row counts differ: {len(srows)} vs {len(drows)}"
     for i, (sr, dr) in enumerate(zip(srows, drows)):
         for sv, dv in zip(sr, dr):

@@ -87,3 +87,47 @@ def test_full_pipeline_end_to_end(spark, bx_raw):
     )
     assert "average RMSE" in report and "measured" in report
     assert f"{trained.test_rmse:.4f}" in report
+
+
+def test_model_persistence_roundtrip(spark, bx_raw, tmp_path):
+    """S4: train -> save -> load -> identical predictions + mappings
+    (the reference's cross-script contract, ALS_model3.py:251-253 ->
+    recommendations3.py:46-49); M3: recommendForAllUsers serves every
+    known user from the LOADED model."""
+    from bigdatafinalproject_spark.operators.recommend import als_topk_all_flat
+
+    cleaned = P.clean_ratings(bx_raw, "User-ID", "ISBN", "Book-Rating")
+    users, items = P.build_id_mappings(cleaned)
+    surr = P.to_surrogate(cleaned, users, items).cache()
+    trained = P.train_final(surr, users, items, max_iter=2, rank=4)
+
+    path = str(tmp_path / "recommender")
+    P.save_recommender(trained, path)
+    loaded = P.load_recommender(spark, path)
+
+    # mappings survive exactly
+    assert sorted(map(tuple, loaded.users.collect())) == sorted(
+        map(tuple, trained.users.collect())
+    )
+    assert sorted(map(tuple, loaded.items.collect())) == sorted(
+        map(tuple, trained.items.collect())
+    )
+
+    # loaded model == in-memory model, prediction for prediction
+    sample = surr.limit(200)
+    before = {
+        (r["userId"], r["itemId"]): r["prediction"]
+        for r in trained.model.transform(sample).collect()
+    }
+    after = {
+        (r["userId"], r["itemId"]): r["prediction"]
+        for r in loaded.model.transform(sample).collect()
+    }
+    assert after == before, "loaded model predicts differently"
+
+    # M3: top-k for ALL users from the loaded model
+    all_recs = als_topk_all_flat(loaded.model, 3)
+    per_user = all_recs.groupBy("userId").count().collect()
+    n_users = trained.users.count()
+    assert len(per_user) == n_users
+    assert all(r["count"] == 3 for r in per_user)

@@ -171,3 +171,35 @@ def test_join_strategy_hints_are_honored(spark):
         o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
     )
     assert "SortMergeJoin" in smj
+
+
+def test_rfm_no_window_at_all(spark):
+    """customer_rfm r2: quintile bands come from broadcast percentile
+    cut values — the plan must contain NO window operator (r1 ran three
+    unpartitioned ntile windows over all customers)."""
+    plan = formatted_plan(registry.QUERIES["customer_rfm"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "percentile" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_abc_cumsum_partitioned_windows_only(spark):
+    """part_abc_analysis r2: the running total goes through
+    operators/cumsum.running_sum — the data-row window is PARTITIONED
+    by the frozen range-partition id (parallel), never a global sort of
+    the item aggregate."""
+    plan = formatted_plan(registry.QUERIES["part_abc_analysis"](spark, SF_DIR))
+    assert "ExistingRDD" in plan, "range exchange must be frozen by the barrier"
+    assert "hashpartitioning(_pid" in plan, "data window must partition on _pid"
+    # the pre-barrier plan (not visible here) holds the only range
+    # exchange; the visible plan must not re-sort everything globally
+    assert "rangepartitioning(rev" not in plan
+
+
+def test_recs_pool_take_ordered_no_global_sort(spark):
+    """recs_wide_assembly r2: the popularity pool is orderBy().limit()
+    (TakeOrderedAndProject) + a rank over the k-row result — no
+    range-partitioned global sort of the item aggregate anywhere."""
+    plan = formatted_plan(registry.QUERIES["recs_wide_assembly"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning(cnt" not in plan
