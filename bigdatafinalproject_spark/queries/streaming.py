@@ -45,11 +45,37 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.dedup_stream(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_unique"))
 
 
-@query("stream_sessions")
+@query(
+    "stream_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) streaming sessionization,
-    append mode. Rows-only: append emits only watermark-closed sessions
-    (trailing sessions stay in state by design)."""
+    append mode, fully drained (r1 was rows-only AND silently missed
+    the trailing watermark-held sessions; the flush-drain in
+    streaming/events.py emits every session, making this a true
+    oracle). Boundary rule is session_window's: a gap of exactly 30
+    minutes starts a new session (>= in the oracle, vs the batch
+    sessionize query's > — both shapes are standard; each is pinned by
+    its own oracle)."""
     return S.session_counts(spark, sf_dir)
 
 

@@ -59,15 +59,90 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+_FLUSH_USER = -1
+
+
+def _flush_stream_dir(sf_dir: str) -> str:
+    """Stage dir: the events symlink plus TWO far-future flush events
+    (user_id = -1), mtime-ordered after the data file.
+
+    Why: append-mode stateful queries only emit state the watermark has
+    passed. On finite input the watermark stops ``delay`` short of the
+    max event time, so trailing sessions would sit in state forever —
+    the memory sink would silently MISS them (observed: 9540 vs 9549
+    sessions at sf0.01). Reading this dir with maxFilesPerTrigger=1
+    gives three deterministic micro-batches: after batch 1 (flush #1)
+    the watermark is beyond every real event, so batch 2 (flush #2) —
+    a DATA batch, no reliance on racy no-data micro-batches — evicts
+    and emits every real session. Consumers filter user_id >= 0.
+
+    This is the finite-input drain trick only; a real Kafka deployment
+    just keeps receiving events and needs none of it.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = _stream_dir(sf_dir)
+    d = base + "_flush"
+    os.makedirs(d, exist_ok=True)
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    link = os.path.join(d, "events.parquet")
+    if os.path.lexists(link) and os.readlink(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+
+    flush_paths = [os.path.join(d, f"flush_{i}.parquet") for i in (1, 2)]
+    if all(os.path.exists(p) for p in flush_paths):
+        return d
+
+    schema = pq.read_schema(src)
+    ts_type = schema.field("ts").type
+    max_ts = pc.max(pq.read_table(src, columns=["ts"])["ts"]).cast(pa.int64()).as_py()
+    day_ns = 86_400 * 1_000_000_000
+    data_mtime = os.path.getmtime(src)
+    for i, p in enumerate(flush_paths):
+        cols = {
+            "event_id": pa.array([-1], schema.field("event_id").type),
+            "ts": pa.array([max_ts + (i + 1) * day_ns], pa.int64()).cast(ts_type),
+            "user_id": pa.array([_FLUSH_USER], schema.field("user_id").type),
+            "event_type": pa.array(["_flush"], schema.field("event_type").type),
+            "value": pa.array([0.0], schema.field("value").type),
+            "props": pa.array([None], schema.field("props").type),
+        }
+        tmp = p + ".tmp"
+        pq.write_table(
+            pa.table([cols[f.name] for f in schema], schema=schema), tmp
+        )
+        os.replace(tmp, p)
+        # the file source orders micro-batches by mod time: data file,
+        # then flush #1, then flush #2
+        os.utime(p, (data_mtime + 10 * (i + 1), data_mtime + 10 * (i + 1)))
+    return d
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, drain: bool = False
+) -> DataFrame:
+    """Streaming read of the events table. ``drain=True`` appends the
+    flush events and paces one file per micro-batch so append-mode
+    state fully drains on this finite input (_flush_stream_dir);
+    consumers must filter ``user_id >= 0``."""
     from bigdatafinalproject_spark.catalog import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(_RAW_SCHEMA)
-        .load(_stream_dir(sf_dir))
-    )
+    reader = spark.readStream.format("parquet").schema(_RAW_SCHEMA)
+    if drain:
+        reader = reader.option("maxFilesPerTrigger", 1)
+        raw = reader.load(_flush_stream_dir(sf_dir))
+    else:
+        raw = reader.load(_stream_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -127,9 +202,16 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) per user, append mode — the
-    streaming sessionizer (batch twin: queries/windows.sessionize)."""
+    streaming sessionizer (batch twin: queries/windows.sessionize).
+
+    Runs in drain mode (read_event_stream(drain=True)): the flush
+    events push the watermark past every real session, so the sink
+    holds ALL sessions — byte-equal to the batch gaps-and-islands
+    computation with the session_window boundary rule (a gap of
+    exactly the gap duration starts a NEW session: windows are
+    [start, start+gap), an event at start+gap does not overlap)."""
     agg = (
-        read_event_stream(spark, sf_dir)
+        read_event_stream(spark, sf_dir, drain=True)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -139,7 +221,12 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "append", "bdfp_mem_sessions")
+    # the flush-event filter runs on the MATERIALIZED sink, not in the
+    # streaming plan: Catalyst pushes a grouping-column predicate
+    # through the aggregation to the scan, which would drop the flush
+    # rows at the source and stall the watermark they exist to advance
+    out = _run_to_memory(agg, "append", "bdfp_mem_sessions")
+    return out.filter(F.col("user_id") >= 0)
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

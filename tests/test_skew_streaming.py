@@ -117,3 +117,74 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 00:00-00:10 window closed with 2 rows; the late 00:03 event
     # must NOT re-open it (no third count anywhere for that window)
     assert rows.get(("2024-01-01 00:00:00", "a")) == 2
+
+
+def test_stream_sessions_match_batch_sessionize(spark):
+    """The native session_window stream (drained via the flush events)
+    must produce the same per-user session structure as a batch
+    gaps-and-islands computation with the session_window boundary rule
+    (gap >= 30 min starts a new session): identical user sets, and per
+    user the identical multiset of session sizes."""
+    from collections import Counter
+
+    from pyspark.sql import Window as W
+
+    from bigdatafinalproject_spark.streaming.events import session_counts
+
+    streamed = session_counts(spark, SF_DIR)
+
+    e = load_table(spark, SF_DIR, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(seq).cast("long")
+    is_new = F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
+    batch = (
+        e.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select(
+            "user_id",
+            F.sum("is_new")
+            .over(seq.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    s_sizes: dict[int, Counter] = {}
+    for r in streamed.collect():
+        s_sizes.setdefault(r["user_id"], Counter())[r["n_events"]] += 1
+    b_sizes: dict[int, Counter] = {}
+    for r in batch.collect():
+        b_sizes.setdefault(r["user_id"], Counter())[r["n_events"]] += 1
+    assert s_sizes == b_sizes
+
+
+def test_stream_user_totals_match_batch_totals(spark):
+    """The applyInPandasWithState running totals, drained on finite
+    input, must equal the batch groupBy: same users, same event counts,
+    same value sums (float sums compare under a tiny tolerance — the
+    state accumulates in arrival order, the batch agg in partition
+    order)."""
+    from bigdatafinalproject_spark.streaming.events import running_user_totals
+
+    streamed = running_user_totals(spark, SF_DIR)
+    # update-mode sink: keep the LAST emitted row per user (one batch
+    # per file here, but stay correct if the source ever splits batches)
+    final: dict[int, tuple[int, float]] = {}
+    for r in streamed.collect():
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    e = load_table(spark, SF_DIR, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u, (n, total) in final.items():
+        bn, btotal = batch[u]
+        assert n == bn, f"user {u}: {n} != {bn}"
+        assert abs(total - btotal) <= 1e-6 * max(1.0, abs(btotal)), u
