@@ -56,7 +56,8 @@ _R1_DRIVER_CHECKED = (
 # changed in round 2 (plan rewrites / semantics updates) -> verify first
 _R2_CHANGED = (
     "recs_wide_assembly", "item_cosine_similarity", "customer_rfm",
-    "part_abc_analysis", "als_persist_recommend_all",
+    "part_abc_analysis", "als_persist_recommend_all", "stream_sessions",
+    "stream_static_join", "sql_param_lookup", "doc_sentences_udtf",
 )
 
 

@@ -151,3 +151,49 @@ def doc_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") < 20)
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
     )
+
+
+@query(
+    "doc_sentences_udtf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS idx, parts[i] AS sentence,
+           CAST(length(parts[i]) AS INT) AS n_chars
+    FROM t, LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+    WHERE i <= 5
+    """,
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.11 — the reference registers no UDFs of
+    any kind; this covers the table-function row of the UDF/UDAF/UDTF
+    surface): sentence segmentation as a LATERAL table function,
+    Arrow-optimized (batch transfer, not per-row pickling).
+
+    Engine policy stays built-ins-first — this exact logic is also
+    expressible as split+posexplode (doc_positional_tokens) and that
+    is what a hot path should use; the UDTF exists for the cases a
+    generator genuinely needs imperative Python (parsers, tokenizers
+    with state per row), and demonstrates the correct shape: stateless
+    eval, self-contained closure, bounded output per row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string, n_chars int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if i >= 5:
+                    break
+                yield i, s, len(s)
+
+    from bigdatafinalproject_spark.catalog import register_views
+
+    spark.udtf.register("bdfp_split_sentences", SplitSentences)
+    register_views(spark, sf_dir, names=("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, s.idx, s.sentence, s.n_chars
+        FROM documents, LATERAL bdfp_split_sentences(text) s
+        """
+    )

@@ -67,6 +67,34 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_param_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey IN (5, 17, 42, 99) AND c_acctbal >= 0.0
+    ORDER BY c_custkey
+    """,
+)
+def sql_param_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (S7 parity — the reference's only parameterized
+    query was sqlite3 with ?-placeholders, sample_users.py:21-29:
+    SELECT ... WHERE [User-ID] IN (...) ORDER BY [User-ID]). Spark's
+    named-parameter binding (spark.sql(sql, args=...)) keeps values out
+    of the SQL text — no injection surface, plan-cacheable — and the
+    IN-list predicate still pushes down to the parquet scan."""
+    register_views(spark, sf_dir, names=("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE c_custkey IN (:k1, :k2, :k3, :k4) AND c_acctbal >= :min_bal
+        ORDER BY c_custkey
+        """,
+        args={"k1": 5, "k2": 17, "k3": 42, "k4": 99, "min_bal": 0.0},
+    )
+
+
+@query(
     "date_functions",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS ym,

@@ -107,6 +107,25 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_nationkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/events.py
+    static_enriched_counts): the event stream joined to the broadcast
+    customer dimension per micro-batch — zero join state, the
+    100 TB-safe enrichment shape — aggregated per nation in complete
+    mode; equals the batch join+agg exactly."""
+    return S.static_enriched_counts(spark, sf_dir)
+
+
+@query(
     "stream_doc_quality",
     oracle="""
     WITH c AS (

@@ -290,6 +290,30 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(updated, "update", "bdfp_mem_usertotals")
 
 
+def static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the static
+    customer dimension (user_id = c_custkey), aggregated per nation in
+    complete mode.
+
+    The static side is a plain batch DataFrame — Spark re-plans it into
+    every micro-batch and (dimension-sized) BROADCASTS it, so the
+    stream side never shuffles for the join and NO join state is kept:
+    this is the zero-state enrichment pattern that scales to any event
+    volume (vs a stream-stream join's watermark-bounded buffers).
+    Finite input + complete mode => equals the batch join+agg exactly
+    (true DuckDB oracle)."""
+    from bigdatafinalproject_spark.catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    agg = (
+        read_event_stream(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+    )
+    return _run_to_memory(agg, "complete", "bdfp_mem_static_join")
+
+
 def tumbling_to_parquet_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink with exactly-once-style delivery: the tumbling
     aggregation runs in complete mode and each batch idempotently

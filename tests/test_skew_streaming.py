@@ -188,3 +188,25 @@ def test_stream_user_totals_match_batch_totals(spark):
         bn, btotal = batch[u]
         assert n == bn, f"user {u}: {n} != {bn}"
         assert abs(total - btotal) <= 1e-6 * max(1.0, abs(btotal)), u
+
+
+def test_session_stream_provider_independent_rocksdb(spark):
+    """State-store provider independence: the sessionizer must produce
+    identical results under RocksDBStateStoreProvider (the spillable,
+    changelog-checkpointed backend you run at large state sizes) and
+    the default HDFS-backed in-memory provider. Provider is a
+    per-query-start conf: set, run, restore."""
+    from bigdatafinalproject_spark.streaming.events import session_counts
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    baseline = sorted(map(tuple, session_counts(spark, SF_DIR).collect()))
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = sorted(map(tuple, session_counts(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set(key, default)
+    assert rocks == baseline
