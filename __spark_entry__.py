@@ -53,11 +53,14 @@ _R1_DRIVER_CHECKED = (
     "doc_neardup_components", "doc_sequence_packing",
 )
 
-# changed in round 2 (plan rewrites / semantics updates) -> verify first
+# changed or added in round 2 (plan rewrites / semantics updates / new
+# operators) -> verify first
 _R2_CHANGED = (
     "recs_wide_assembly", "item_cosine_similarity", "customer_rfm",
     "part_abc_analysis", "als_persist_recommend_all", "stream_sessions",
     "stream_static_join", "sql_param_lookup", "doc_sentences_udtf",
+    "part_pagerank", "skew_salted_agg", "skew_salted_join",
+    "doc_substring_scrub", "embedding_kmeans",
 )
 
 

@@ -168,3 +168,67 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
     )
+
+
+def scrub_frequent_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_count: int = 6,
+) -> DataFrame:
+    """Boilerplate scrubbing in the style of exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): any word n-gram occurring >= ``min_count`` times in the
+    corpus is boilerplate; every token position covered by such an
+    n-gram is removed and the document reassembled from the survivors.
+
+    100 TB shape: per-doc n-gram generation is an O(len) array
+    transform (no explode-to-shuffle until the count), the global
+    frequency count is one map-side-combinable groupBy, the cover join
+    is equi on the n-gram string, and reassembly is per-doc array ops
+    on bounded covered-position sets — no unbounded window anywhere.
+
+    Returns (id, n_tokens, n_removed, scrubbed_md5): md5 of the
+    reassembled text keeps the driver comparison O(1) per row.
+    """
+    t = F.split(F.col(text_col), " ")
+    ndoc = F.size(t)
+    grams = F.when(
+        ndoc >= n,
+        F.transform(
+            F.sequence(F.lit(0), ndoc - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+    frequent = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    cov = (
+        occ.join(frequent, "g")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("_cov"))
+    )
+    joined = df.join(cov, id_col, "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(t, lambda tok, i: ~F.array_contains(F.col("_cov"), i))
+    return joined.select(
+        F.col(id_col),
+        ndoc.cast("long").alias("n_tokens"),
+        F.size("_cov").cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("scrubbed_md5"),
+    )

@@ -397,3 +397,43 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, "doc_id", "n_tokens", capacity=512, num_shards=16, seed=5
     )
+
+
+@query(
+    "doc_substring_scrub",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 3),
+    freq AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 6),
+    cov AS (SELECT DISTINCT occ.doc_id, c.cp
+            FROM occ JOIN freq USING (g),
+                 LATERAL unnest(generate_series(occ.pos, occ.pos + 2)) AS c(cp)),
+    covn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+    alltok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+               FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+    keptagg AS (SELECT a.doc_id,
+                       string_agg(a.tok, ' ' ORDER BY a.pos) AS scrubbed
+                FROM alltok a
+                LEFT JOIN cov ON cov.doc_id = a.doc_id AND cov.cp = a.pos
+                WHERE cov.doc_id IS NULL
+                GROUP BY a.doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cn.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(k.scrubbed, '')) AS scrubbed_md5
+    FROM documents d
+    LEFT JOIN covn cn ON cn.doc_id = d.doc_id
+    LEFT JOIN keptagg k ON k.doc_id = d.doc_id
+    """,
+)
+def doc_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-n-gram boilerplate scrubbing (exact-substring-dedup
+    style, the 6th dedup tier): corpus-frequent word trigrams are
+    removed from every document and the text reassembled. Per-doc array
+    transforms + one global count + equi cover join — no unbounded
+    windows (operators/text.scrub_frequent_ngrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.scrub_frequent_ngrams(docs, "text", "doc_id", n=3, min_count=6)

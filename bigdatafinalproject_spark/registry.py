@@ -50,6 +50,8 @@ _MODULES = (
     "etl_quality",
     "pipeline_ops",
     "funnels",
+    "graph_skew",
+    "clustering",
 )
 
 
