@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from bigdatafinalproject_spark.operators.layout import spread
+
 
 def _dot(a: str, b: str) -> Column:
     """Sequential double dot product of two float arrays (exact
@@ -57,7 +59,12 @@ def cosine_topk(
         "_qv",
     ).withColumnRenamed("_norm", "_qnorm")
     c = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            ),
+            "neighbor_id",
+        ),
         "_cv",
     ).withColumnRenamed("_norm", "_cnorm")
 
@@ -83,38 +90,49 @@ def lsh_signatures(
     with the band's bit-string digest.
 
     Hyperplane component (p, i) is an md5-derived integer in
-    [-1000, 1000]; the per-plane dot is a sequential double fold over
-    the array — all inside one codegen'd expression, no explode of the
-    vector elements.
+    [-1000, 1000]. The components are ROW-INDEPENDENT, so they are
+    computed once on the driver (same md5 construction, bit-identical
+    to the oracle's SQL md5) and inlined as literal weight arrays —
+    the previous formulation re-hashed all num_planes*dim components
+    per row inside the fold (~768 md5 calls/row). Each plane's dot is
+    a sequential double fold; banding is a map-side array build +
+    explode — no shuffle at all.
     """
-    plane_dot = F.expr(
-        f"aggregate(transform(sequence(1, {dim}), i -> "
-        f"CAST(element_at(_v, i) AS DOUBLE) * "
-        f"((CAST(conv(substring(md5(concat_ws('|', 'plane', p, i)), 1, 15), 16, 10) "
-        f"AS BIGINT) % 2001) - 1000)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    per_plane = (
-        df.select(F.col(id_col), F.col(vec_col).alias("_v"))
-        .select(
-            id_col,
-            "_v",
-            F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("p"),
-        )
-        .withColumn("bit", F.when(plane_dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    )
+    import hashlib
+
+    def comp(p: int, i: int) -> int:
+        h = int(hashlib.md5(f"plane|{p}|{i}".encode()).hexdigest()[:15], 16)
+        return h % 2001 - 1000
+
     rows = num_planes // bands
-    return (
-        per_plane.withColumn("band", (F.col("p") / rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "bit"))),
-                    lambda s: s["bit"].cast("string"),
-                ),
-            ).alias("band_sig")
+    d = spread(df.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col)
+    dots = [
+        F.expr(
+            "aggregate(zip_with(_v, array({}), (x, w) -> "
+            "CAST(x AS DOUBLE) * CAST(w AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)".format(
+                ", ".join(
+                    f"CAST({comp(p, i)} AS BIGINT)" for i in range(1, dim + 1)
+                )
+            )
         )
+        for p in range(num_planes)
+    ]
+    bits = [
+        F.when(dots[p] > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(num_planes)
+    ]
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat(*bits[b * rows : (b + 1) * rows]).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return d.select(F.col(id_col), F.explode(bands_arr).alias("_bs")).select(
+        id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_sig").alias("band_sig")
     )
 
 
@@ -147,7 +165,10 @@ def ivf_topk(
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
         v = with_norm(
-            df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v")), "_v"
+            spread(
+                df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v")), out
+            ),
+            "_v",
         ).withColumnRenamed("_norm", "_vn")
         cn = with_norm(centroids, "_cent").withColumnRenamed("_norm", "_cn")
         cos = _dot("_v", "_cent") / (F.col("_vn") * F.col("_cn"))
@@ -162,11 +183,12 @@ def ivf_topk(
 
     assign = nearest(corpus, 1, "neighbor_id")
     probes = nearest(queries, nprobe, "query_id")
-    cand = (
+    cand = spread(
         probes.join(assign, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
+        .distinct(),
+        "neighbor_id",
     )
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
@@ -178,7 +200,8 @@ def ivf_topk(
     ).withColumnRenamed("_norm", "_cnorm")
     cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
     scored = (
-        cand.join(F.broadcast(q), "query_id")
+        spread(cand, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
@@ -211,6 +234,9 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # the per-candidate exact-cosine verification is compute-heavy but
+    # byte-light: pin its parallelism so AQE can't coalesce it away
+    cand = spread(cand, "id_a")
     va = with_norm(
         corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "_va"
     ).withColumnRenamed("_norm", "_na")
@@ -260,7 +286,8 @@ def lsh_topk(
     ).withColumnRenamed("_norm", "_cnorm")
     cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
     scored = (
-        cand.join(F.broadcast(q), "query_id")
+        spread(cand, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )

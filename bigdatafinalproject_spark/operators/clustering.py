@@ -63,6 +63,9 @@ def kmeans_assign(
     """Fixed-iteration Lloyd k-means: deterministic seed centroids, then
     ``update_rounds`` x (assign -> decimal-mean update), then a final
     assignment. Returns (id, cid, dist) against the final centroids."""
+    from bigdatafinalproject_spark.operators.layout import spread
+
+    emb = spread(emb, id_col)
     cents = emb.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),

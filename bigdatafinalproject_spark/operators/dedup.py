@@ -30,6 +30,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+from bigdatafinalproject_spark.operators.layout import spread
 from bigdatafinalproject_spark.operators.text import norm_text, tokens
 
 _H15 = 15  # hex digits -> 60-bit hash
@@ -48,7 +50,10 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame
     """Distinct char n-gram shingles of normalized text, one row per
     (id, shingle). Docs shorter than n chars produce no shingles."""
     norm = norm_text(F.col(text_col))
-    d = df.select(F.col(id_col), norm.alias("_t")).filter(F.length("_t") >= n)
+    d = spread(
+        df.select(F.col(id_col), norm.alias("_t")).filter(F.length("_t") >= n),
+        id_col,
+    )
     # dedup WITHIN each doc's array before exploding: map-side, so no
     # global distinct exchange (ids are unique per row, so the output —
     # distinct (id, shingle) pairs — is identical)
@@ -196,6 +201,16 @@ def ngram_jaccard_pairs(
             )
         )
         sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    # The surviving shingle set feeds THREE consumers (sizes + both pair
+    # sides); without a barrier Spark re-runs the scan->normalize->
+    # explode(->semi-join) pipeline for each. Materialize once, hash-
+    # partitioned on the join key with an EXPLICIT partition count:
+    # AQE's byte-based coalescing would shrink this small-bytes but
+    # quadratic-compute exchange to one task.
+    sc = sh.sparkSession.sparkContext
+    sh = materialize_barrier(
+        sh.repartition(sc.defaultParallelism, "shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -300,9 +315,16 @@ def simhash_signatures(
     """SimHash over word tokens: bit j of the signature is the sign of
     sum(token_count * (±1 per token-hash bit j)). Returns (id, simhash
     bigint). 60 bits so the portable hash covers every position."""
+    # NOTE on the rejected "zero-shuffle" alternative: the whole
+    # signature CAN be one nested higher-order expression per row, but
+    # Spark evaluates HOF lambdas interpreted (outside whole-stage
+    # codegen) with per-element boxing — measured ~3× slower than this
+    # exploded, fully-codegen'd pipeline. Explode + two map-side-
+    # combinable aggregations is the faster shape at every scale.
     toks = tokens(F.col(text_col))
+    d = spread(df.select(F.col(id_col), toks.alias("_tk")), id_col)
     counts = (
-        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        d.select(F.col(id_col), F.explode("_tk").alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("th", _hash64(F.col("token")))
@@ -344,7 +366,8 @@ def simhash_near_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    # both band-join sides read the signatures — materialize them once
+    sig = materialize_barrier(simhash_signatures(df, text_col, id_col, bits))
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
     sliced = sig.select(

@@ -192,18 +192,22 @@ def scrub_frequent_ngrams(
     Returns (id, n_tokens, n_removed, scrubbed_md5): md5 of the
     reassembled text keeps the driver comparison O(1) per row.
     """
+    from bigdatafinalproject_spark.operators.layout import spread
+
     t = F.split(F.col(text_col), " ")
     ndoc = F.size(t)
+    base = spread(df.select(F.col(id_col), t.alias("_t")), id_col)
+    nb = F.size("_t")
     grams = F.when(
-        ndoc >= n,
+        nb >= n,
         F.transform(
-            F.sequence(F.lit(0), ndoc - n),
+            F.sequence(F.lit(0), nb - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+    occ = base.select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
     frequent = (
         occ.groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -219,16 +223,36 @@ def scrub_frequent_ngrams(
             ).alias("cpos"),
         )
         .distinct()
-        .groupBy(id_col)
-        .agg(F.collect_set("cpos").alias("_cov"))
     )
-    joined = df.join(cov, id_col, "left").withColumn(
-        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    covn = cov.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrm"))
+    # reassembly via exploded anti-join + ordered re-agg: all codegen'd
+    # row pipelines and bounded per-doc groups (a per-token
+    # array_contains fold would run interpreted and quadratic per doc)
+    alltok = base.select(F.col(id_col), F.posexplode("_t").alias("pos", "tok"))
+    cov_k = cov.select(F.col(id_col).alias("_cid"), F.col("cpos"))
+    kept = alltok.join(
+        cov_k,
+        (F.col(id_col) == F.col("_cid")) & (F.col("pos") == F.col("cpos")),
+        "left_anti",
     )
-    kept = F.filter(t, lambda tok, i: ~F.array_contains(F.col("_cov"), i))
-    return joined.select(
-        F.col(id_col),
-        ndoc.cast("long").alias("n_tokens"),
-        F.size("_cov").cast("long").alias("n_removed"),
-        F.md5(F.array_join(kept, " ")).alias("scrubbed_md5"),
+    scrubbed = kept.groupBy(id_col).agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("_md5")
+    )
+    return (
+        df.join(covn, id_col, "left")
+        .join(scrubbed, id_col, "left")
+        .select(
+            F.col(id_col),
+            ndoc.cast("long").alias("n_tokens"),
+            F.coalesce(F.col("_nrm"), F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce(F.col("_md5"), F.md5(F.lit(""))).alias("scrubbed_md5"),
+        )
     )
