@@ -1,0 +1,78 @@
+"""Plan lint: systematic scale-safety assertions over EVERY registered
+query's physical plan (SURVEY §4.3 — the single-task global window is
+the reference's core anti-pattern, and a silent scale-killer anywhere).
+
+Two rules, enforced by tree traversal (not string matching):
+
+1. No Window/WindowGroupLimit node may read SinglePartition input,
+   unless the query is in the allowlist below with a boundedness
+   justification (the input cardinality is bounded by construction, so
+   the single task touches O(k) rows regardless of data size).
+2. No CartesianProduct node at all (a cross join must either broadcast
+   — BroadcastNestedLoopJoin over a dimension-sized side — or not
+   exist).
+
+ALS and streaming queries are excluded: their returned frames are
+model/memory-sink scans, not the interesting dataflow (their plans are
+audited by their own tests).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatafinalproject_spark import registry
+from tests.conftest import SF_DIR
+
+# query -> why a SinglePartition-fed window is bounded there
+_BOUNDED_WINDOW_OK = {
+    # pool rank runs over the TakeOrderedAndProject result: exactly
+    # pool_k (10) rows by construction, independent of data size
+    "recs_wide_assembly": "rank over orderBy().limit(k) pool, k rows",
+}
+
+
+def _lint(df):
+    single_part_windows, cartesians = [], []
+
+    def walk(node):
+        name = node.nodeName()
+        n = node.children().size()
+        for i in range(n):
+            walk(node.children().apply(i))
+        if name in ("Window", "WindowGroupLimit") and n >= 1:
+            part = node.children().apply(0).outputPartitioning().toString()
+            if part == "SinglePartition":
+                single_part_windows.append(name)
+        if name == "CartesianProduct":
+            cartesians.append(name)
+        if name == "AdaptiveSparkPlan":
+            try:
+                walk(node.inputPlan())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return single_part_windows, cartesians
+
+
+def _params():
+    return [
+        n
+        for n in sorted(registry.QUERIES)
+        if not n.startswith(("als_", "stream_"))
+    ]
+
+
+@pytest.mark.parametrize("name", _params())
+def test_no_unbounded_single_partition_window_or_cartesian(spark, name):
+    df = registry.QUERIES[name](spark, SF_DIR)
+    sp_windows, cartesians = _lint(df)
+    if sp_windows and name not in _BOUNDED_WINDOW_OK:
+        pytest.fail(
+            f"{name}: {sp_windows} reads SinglePartition input — a "
+            "single task processes every row at scale. Repartition, "
+            "use a top-k aggregate, or add an allowlist entry with a "
+            "boundedness justification."
+        )
+    assert not cartesians, f"{name}: CartesianProduct in plan"
