@@ -60,7 +60,8 @@ _R2_CHANGED = (
     "part_abc_analysis", "als_persist_recommend_all", "stream_sessions",
     "stream_static_join", "sql_param_lookup", "doc_sentences_udtf",
     "part_pagerank", "skew_salted_agg", "skew_salted_join",
-    "doc_substring_scrub", "embedding_kmeans",
+    "doc_substring_scrub", "embedding_kmeans", "doc_incremental_dedup",
+    "doc_lm_familiarity",
 )
 
 

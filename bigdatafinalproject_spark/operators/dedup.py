@@ -267,6 +267,35 @@ def minhash_signatures(
     ).select(id_col, F.col("seed").cast("int"), "minhash")
 
 
+def minhash_band_digests(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded MinHash signatures: (id, band, band_digest) — md5 over the
+    band's minhashes in seed order. The joinable LSH index shape."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    return (
+        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_digest")
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -282,23 +311,7 @@ def minhash_lsh_candidates(
     path for near-dup detection: the only join is an equi-join on
     (band, band_digest).
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_digest")
-        )
-    )
+    band_sig = minhash_band_digests(df, text_col, id_col, n, num_hashes, bands)
     a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_digest")
     b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_digest")
     return (
@@ -395,4 +408,54 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the production
+    shape for continuous ingestion (dedup each crawl against everything
+    already kept, not all-pairs over the union).
+
+    Tiers per batch doc: 'exact_dup' (normalized md5 already in the
+    corpus), else 'near_dup' (any MinHash band digest collides with a
+    corpus band), else 'novel'. Returns (id, status).
+
+    100 TB shape: the corpus collapses to DISTINCT digests and DISTINCT
+    (band, band_digest) rows — the persisted dedup index a real
+    pipeline keeps between runs; the batch only equi-semi-joins that
+    index. No batch x corpus pairs are ever materialized.
+    """
+    cd = corpus.select(
+        F.md5(norm_text(F.col(text_col))).alias("digest")
+    ).distinct()
+    bd = batch.select(
+        F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("digest")
+    )
+    exact_ids = bd.join(cd, "digest", "left_semi").select(id_col)
+    cb = minhash_band_digests(
+        corpus, text_col, id_col, n, num_hashes, bands
+    ).select("band", "band_digest").distinct()
+    bb = minhash_band_digests(batch, text_col, id_col, n, num_hashes, bands)
+    near_ids = (
+        bb.join(cb, ["band", "band_digest"], "left_semi").select(id_col).distinct()
+    )
+    return (
+        batch.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(near_ids.withColumn("_nr", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_e").isNotNull(), "exact_dup")
+            .when(F.col("_nr").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+        )
     )

@@ -15,6 +15,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def pin(df: DataFrame, *key_cols: str | Column) -> DataFrame:
+    """Explicitly hash-partition ``df`` by ``key_cols`` across
+    ``defaultParallelism``.
+
+    For a frame about to feed a window/groupBy keyed on the same
+    columns this is SHUFFLE-NEUTRAL: the explicit exchange satisfies
+    the operator's clustered-distribution requirement, so it replaces
+    (not precedes) the exchange the operator would have inserted. The
+    difference is that a user-specified partition count is exempt from
+    AQE's byte-based coalescing — which otherwise shrinks byte-light
+    but row- or compute-heavy inputs (compressed facts, pair keys) to
+    a handful of tasks. Unlike ``spread`` this works on shuffle-fed
+    frames, where the pre-AQE partition count is useless as a signal.
+    """
+    sc = df.sparkSession.sparkContext
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return df.repartition(sc.defaultParallelism, *cols)
+
+
 def spread(df: DataFrame, *key_cols: str | Column) -> DataFrame:
     """Repartition ``df`` across ``defaultParallelism`` by ``key_cols``
     iff it currently has fewer partitions than that (see module doc).

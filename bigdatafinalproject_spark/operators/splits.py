@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.functions import portable_hash64
+from bigdatafinalproject_spark.operators.layout import pin
 
 
 def _user_order(user_col: str, item_col: str, seed: int) -> list[Column]:
@@ -41,6 +42,7 @@ def add_kfold(
     reference's ``row_number % k``); ineligible users get fold -1
     (always-train semantics).
     """
+    ratings = pin(ratings, user_col)
     w = W.partitionBy(user_col).orderBy(*_user_order(user_col, item_col, seed))
     n_w = W.partitionBy(user_col)
     return ratings.withColumn("_n", F.count(F.lit(1)).over(n_w)).withColumn(
@@ -65,6 +67,9 @@ def leave_n_out(
     """Leave-N-out per user (reference ALS_model3.py:222-225 with n=1,
     Model_evaluation.py:57-63 with n=2): the first N rows per user in
     hash-shuffled order go to 'test', the rest to 'train'."""
+    # the user-keyed window would otherwise inherit an AQE byte-coalesced
+    # (often single-digit) partitioning on compressed fact scans
+    ratings = pin(ratings, user_col)
     w = W.partitionBy(user_col).orderBy(*_user_order(user_col, item_col, seed))
     return ratings.withColumn(
         split_col,

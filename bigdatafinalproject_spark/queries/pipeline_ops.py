@@ -890,3 +890,55 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(
         d, "text", "doc_id", F.col("source") == "src0", n=8, flag_threshold=0.5
     )
+
+
+@query(
+    "doc_lm_familiarity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 2),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c12) AS BIGINT) AS sum_c12,
+           CAST(SUM(c12) AS DOUBLE) / COUNT(*) AS familiarity
+    FROM bg JOIN c2 USING (w1, w2)
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model familiarity (a perplexity proxy in
+    exact integer arithmetic): mean corpus frequency of the doc's
+    bigrams — low scores flag novel/outlier text for curation triage.
+    Float perplexity would need log-prob sums whose order drifts across
+    engines; integer bigram counts with ONE final double division are
+    bit-portable. Self-training then scoring is two passes over the
+    same map-side bigram explode; the (w1, w2) count join is the only
+    data-sized shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c12").alias("sum_c12"),
+            (F.sum("c12").cast("double") / F.count(F.lit(1))).alias("familiarity"),
+        )
+    )

@@ -437,3 +437,45 @@ def doc_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (operators/text.scrub_frequent_ngrams)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.scrub_frequent_ngrams(docs, "text", "doc_id", n=3, min_count=6)
+
+
+@query(
+    "doc_incremental_dedup",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    mh AS (SELECT doc_id, CAST(s AS INT) AS seed, MIN({_MH_EXPR}) AS minhash
+           FROM sh, LATERAL unnest(range(0, 16)) AS u(s)
+           GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+                         AS band_digest
+              FROM mh GROUP BY doc_id, band),
+    dg AS (SELECT doc_id, md5({_NORM}) AS digest FROM documents),
+    corpus_dg AS (SELECT DISTINCT digest FROM dg WHERE doc_id % 5 <> 0),
+    corpus_b AS (SELECT DISTINCT band, band_digest FROM bands
+                 WHERE doc_id % 5 <> 0),
+    e AS (SELECT DISTINCT dg.doc_id FROM dg
+          JOIN corpus_dg USING (digest) WHERE dg.doc_id % 5 = 0),
+    nr AS (SELECT DISTINCT b.doc_id FROM bands b
+           JOIN corpus_b USING (band, band_digest) WHERE b.doc_id % 5 = 0)
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status
+    FROM documents d
+    LEFT JOIN e ON e.doc_id = d.doc_id
+    LEFT JOIN nr ON nr.doc_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — a NEW batch (every 5th doc) deduped against
+    the EXISTING corpus (the rest): exact digest tier, then MinHash
+    band-collision tier, via semi-joins against the corpus's distinct
+    digest/band index. The continuous-ingestion production shape: no
+    batch x corpus pairs, the corpus collapses to its dedup index
+    (operators/dedup.incremental_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.incremental_dedup(corpus, batch, "text", "doc_id")
