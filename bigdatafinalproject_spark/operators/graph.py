@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+from bigdatafinalproject_spark.operators.layout import pin
 
 SCALE = 10**12
 TELEPORT = 150_000_000_000  # 0.15 * SCALE
@@ -67,9 +68,7 @@ def pagerank_fixed_point(
     Returns (node, pr, pr_norm) where pr_norm = pr / 1e12.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = materialize_barrier(
-        edges.join(deg, "src").repartition("src"), checkpoint_dir
-    )
+    ed = materialize_barrier(pin(edges.join(deg, "src"), "src"), checkpoint_dir)
     pr = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("pr"))
     for _ in range(iters):
         contrib = ed.join(pr, ed["src"] == pr["node"]).select(

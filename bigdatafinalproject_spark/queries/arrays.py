@@ -197,3 +197,46 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents, LATERAL bdfp_split_sentences(text) s
         """
     )
+
+
+@query(
+    "events_udaf_median",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           median(value) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (SURVEY §2.11's UDAF row — the
+    reference registers none): exact median per event type through an
+    Arrow-batched GROUPED_AGG pandas_udf. numpy's even-count median
+    (mean of the two middle values) is the same interpolation DuckDB's
+    ``median`` performs, so the result hash-matches.
+
+    Scale note: a grouped-agg UDAF materializes each group in executor
+    memory — correct for bounded groups like this handful of event
+    types; for data-sized groups use the built-in
+    ``percentile_approx``/``median`` (distributed) instead. This query
+    exists to cover the UDAF surface, not as the hot-path median."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's string annotations (PEP 563)
+    # defeat pandas_udf's signature inference. Spark disallows mixing
+    # grouped-agg pandas UDFs with JVM aggregates in one agg, so the
+    # row count is a (trivial) second UDAF.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(v.median())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return int(v.count())
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        count_udaf("value").alias("n"),
+        median_udaf("value").alias("median_value"),
+    )
