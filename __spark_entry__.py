@@ -61,7 +61,8 @@ _R2_CHANGED = (
     "stream_static_join", "sql_param_lookup", "doc_sentences_udtf",
     "part_pagerank", "skew_salted_agg", "skew_salted_join",
     "doc_substring_scrub", "embedding_kmeans", "doc_incremental_dedup",
-    "doc_lm_familiarity", "events_udaf_median",
+    "doc_lm_familiarity", "events_udaf_median", "stream_novel_docs",
+    "stream_sliding",
 )
 
 

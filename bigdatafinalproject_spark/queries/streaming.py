@@ -165,3 +165,50 @@ def stream_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_quality_filter(spark, sf_dir, min_quality=0.8)
+
+
+@query(
+    "stream_novel_docs",
+    oracle="""
+    WITH dg AS (SELECT doc_id,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                           AS digest
+                FROM documents),
+    corpus AS (SELECT DISTINCT digest FROM dg WHERE doc_id % 5 <> 0)
+    SELECT dg.doc_id, dg.digest
+    FROM dg LEFT JOIN corpus ON corpus.digest = dg.digest
+    WHERE dg.doc_id % 5 = 0 AND corpus.digest IS NULL
+    """,
+)
+def stream_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental exact dedup (streaming/documents.py
+    stream_novel_docs): per-micro-batch LEFT ANTI join of the document
+    stream against the static corpus digest index — zero join state,
+    the continuous-ingestion dedup shape; equals the batch anti join
+    exactly."""
+    from bigdatafinalproject_spark.streaming.documents import (
+        stream_novel_docs as _run,
+    )
+
+    return _run(spark, sf_dir)
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                        - CAST(k AS INT) * INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events, LATERAL unnest(range(0, 2)) AS u(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window streaming aggregation (1 h window,
+    30 min hop), complete mode: every event in exactly 2 overlapping
+    windows — the oracle replays that with a 2-way lateral fan-out;
+    equals the batch sliding aggregation exactly."""
+    return S.sliding_counts(spark, sf_dir)

@@ -78,3 +78,48 @@ def stream_quality_filter(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental exact dedup: the document stream (the
+    'new batch' slice, doc_id % 5 == 0) LEFT ANTI joined per
+    micro-batch against the STATIC corpus digest index (distinct md5
+    of every other doc) — only never-seen-before content passes.
+
+    This is the streaming twin of operators/dedup.incremental_dedup's
+    exact tier, and the zero-state shape: a stream-static anti join
+    keeps NO join state (the static index is re-planned and broadcast
+    per micro-batch), so state size is independent of stream length —
+    unlike a streaming dropDuplicates, whose state grows with distinct
+    keys and needs a watermark to bound. Finite input + append mode =>
+    row-identical to the batch anti join (true DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.catalog import load_table
+    from bigdatafinalproject_spark.operators.text import norm_text
+
+    raw = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_doc_stream_dir(sf_dir))
+    )
+    batch_docs = raw.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("digest")
+    )
+    corpus_index = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(norm_text(F.col("text"))).alias("digest"))
+        .distinct()
+    )
+    novel = batch_docs.join(F.broadcast(corpus_index), "digest", "left_anti")
+    name = "bdfp_mem_doc_novel"
+    q = (
+        novel.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

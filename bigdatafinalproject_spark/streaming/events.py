@@ -358,3 +358,24 @@ def tumbling_to_parquet_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING 1-hour/30-minute aggregation, complete mode:
+    each event lands in exactly window_len/hop = 2 overlapping windows.
+    State cost scales with open windows x keys (2x tumbling here) and
+    the watermark still bounds it; the streaming twin of the batch
+    events_sliding shape."""
+    agg = (
+        read_event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "complete", "bdfp_mem_sliding")
