@@ -166,3 +166,31 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5).alias("p50_qty"),
         F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("price_iqr"),
     )
+
+
+@query("customer_hll_distinct")
+def customer_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    Spark 4 hll_sketch_agg/hll_union_agg): per-nation customer sketches
+    plus the GLOBAL estimate obtained by union-merging the per-nation
+    sketches — never rescanning the data. This is the 100 TB pattern
+    approx_count_distinct can't express: precompute sketches per
+    partition/day once, answer any rollup by merging kilobyte sketches.
+    Rows-only driver check (DuckDB's HLL is a different implementation);
+    the estimate-vs-exact error bound is pinned by
+    tests/test_functions.py::test_hll_union_estimate_bound."""
+    c = load_table(spark, sf_dir, "customer")
+    sk = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"),
+        F.countDistinct("c_custkey").alias("n_exact"),
+    )
+    per = sk.select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "n_exact",
+        F.hll_sketch_estimate("sk").alias("n_est"),
+    )
+    glob = sk.agg(
+        F.sum("n_exact").alias("n_exact"),  # nation-disjoint keys: sum = global distinct
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"),
+    ).select(F.lit(-1).alias("c_nationkey"), "n_exact", "n_est")
+    return per.unionByName(glob)

@@ -71,3 +71,16 @@ def test_oracle_bucket_matches(spark):
     )
     con.close()
     assert got == exp
+
+
+def test_hll_union_estimate_bound(spark):
+    """HLL lgConfigK=12 has ~1.6% relative standard error; assert every
+    per-nation estimate AND the union-merged global estimate land
+    within 5% of exact (loose 3-sigma-ish bound, deterministic data)."""
+    from bigdatafinalproject_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["customer_hll_distinct"](spark, SF_DIR).collect()
+    assert any(r.c_nationkey == -1 for r in rows), "global union row missing"
+    for r in rows:
+        assert abs(r.n_est - r.n_exact) <= max(1, 0.05 * r.n_exact), r
