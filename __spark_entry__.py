@@ -62,7 +62,8 @@ _R2_CHANGED = (
     "part_pagerank", "skew_salted_agg", "skew_salted_join",
     "doc_substring_scrub", "embedding_kmeans", "doc_incremental_dedup",
     "doc_lm_familiarity", "events_udaf_median", "stream_novel_docs",
-    "stream_sliding",
+    "stream_sliding", "customer_hll_distinct", "ann_quantized_topk",
+    "events_interval_join",
 )
 
 

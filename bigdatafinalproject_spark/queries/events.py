@@ -6,12 +6,13 @@ bigdatafinalproject_spark/streaming/.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.functions import dsum
 from bigdatafinalproject_spark.operators.asof import asof_join
+from bigdatafinalproject_spark.operators.rangejoin import interval_join
 from bigdatafinalproject_spark.registry import query
 
 
@@ -114,4 +115,88 @@ def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_totalprice").cast("double").alias("last_totalprice"),
+    )
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 86400
+                  THEN 1 ELSE 0 END AS is_new
+      FROM purchases
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM marked),
+    iv AS (
+      SELECT user_id, CAST(session_id AS INT) AS session_id,
+             MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             COUNT(*) AS n_purchases
+      FROM sessions GROUP BY user_id, session_id
+      HAVING COUNT(*) >= 2)
+    SELECT i.user_id,
+           strftime(i.start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(i.n_purchases AS BIGINT) AS n_purchases,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(25,6))) AS DOUBLE) AS click_value
+    FROM iv i JOIN events c
+      ON c.user_id = i.user_id AND c.event_type = 'click'
+         AND c.ts >= i.start_ts AND c.ts <= i.end_ts
+    GROUP BY i.user_id, i.session_id, i.start_ts, i.n_purchases
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a nested loop: clicks landing inside each
+    user's multi-purchase 24h-gap streak span (attribution window), via the
+    bin-bucketed equi-join in operators/rangejoin.py. The oracle states
+    the same semantics as a plain BETWEEN theta-join — DuckDB can
+    afford it at oracle scale; Spark at 100 TB cannot (it would plan
+    BroadcastNestedLoopJoin), which is exactly what the operator
+    avoids (asserted in tests/test_plans.py)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(seq).cast("long")
+    is_new = F.when(gap.isNull() | (gap > 86400), 1).otherwise(0)
+    sess = p.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(seq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+        .alias("session_id"),
+    )
+    iv = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .filter(F.col("n_purchases") >= 2)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = interval_join(
+        clicks, iv, "ts", "start_ts", "end_ts", keys=("user_id",), bin_width_s=86400
+    )
+    return (
+        j.groupBy("user_id", "session_id", "start_ts", "n_purchases")
+        .agg(F.count(F.lit(1)).alias("n_clicks"), dsum(F.col("value")).alias("click_value"))
+        .select(
+            "user_id",
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_purchases",
+            "n_clicks",
+            "click_value",
+        )
     )

@@ -203,3 +203,22 @@ def test_recs_pool_take_ordered_no_global_sort(spark):
     plan = formatted_plan(registry.QUERIES["recs_wide_assembly"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning(cnt" not in plan
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The bucketed interval join must plan as an equi-join on
+    (user_id, bin) — never BroadcastNestedLoopJoin / CartesianProduct
+    (what a raw BETWEEN theta-join would give)."""
+    plan = formatted_plan(registry.QUERIES["events_interval_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bin" in plan, "bin key missing from the equi-join"
+
+
+def test_quantized_topk_single_corpus_pass(spark):
+    """Quantized ANN: stage-1 scan works on int8 arrays (quantize
+    expressions present), rerank stage joins the float vectors back
+    only for candidates; final top-k via partitioned window."""
+    plan = formatted_plan(registry.QUERIES["ann_quantized_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("round(") >= 1, "int8 quantization not in plan"

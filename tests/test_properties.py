@@ -184,6 +184,32 @@ def test_lsh_topk_matches_exact_on_matched_pairs(spark):
         assert exact[k] == approx[k]
 
 
+def test_quantized_topk_recall_and_exact_scores(spark):
+    """Int8 quantization is an approximation of the SCAN ordering only:
+    (a) returned cosines are exact (bit-equal to brute force for shared
+    pairs, because the rerank recomputes them in float), and (b) with a
+    4x rerank margin the two-stage result recalls nearly all of the
+    true top-10 (64-dim vectors, ~0.4% per-component quantization
+    error)."""
+    from bigdatafinalproject_spark.operators.ann import quantized_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in quantized_topk(emb, queries, k=10, rerank=4).collect()
+    }
+    shared = set(exact) & set(quant)
+    for key in shared:
+        assert exact[key] == quant[key]
+    recall = len(shared) / len(exact)
+    assert recall >= 0.9, f"quantized recall@10 = {recall:.3f}"
+
+
 def test_connected_components_chain_clique_singleton_pair(spark):
     """Min-label propagation: a diameter-3 chain (forces multiple
     rounds), a triangle, and an isolated pair all label with their
