@@ -63,7 +63,7 @@ _R2_CHANGED = (
     "doc_substring_scrub", "embedding_kmeans", "doc_incremental_dedup",
     "doc_lm_familiarity", "events_udaf_median", "stream_novel_docs",
     "stream_sliding", "customer_hll_distinct", "ann_quantized_topk",
-    "events_interval_join",
+    "events_interval_join", "lineitem_zorder_buckets",
 )
 
 

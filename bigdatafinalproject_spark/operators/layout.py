@@ -11,6 +11,8 @@ it unconditionally.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,3 +46,83 @@ def spread(df: DataFrame, *key_cols: str | Column) -> DataFrame:
         cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
         return df.repartition(sc.defaultParallelism, *cols)
     return df
+
+
+def zvalue(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns: bit i of x lands at position 2i, bit
+    i of y at 2i+1. Values are masked to ``bits`` bits first, so the
+    caller picks the resolution.
+
+    Sorting by this value clusters rows so that any contiguous z-range
+    covers a small rectangle in (x, y) space — the standard
+    multi-dimensional clustering trick (Delta/Iceberg OPTIMIZE ZORDER)
+    that lets min/max file statistics prune scans filtered on EITHER
+    column, where a plain sort only serves its leading column.
+    """
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftrightunsigned(xm, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zvalue_sql(x: str, y: str, bits: int = 16) -> str:
+    """The same Morton interleave as ``zvalue`` in portable SQL
+    (DuckDB-compatible bit operators), for oracle replay."""
+    mask = (1 << bits) - 1
+    parts = []
+    # fully parenthesized: DuckDB's | binds tighter than <<
+    for i in range(bits):
+        parts.append(f"(((({x} & {mask}) >> {i}) & 1) << {2 * i})")
+        parts.append(f"(((({y} & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def scale_to_bits(col_expr: str, max_expr: str, bits: int) -> str:
+    """Scale a non-negative integer expression into [0, 2^bits) by its
+    maximum: ``(x * 2^bits) DIV (max + 1)``. Z-ordering REQUIRES both
+    dimensions on the same bit width — interleaving an 11-bit key with
+    a 7-bit key puts every varying high bit on the wide key, and the
+    layout degenerates to a plain sort on it (no pruning on the narrow
+    key). Portable: Spark ``DIV`` == DuckDB ``//`` for non-negatives."""
+    return f"((CAST({col_expr} AS BIGINT) * {1 << bits}) DIV (CAST({max_expr} AS BIGINT) + 1))"
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the
+    Z-order of (x_col, y_col): normalize both keys to ``bits`` bits
+    (max-scaled — see ``scale_to_bits``), range-partition by the
+    interleaved z-value, sort within each partition, drop the helper.
+    Each output file then covers a narrow rectangle of the key space,
+    so footer min/max stats prune 2-D range predicates on either
+    column (demonstrated in tests/test_layout_zorder.py).
+
+    The two max() lookups are one bounded scalar collect (metadata-
+    grade action, same class as compact_small_files' file count)."""
+    mx, my = df.agg(F.max(x_col), F.max(y_col)).first()
+    z = zvalue(
+        F.expr(scale_to_bits(x_col, str(mx), bits)),
+        F.expr(scale_to_bits(y_col, str(my), bits)),
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -52,6 +52,7 @@ _MODULES = (
     "funnels",
     "graph_skew",
     "clustering",
+    "layout",
 )
 
 
