@@ -64,6 +64,7 @@ _R2_CHANGED = (
     "doc_lm_familiarity", "events_udaf_median", "stream_novel_docs",
     "stream_sliding", "customer_hll_distinct", "ann_quantized_topk",
     "events_interval_join", "lineitem_zorder_buckets",
+    "orders_above_customer_avg", "part_triangle_count",
 )
 
 

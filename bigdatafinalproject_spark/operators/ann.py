@@ -306,9 +306,15 @@ def quantized_topk(
 
     Returns (query_id, neighbor_id, cosine, rank) with exact cosines.
     """
-    c = _with_int8(
-        spread(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"),
-        "neighbor_id", vec_col, "_c",
+    # quantize BELOW the exchange: the repartition materializes the int8
+    # arrays once per corpus row; above it they would fuse into the
+    # cross-join stage and re-evaluate per (query, row) pair
+    c = spread(
+        _with_int8(
+            corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            "neighbor_id", vec_col, "_c",
+        ),
+        "neighbor_id",
     )
     q = _with_int8(
         queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", vec_col, "_q"

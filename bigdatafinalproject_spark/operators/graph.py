@@ -82,3 +82,48 @@ def pagerank_fixed_point(
     return pr.select(
         "node", "pr", (F.col("pr") / F.lit(float(SCALE))).alias("pr_norm")
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count via degree-ordered orientation (the
+    node-iterator++ algorithm): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher, enumerate two-out-edge
+    wedges at each pivot, and close them against the oriented edge set.
+
+    Each triangle has exactly one node with out-edges to the other two
+    under a total order, so it is counted exactly once. The
+    orientation is the scale story: out-degree is capped at O(sqrt(E))
+    even on power-law graphs — the wedge self-join never explodes on a
+    celebrity node, where the naive (count common neighbors per edge)
+    plan is quadratic in the hottest degree.
+
+    ``edges`` must hold BOTH directions of each undirected edge
+    (copurchase_edges' contract). Returns a single row (n_triangles).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("src").alias("_u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("src").alias("_v"), F.col("d").alias("_dv"))
+    o = (
+        edges.join(F.broadcast(du), edges["src"] == du["_u"])
+        .join(F.broadcast(dv), edges["dst"] == dv["_v"])
+        .filter(
+            (F.col("_du") < F.col("_dv"))
+            | ((F.col("_du") == F.col("_dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    o = materialize_barrier(pin(o, "src"), None)
+    # out-neighbor adjacency lists: one per node, length <= O(sqrt(E))
+    # by the orientation cap, so the whole index is edge-sized and
+    # broadcastable far beyond this data scale. Count per oriented edge
+    # (u,v): |N+(u) ∩ N+(v)| — each triangle closes at exactly one edge
+    # (its pivot, toward the lower-ordered of the other two vertices).
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nbrs"))
+    au = adj.select(F.col("src").alias("_au"), F.col("_nbrs").alias("_nu"))
+    av = adj.select(F.col("src").alias("_av"), F.col("_nbrs").alias("_nv"))
+    per_edge = (
+        o.join(F.broadcast(au), o["src"] == au["_au"])
+        .join(F.broadcast(av), o["dst"] == av["_av"])
+        .select(F.size(F.array_intersect("_nu", "_nv")).alias("_t"))
+    )
+    return per_edge.agg(F.sum("_t").cast("bigint").alias("n_triangles"))

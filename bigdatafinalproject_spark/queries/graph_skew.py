@@ -18,6 +18,7 @@ from bigdatafinalproject_spark.operators.graph import (
     SCALE,
     copurchase_edges,
     pagerank_fixed_point,
+    triangle_count,
 )
 from bigdatafinalproject_spark.operators.skew import salted_agg, salted_join
 from bigdatafinalproject_spark.registry import query
@@ -122,3 +123,29 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+@query(
+    "part_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM items a JOIN items b USING (l_orderkey)
+              WHERE a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    o AS (SELECT e.src, e.dst FROM edges e
+          JOIN deg du ON du.node = e.src
+          JOIN deg dv ON dv.node = e.dst
+          WHERE (du.d < dv.d) OR (du.d = dv.d AND e.src < e.dst)),
+    w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w2
+          FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst <> o2.dst)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.v AND o.dst = w.w2)
+    """,
+)
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph via
+    degree-ordered orientation (operators/graph.triangle_count) — the
+    wedge join whose out-degree cap survives power-law skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(copurchase_edges(li))

@@ -194,3 +194,27 @@ def customer_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"),
     ).select(F.lit(-1).alias("c_nationkey"), "n_exact", "n_est")
     return per.unionByName(glob)
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice >
+          (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                  / COUNT(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("orders_above_customer_avg", oracle=_ABOVE_AVG_SQL)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders priced
+    above their customer's average. Catalyst DECORRELATES this
+    (RewriteCorrelatedScalarSubquery) into a per-customer aggregate +
+    equi-join — one shuffle, no nested loop (asserted in
+    tests/test_plans.py) — so the 100 TB plan is the same as the
+    hand-written groupBy+join. The per-customer average accumulates as
+    DECIMAL so the subquery value is bit-identical across engines; the
+    oracle runs the IDENTICAL SQL text."""
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_ABOVE_AVG_SQL)

@@ -222,3 +222,13 @@ def test_quantized_topk_single_corpus_pass(spark):
     plan = formatted_plan(registry.QUERIES["ann_quantized_topk"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("round(") >= 1, "int8 quantization not in plan"
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery must decorrelate into an
+    aggregate + equi-join — no per-row subquery execution, no nested
+    loop."""
+    plan = formatted_plan(registry.QUERIES["orders_above_customer_avg"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
