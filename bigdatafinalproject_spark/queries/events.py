@@ -200,3 +200,64 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_value",
         )
     )
+
+
+@query(
+    "events_rollup_hierarchy",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(25,6))) AS sv,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY 1, 2),
+    daily AS (
+      SELECT time_bucket(INTERVAL '1 day', h) AS d, event_type,
+             SUM(n) AS n, SUM(sv) AS sv, MIN(mn) AS mn, MAX(mx) AS mx
+      FROM hourly GROUP BY 1, 2),
+    monthly AS (
+      SELECT strftime(date_trunc('month', d), '%Y-%m-%d') AS month,
+             event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sv) AS DOUBLE) AS total_value,
+             MIN(mn) AS min_value, MAX(mx) AS max_value
+      FROM daily GROUP BY 1, 2)
+    SELECT * FROM monthly
+    """,
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (hourly -> daily -> monthly), every level
+    computed FROM THE PREVIOUS level, never rescanning raw events —
+    the continuous-aggregate / hypertable-rollup pattern: at 100 TB
+    the hourly level is materialized incrementally (foreachBatch,
+    cf. stream_foreachbatch_sink) and coarser levels are merges of
+    kilobyte-scale partials. Every aggregate is MERGEABLE (count-sum
+    as decimal, min/max), which is what makes re-aggregation legal;
+    avg would be carried as (sum, count). The oracle chains the same
+    three levels."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).select(F.col("w.start").alias("h"), "event_type", "n", "sv", "mn", "mx")
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").alias("d"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return daily.groupBy(
+        F.date_format(F.date_trunc("month", "d"), "yyyy-MM-dd").alias("month"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sv").cast("double").alias("total_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )
