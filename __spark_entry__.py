@@ -53,9 +53,8 @@ _R1_DRIVER_CHECKED = (
     "doc_neardup_components", "doc_sequence_packing",
 )
 
-# changed or added in round 2 (plan rewrites / semantics updates / new
-# operators) -> verify first
-_R2_CHANGED = (
+# driver-checked in r2 (CORRECTNESS_r02.json keys) — union with r1 below
+_R2_DRIVER_CHECKED = (
     "recs_wide_assembly", "item_cosine_similarity", "customer_rfm",
     "part_abc_analysis", "als_persist_recommend_all", "stream_sessions",
     "stream_static_join", "sql_param_lookup", "doc_sentences_udtf",
@@ -64,14 +63,33 @@ _R2_CHANGED = (
     "doc_lm_familiarity", "events_udaf_median", "stream_novel_docs",
     "stream_sliding", "customer_hll_distinct", "ann_quantized_topk",
     "events_interval_join", "lineitem_zorder_buckets",
-    "orders_above_customer_avg", "part_triangle_count",
+    "orders_above_customer_avg", "part_triangle_count", "ann_cosine_topk",
+    "ann_lsh_topk", "events_tumbling", "events_sliding", "events_asof_order",
+    "events_rollup_hierarchy", "stream_tumbling", "stream_dedup_count",
+    "stream_user_totals", "stream_foreachbatch_sink", "stream_doc_quality",
+    "doc_image_features", "doc_frame_sample", "events_json_props",
+    "sql_surface_revenue", "date_functions", "cube_revenue", "approx_stats",
+    "doc_top_tokens", "unpivot_status", "events_props_map",
+    "embedding_array_ops", "doc_positional_tokens", "doc_embedding_neardup",
+    "stream_click_purchase_join",
+)
+
+# changed or fixed in round 3 (the events.ts timestamp[us] normalization
+# repaired every one of these; approx_stats schema changed; triangle
+# broadcast hints dropped) -> verify first
+_R3_CHANGED = (
+    "stream_tumbling", "stream_sliding", "stream_sessions",
+    "stream_foreachbatch_sink", "stream_click_purchase_join",
+    "stream_user_totals", "events_interval_join", "events_gap_stats",
+    "events_transition_matrix", "events_trailing_window", "sessionize",
+    "approx_stats", "part_triangle_count",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(registry.QUERIES)
-    checked = set(_R1_DRIVER_CHECKED)
-    changed = [n for n in _R2_CHANGED if n in registry.QUERIES]
+    checked = set(_R1_DRIVER_CHECKED) | set(_R2_DRIVER_CHECKED)
+    changed = [n for n in _R3_CHANGED if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in set(changed)]
     green = [n for n in names if n in checked and n not in set(changed)]
     ordered = changed + fresh + green

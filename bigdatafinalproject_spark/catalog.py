@@ -60,12 +60,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to
-        # microseconds (same ns->us truncation DuckDB applies).
+    if name == "events":
+        # The testdata's physical type for ts has changed across
+        # regenerations (TIMESTAMP(NANOS), then timestamp[us]); normalize
+        # every variant to TIMESTAMP so downstream epoch extraction
+        # (unix_micros, cast-to-long) is always legal. Session TZ is UTC,
+        # so the NTZ->TIMESTAMP cast is wall-clock exact (what DuckDB's
+        # naive read of the same parquet sees).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to
+            # microseconds (same ns->us truncation DuckDB applies).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

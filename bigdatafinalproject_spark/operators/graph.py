@@ -103,9 +103,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("src").alias("_u"), F.col("d").alias("_du"))
     dv = deg.select(F.col("src").alias("_v"), F.col("d").alias("_dv"))
+    # no broadcast hints: the degree table is node-sized and the
+    # adjacency index below is edge-sized — data-sized, not
+    # dimension-sized. At 100x scale a forced broadcast is a driver /
+    # executor OOM; size-based AQE still broadcasts them when small.
     o = (
-        edges.join(F.broadcast(du), edges["src"] == du["_u"])
-        .join(F.broadcast(dv), edges["dst"] == dv["_v"])
+        edges.join(du, edges["src"] == du["_u"])
+        .join(dv, edges["dst"] == dv["_v"])
         .filter(
             (F.col("_du") < F.col("_dv"))
             | ((F.col("_du") == F.col("_dv")) & (F.col("src") < F.col("dst")))
@@ -114,16 +118,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     o = materialize_barrier(pin(o, "src"), None)
     # out-neighbor adjacency lists: one per node, length <= O(sqrt(E))
-    # by the orientation cap, so the whole index is edge-sized and
-    # broadcastable far beyond this data scale. Count per oriented edge
+    # by the orientation cap, so the index stays edge-sized (its rows
+    # shuffle-join below; no per-list blowup). Count per oriented edge
     # (u,v): |N+(u) ∩ N+(v)| — each triangle closes at exactly one edge
     # (its pivot, toward the lower-ordered of the other two vertices).
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nbrs"))
     au = adj.select(F.col("src").alias("_au"), F.col("_nbrs").alias("_nu"))
     av = adj.select(F.col("src").alias("_av"), F.col("_nbrs").alias("_nv"))
     per_edge = (
-        o.join(F.broadcast(au), o["src"] == au["_au"])
-        .join(F.broadcast(av), o["dst"] == av["_av"])
+        o.join(au, o["src"] == au["_au"])
+        .join(av, o["dst"] == av["_av"])
         .select(F.size(F.array_intersect("_nu", "_nv")).alias("_t"))
     )
     return per_edge.agg(F.sum("_t").cast("bigint").alias("n_triangles"))

@@ -164,7 +164,10 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_quantity", 0.5).alias("p50_qty"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("price_iqr"),
+        # scalar p25/p75 (not one array column): the driver harness
+        # canonicalizes rows via pandas sort and dies on array cells
+        F.percentile_approx("l_extendedprice", 0.25).alias("p25_price"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("p75_price"),
     )
 
 

@@ -21,18 +21,50 @@ from pyspark.sql import types as T
 from bigdatafinalproject_spark.catalog import table_path
 from bigdatafinalproject_spark.functions import dsum
 
-# Parquet stores TIMESTAMP(NANOS); with nanosAsLong active the raw
-# schema sees a long, converted to a micros timestamp right after load.
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_arrow_type(sf_dir: str):
+    """The physical parquet type of events.ts — it has changed across
+    testdata regenerations (TIMESTAMP(NANOS) -> timestamp[us]), so the
+    streaming read schema is derived from the footer, never hard-coded."""
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+
+
+def _raw_schema_and_norm(sf_dir: str):
+    """(readStream schema, ts-normalizer) for the CURRENT testdata.
+
+    - timestamp[ns]: nanosAsLong surfaces a long; read LongType and
+      truncate ns->us (same truncation DuckDB applies).
+    - timestamp[us] naive: Spark reads TIMESTAMP_NTZ; cast to TIMESTAMP
+      (session TZ is UTC, so the cast is wall-clock exact).
+    - timestamp[us] UTC-adjusted: already TIMESTAMP; identity.
+    - plain int64: historical convention = epoch nanos; as the ns case.
+    """
+    import pyarrow as pa
+
+    t = _events_ts_arrow_type(sf_dir)
+    if pa.types.is_timestamp(t) and t.unit != "ns" and t.tz is None:
+        ts_field = T.StructField("ts", T.TimestampNTZType())
+        norm = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
+    elif pa.types.is_timestamp(t) and t.unit != "ns":
+        ts_field = T.StructField("ts", T.TimestampType())
+        norm = lambda df: df  # noqa: E731
+    else:
+        ts_field = T.StructField("ts", T.LongType())
+        norm = lambda df: df.withColumn(  # noqa: E731
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            ts_field,
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, norm
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -99,18 +131,41 @@ def _flush_stream_dir(sf_dir: str) -> str:
             pass
 
     flush_paths = [os.path.join(d, f"flush_{i}.parquet") for i in (1, 2)]
-    if all(os.path.exists(p) for p in flush_paths):
+
+    def _fresh(p: str) -> bool:
+        # flush files persist in /tmp across testdata regenerations; a
+        # stale one has the OLD physical ts type (e.g. timestamp[ns] when
+        # the data is now timestamp[us]) or predates the current data
+        # file's staged mtime — rewrite it.
+        if not os.path.exists(p):
+            return False
+        if os.path.getmtime(p) <= os.path.getmtime(src):
+            return False
+        try:
+            return pq.read_schema(p).field("ts").type == pq.read_schema(src).field("ts").type
+        except Exception:
+            return False
+
+    if all(_fresh(p) for p in flush_paths):
         return d
 
     schema = pq.read_schema(src)
     ts_type = schema.field("ts").type
     max_ts = pc.max(pq.read_table(src, columns=["ts"])["ts"]).cast(pa.int64()).as_py()
-    day_ns = 86_400 * 1_000_000_000
+    # one day in the ts column's OWN unit (the raw int64 max is in that
+    # unit too): nanos for timestamp[ns]/plain int64, micros for
+    # timestamp[us], etc. A wrong unit here would stall or overshoot the
+    # watermark the flush events exist to advance.
+    if pa.types.is_timestamp(ts_type):
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    else:
+        per_sec = 10**9
+    day = 86_400 * per_sec
     data_mtime = os.path.getmtime(src)
     for i, p in enumerate(flush_paths):
         cols = {
             "event_id": pa.array([-1], schema.field("event_id").type),
-            "ts": pa.array([max_ts + (i + 1) * day_ns], pa.int64()).cast(ts_type),
+            "ts": pa.array([max_ts + (i + 1) * day], pa.int64()).cast(ts_type),
             "user_id": pa.array([_FLUSH_USER], schema.field("user_id").type),
             "event_type": pa.array(["_flush"], schema.field("event_type").type),
             "value": pa.array([0.0], schema.field("value").type),
@@ -137,13 +192,14 @@ def read_event_stream(
     from bigdatafinalproject_spark.catalog import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    reader = spark.readStream.format("parquet").schema(_RAW_SCHEMA)
+    schema, norm = _raw_schema_and_norm(sf_dir)
+    reader = spark.readStream.format("parquet").schema(schema)
     if drain:
         reader = reader.option("maxFilesPerTrigger", 1)
         raw = reader.load(_flush_stream_dir(sf_dir))
     else:
         raw = reader.load(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return norm(raw)
 
 
 def _stream_partitions(spark: SparkSession) -> int:

@@ -12,9 +12,10 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 
 from bigdatafinalproject_spark.catalog import ensure_session_defaults
-from bigdatafinalproject_spark.streaming.events import _RAW_SCHEMA
+from bigdatafinalproject_spark.streaming.events import _raw_schema_and_norm
 
 SRC = "/root/testdata/sf0.001/events.parquet"
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
@@ -29,8 +30,9 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     batches_seen: list[int] = []
 
     def run_once() -> None:
+        schema, _ = _raw_schema_and_norm(SF_DIR)
         stream = (
-            spark.readStream.format("parquet").schema(_RAW_SCHEMA).load(str(indir))
+            spark.readStream.format("parquet").schema(schema).load(str(indir))
         )
 
         def write_batch(bdf, bid: int) -> None:
