@@ -82,7 +82,7 @@ _R3_CHANGED = (
     "stream_foreachbatch_sink", "stream_click_purchase_join",
     "stream_user_totals", "events_interval_join", "events_gap_stats",
     "events_transition_matrix", "events_trailing_window", "sessionize",
-    "approx_stats", "part_triangle_count",
+    "approx_stats", "part_triangle_count", "jdbc_roundtrip_agg",
 )
 
 

@@ -53,6 +53,7 @@ _MODULES = (
     "graph_skew",
     "clustering",
     "layout",
+    "jdbc",
 )
 
 

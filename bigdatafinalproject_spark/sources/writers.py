@@ -58,6 +58,34 @@ def compact_small_files(
     return n_files
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """JDBC table sink — the write half of the reference's JDBC surface
+    (reference ALS_model3.py:67-73 reads sqlite over JDBC; Spark's JDBC
+    code path is database-agnostic). Each partition opens its own
+    connection and batches inserts; pass batchsize/numPartitions through
+    ``options`` to tune (coalesce first for databases that dislike many
+    concurrent writers)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    for k, v in options.items():
+        w = w.option(k, v)
+    try:
+        w.mode(mode).save()
+    except Exception as e:  # pragma: no cover - driver-dependent
+        raise RuntimeError(
+            f"JDBC write failed for {url!r} table {table!r} — is the driver "
+            f"jar on the classpath? ({e})"
+        ) from e
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,
