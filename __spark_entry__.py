@@ -83,6 +83,8 @@ _R3_CHANGED = (
     "stream_user_totals", "events_interval_join", "events_gap_stats",
     "events_transition_matrix", "events_trailing_window", "sessionize",
     "approx_stats", "part_triangle_count", "jdbc_roundtrip_agg",
+    "doc_chunk_overlap", "doc_temperature_mix",
+    "stream_click_purchase_left_join",
 )
 
 

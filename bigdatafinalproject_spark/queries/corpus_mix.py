@@ -1,0 +1,120 @@
+"""Corpus-preparation operators a training-data pipeline needs between
+cleaning and tokenization: context-window chunking and temperature-
+scaled source mixing. Both are pure built-in expression plans (one scan
+plus a tiny broadcast aggregate) — no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.functions import oracle_hash64, portable_hash64
+from bigdatafinalproject_spark.operators.text import tokens
+from bigdatafinalproject_spark.registry import query
+
+_CHUNK = 64
+_STRIDE = 48
+_MIX_SEED = 77
+_MIX_MOD = 1_000_000
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t)
+    SELECT doc_id,
+           CAST((st - 1) // {_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(toks[st : st + {_CHUNK - 1}], ' ') AS chunk_text,
+           CAST(LEAST({_CHUNK}, n - st + 1) AS INT) AS n_chunk_tokens
+    FROM s, LATERAL unnest(generate_series(1, n, {_STRIDE})) AS u(st)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap: each document split into
+    {CHUNK}-token windows advancing {STRIDE} tokens (16-token overlap),
+    the standard prep for fixed-context training and for embedding
+    long documents.
+
+    Plan shape: sequence() builds the start offsets per row, transform+
+    slice assemble each window, posexplode emits (chunk_idx, chunk) —
+    all inside whole-stage codegen on one scan, output rows ~= tokens/
+    stride per doc. No shuffle at all: chunking is embarrassingly
+    row-parallel and stays that way at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, _CHUNK), " ").alias("txt"),
+            F.least(F.lit(_CHUNK), n - s).alias("nt"),
+        ),
+    )
+    return (
+        d.select(F.col("doc_id"), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.txt").alias("chunk_text"),
+            F.col("c.nt").cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_src) AS n_min FROM c),
+    r AS (SELECT source, n_src,
+                 CAST(FLOOR({_MIX_MOD} * sqrt(CAST(n_min AS DOUBLE)
+                                              / CAST(n_src AS DOUBLE)))
+                      AS BIGINT) AS keep_ppm
+          FROM c, m)
+    SELECT d.doc_id, d.source, r.keep_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE {oracle_hash64('d.doc_id', seed=_MIX_SEED)} % {_MIX_MOD} < r.keep_ppm
+    """,
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5): per-source keep
+    rates proportional to n_src^(alpha-1), normalized so the smallest
+    source keeps everything — the alpha-sampling scheme multilingual /
+    multi-source training corpora use to up-weight small sources
+    (published in the mC4/mT5 line of work). Deterministic keep
+    decision via the portable doc_id hash, so the sample is
+    reproducible across runs, engines, and partitionings.
+
+    Plan shape: one tiny groupBy(source) aggregate joined back via
+    broadcast (source cardinality is always small), then a pure filter
+    on the scan — two passes over metadata-sized state, one over data.
+    The rate formula is written with the same sqrt/divide/floor
+    expression tree in both engines: IEEE-deterministic, no epsilon."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "source",
+            F.floor(
+                F.lit(float(_MIX_MOD))
+                * F.sqrt(F.col("n_min").cast("double") / F.col("n_src").cast("double"))
+            )
+            .cast("bigint")
+            .alias("keep_ppm"),
+        )
+    )
+    ppm = F.pmod(portable_hash64("doc_id", seed=_MIX_SEED), F.lit(_MIX_MOD))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(ppm < F.col("keep_ppm"))
+        .select("doc_id", "source", "keep_ppm")
+    )

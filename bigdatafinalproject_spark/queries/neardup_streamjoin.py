@@ -9,7 +9,10 @@ from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.operators.ann import embedding_neardup_pairs
 from bigdatafinalproject_spark.queries.ann import _DOT_AB, _NORMS_CTE, _PLANE_DOT, _DIM
 from bigdatafinalproject_spark.registry import query
-from bigdatafinalproject_spark.streaming.joins import click_purchase_join
+from bigdatafinalproject_spark.streaming.joins import (
+    click_purchase_join,
+    click_purchase_left_join,
+)
 
 
 @query(
@@ -64,3 +67,26 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1 h). Finite input + inner join => the emitted pairs equal
     the batch interval join exactly, so this streams AND oracle-checks."""
     return click_purchase_join(spark, sf_dir, within_minutes=60)
+
+
+@query(
+    "stream_click_purchase_left_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'
+    """,
+)
+def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join — the hard streaming
+    shape (NULL emission gated on the other side's watermark; see
+    streaming/joins.click_purchase_left_join). Drain mode pushes the
+    watermark past every real event so the finite-input result equals
+    the batch LEFT JOIN exactly — a true oracle for an outer stream
+    join."""
+    return click_purchase_left_join(spark, sf_dir, within_minutes=60)

@@ -54,6 +54,7 @@ _MODULES = (
     "clustering",
     "layout",
     "jdbc",
+    "corpus_mix",
 )
 
 
