@@ -79,11 +79,22 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.session_counts(spark, sf_dir)
 
 
-@query("stream_user_totals")
+@query(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(25,6))), 0) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
-    running totals. Rows-only: update-mode emission cadence is
-    batch-dependent."""
+    running totals. True oracle: the single-file source yields one
+    micro-batch, so each user emits exactly one final-total row, and
+    the state accumulates exact integer cents — bit-identical to the
+    batch decimal-sum aggregate."""
     return S.running_user_totals(spark, sf_dir)
 
 

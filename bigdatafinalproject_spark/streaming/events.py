@@ -305,7 +305,13 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, sum(value)) emitted once per batch — the pattern
-    for operators Structured Streaming lacks natively."""
+    for operators Structured Streaming lacks natively.
+
+    State accumulates integer CENTS (events.value is 2-decimal money),
+    not floats: integer addition is exact and order-independent, so the
+    emitted totals are bit-identical to the batch decimal-sum aggregate
+    regardless of how rows are batched into state updates — which is
+    what lets a custom stateful operator carry a true DuckDB oracle."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -319,20 +325,24 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
-            T.StructField("total", T.DoubleType()),
+            T.StructField("cents", T.LongType()),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            # exact: value has <= 2 decimal digits, so value*100 is an
+            # integer up to one ulp and round() recovers it exactly
+            cents += int(
+                (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
+            )
+        state.update((n, cents))
         import pandas as pd
 
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     stream = read_event_stream(spark, sf_dir).select("user_id", "value")
