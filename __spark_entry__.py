@@ -88,13 +88,15 @@ _R3_CHANGED = (
     "events_interval_join", "approx_stats", "stream_user_totals",
     "jdbc_roundtrip_agg", "doc_chunk_overlap", "doc_temperature_mix",
     "stream_click_purchase_left_join", "doc_quality_classifier",
+    "corr_covar_portable",
 )
 
-# changed but LOWER re-verification priority: result is r2-hash-green
-# and unchanged (only the physical plan moved). Ordered right after the
-# never-checked block so all 37 first-time queries stay inside the
-# driver's ~50-row window.
-_R3_CHANGED_TAIL = ("part_triangle_count",)
+# changed/new but LOWER re-verification priority, ordered right after
+# the never-checked block so all 37 first-time queries stay inside the
+# driver's ~50-row window: stream_embedding_index is new (locally
+# oracle-green at sf0.001/0.01); part_triangle_count's result is
+# r2-hash-green and unchanged (only the physical plan moved).
+_R3_CHANGED_TAIL = ("stream_embedding_index", "part_triangle_count")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -105,7 +105,11 @@ def lsh_signatures(
         return h % 2001 - 1000
 
     rows = num_planes // bands
-    d = spread(df.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col)
+    sel = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    # spread() inspects the RDD partition count, which a streaming frame
+    # does not have; streaming micro-batches arrive already parallelized
+    # by the source, so the row-local signature math needs no respread
+    d = sel if df.isStreaming else spread(sel, id_col)
     dots = [
         F.expr(
             "aggregate(zip_with(_v, array({}), (x, w) -> "

@@ -241,50 +241,64 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corr_covar_portable",
     oracle="""
     WITH m AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
-                      * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
-                      * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
-                      * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
-      FROM lineitem)
-    SELECT CAST(n AS BIGINT) AS n,
-           (n * sxy - sx * sy) / (n * (n - 1)) AS covar_qty_price,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-               AS corr_qty_price
-    FROM m
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                 * CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy,
+             SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy
+      FROM lineitem),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS d2
+      FROM m)
+    SELECT n,
+           num / (10000.0 * n * (n - 1)) AS covar_qty_price,
+           num / (sqrt(d1) * sqrt(d2)) AS corr_qty_price
+    FROM d
     """,
 )
 def corr_covar_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation + sample covariance from exact decimal moment
-    sums (built-in corr()/covar_samp() stream doubles, so their result
-    depends on partitioning — this form is partition-independent AND
-    engine-exact: every sum is decimal-exact, the closing arithmetic is
-    a fixed sequence of IEEE double ops, and sqrt is correctly rounded).
-    One shuffle (global partial+final agg) regardless of input size."""
+    """Pearson correlation + sample covariance, engine- and
+    partition-exact at ANY scale (built-in corr()/covar_samp() stream
+    doubles, so their result depends on partitioning).
+
+    The raw moments accumulate as exact integers in cent units (both
+    columns carry <= 2 decimal digits), and — critically — the
+    catastrophic cancellation n*Sxy - Sx*Sy happens IN integer
+    arithmetic, not doubles: converting the big moments to double first
+    leaves each engine's decimal/int128->double rounding (1 ulp apart)
+    amplified thousands of times by the subtraction, which is exactly
+    what a first version of this query got wrong at sf0.1. Only the
+    already-small differences cross to double, via a STRING cast
+    (correctly-rounded parse in both engines); the closing expressions
+    are then an identical IEEE op sequence. Magnitudes: n*Sxy fits
+    int128/DECIMAL(38) beyond sf 1000. One shuffle (global
+    partial+final agg) regardless of input size."""
     li = load_table(spark, sf_dir, "lineitem")
-    d4 = "decimal(28,4)"
-    x = F.col("l_quantity").cast(d4)
-    y = F.col("l_extendedprice").cast(d4)
+    i18 = "decimal(18,0)"
+    x = (F.col("l_quantity") * 100).cast(i18)
+    y = (F.col("l_extendedprice") * 100).cast(i18)
     m = li.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast(i18).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("string").cast("double")
+    d1 = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("string").cast("double")
+    d2 = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("string").cast("double")
+    nd = n.cast("double")
     return m.select(
         n.cast("long").alias("n"),
-        ((n * sxy - sx * sy) / (n * (n - F.lit(1.0)))).alias("covar_qty_price"),
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-        ).alias("corr_qty_price"),
+        (num / (F.lit(10000.0) * nd * (nd - F.lit(1.0)))).alias("covar_qty_price"),
+        (num / (F.sqrt(d1) * F.sqrt(d2))).alias("corr_qty_price"),
     )

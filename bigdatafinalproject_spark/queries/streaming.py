@@ -223,3 +223,35 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — the oracle replays that with a 2-way lateral fan-out;
     equals the batch sliding aggregation exactly."""
     return S.sliding_counts(spark, sf_dir)
+
+
+_STREAM_PLANE_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CAST(embedding[i] AS DOUBLE) * "
+    "((('0x' || substr(md5(concat_ws('|', 'plane', p, i)), 1, 15))::BIGINT % 2001) "
+    "- 1000)), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "stream_embedding_index",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, CAST(p AS INT) AS p,
+                        CASE WHEN {_STREAM_PLANE_DOT} > 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM embeddings, LATERAL unnest(range(0, 12)) AS up(p)),
+    bands AS (SELECT vec_id, p // 4 AS band,
+                     string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS band_sig
+              FROM sig GROUP BY vec_id, band)
+    SELECT vec_id, CAST(band AS INT) AS band, band_sig FROM bands
+    """,
+)
+def stream_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ANN index maintenance
+    (streaming/embeddings.stream_lsh_index): per-batch stateless LSH
+    signatures appended to a parquet bucket index via an idempotent
+    foreachBatch sink. Finite input ⇒ index equals the batch signature
+    computation (same md5-hyperplane oracle as ann_lsh_topk)."""
+    from bigdatafinalproject_spark.streaming.embeddings import stream_lsh_index
+
+    return stream_lsh_index(spark, sf_dir)
