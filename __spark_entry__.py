@@ -96,7 +96,9 @@ _R3_CHANGED = (
 # driver's ~50-row window: stream_embedding_index is new (locally
 # oracle-green at sf0.001/0.01); part_triangle_count's result is
 # r2-hash-green and unchanged (only the physical plan moved).
-_R3_CHANGED_TAIL = ("stream_embedding_index", "part_triangle_count")
+_R3_CHANGED_TAIL = (
+    "stream_embedding_index", "embedding_pca_project", "part_triangle_count",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

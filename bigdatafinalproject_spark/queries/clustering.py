@@ -63,3 +63,17 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=8, update_rounds=1)
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (operators/pca): per-partition numpy
+    partial Gram matrices -> kilobyte tree-reduce -> driver eigh on the
+    d x d covariance -> broadcast literal components -> row-local fold
+    projection. Rows-only by design (float sums are order-dependent so
+    PCA is not bit-portable across engines); numerics pinned against a
+    single-node numpy reference in tests/test_pca.py."""
+    from bigdatafinalproject_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, "embedding", "vec_id", dim=64, k=8)
