@@ -101,6 +101,11 @@ _R3_CHANGED_TAIL = (
     # the new/plan-only-changed queries below are locally green too
     "corr_covar_portable", "stream_embedding_index",
     "embedding_pca_project", "part_triangle_count",
+    # round-3 continuation additions (locally oracle-green at
+    # sf0.001/0.01): queued behind the 37 first-time queries so those
+    # keep their guaranteed r3 driver row; these get theirs in r4.
+    "doc_pii_scrub", "doc_segment_dedup", "cms_heavy_hitters",
+    "orc_roundtrip_agg", "jsonl_roundtrip_agg",
 )
 
 

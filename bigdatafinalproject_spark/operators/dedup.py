@@ -459,3 +459,75 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_tokens: int = 16,
+    max_docs: int = 1,
+) -> DataFrame:
+    """C4-style segment-level dedup: split each document into fixed
+    ``seg_tokens``-token segments, drop every segment whose text occurs
+    in more than ``max_docs`` distinct documents corpus-wide, and
+    reassemble the surviving segments in order.
+
+    This is the intra-document tier real pretraining pipelines run
+    (C4 drops repeated three-sentence spans; RefinedWeb/Gopher drop
+    repeated lines) — exact dedup removes whole-document copies, this
+    removes boilerplate SPANS embedded in otherwise-unique documents.
+
+    Returns (id, clean_text, n_segs, n_kept).
+
+    100 TB shape: segmentation is per-row (no shuffle); the banned-
+    segment list is a groupBy on segment text with a count-distinct —
+    partial-aggregated map-side — and is then used as the small side of
+    a LEFT ANTI join (only segments above the frequency cap ship, a
+    tiny fraction of the corpus); reassembly is one groupBy on the doc
+    id. No step materializes doc x doc pairs.
+    """
+    s = int(seg_tokens)
+    d = spread(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")), id_col
+    )
+    segs = d.select(
+        id_col,
+        F.size("_toks").alias("_n_toks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(_toks) - 1) div {s}),"
+                f" i -> array_join(slice(_toks, i * {s} + 1, {s}), ' '))"
+            )
+        ).alias("seg_id", "seg"),
+    )
+    banned = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("seg")
+    )
+    kept = segs.join(banned, "seg", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                lambda st: st.seg,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    totals = d.select(
+        id_col,
+        ((F.size("_toks") - 1) / s).cast("int").alias("_floor"),
+    ).select(id_col, (F.col("_floor") + 1).alias("n_segs"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_segs").cast("int").alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Privacy / intra-document hygiene queries: PII redaction and
+C4-style segment-level dedup (net-new LLM-pipeline surface,
+BASELINE.json north star).
+
+Both oracles replay the exact operator semantics in DuckDB SQL —
+regex patterns live in the common Java-regex/RE2 subset, hashing is
+md5-derived, and the synthetic-PII injection is derived
+deterministically from the table keys so both engines build the
+identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators import privacy as P
+from bigdatafinalproject_spark.operators.dedup import segment_dedup
+from bigdatafinalproject_spark.registry import query
+
+# must match queries/text_dedup.py's normalization fragments
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# ---------------------------------------------------------------------------
+# PII scrub
+
+_DIRTY_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN
+      concat_ws(' ', text,
+        'email', source || '.u' || CAST(doc_id AS VARCHAR) || '@example.com',
+        'phone', '555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'),
+        'ip', CAST(10 + doc_id % 240 AS VARCHAR) || '.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+              || CAST(1 + doc_id % 254 AS VARCHAR))
+    ELSE text END
+"""
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH dirty AS (SELECT doc_id, {_DIRTY_SQL} AS t FROM documents),
+    s1 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(t, '{P.EMAIL_RE}')) AS INT)
+                      AS n_emails,
+                  regexp_replace(t, '{P.EMAIL_RE}', '{P.EMAIL_TOKEN}', 'g') AS t1
+           FROM dirty),
+    s2 AS (SELECT doc_id, n_emails,
+                  CAST(len(regexp_extract_all(t1, '{P.IPV4_RE}')) AS INT) AS n_ips,
+                  regexp_replace(t1, '{P.IPV4_RE}', '{P.IPV4_TOKEN}', 'g') AS t2
+           FROM s1)
+    SELECT doc_id,
+           regexp_replace(t2, '{P.PHONE_RE}', '{P.PHONE_TOKEN}', 'g')
+               AS clean_text,
+           n_emails, n_ips,
+           CAST(len(regexp_extract_all(t2, '{P.PHONE_RE}')) AS INT) AS n_phones
+    FROM s2
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4s / phones) with per-doc match counts.
+
+    The corpus is sanitized prose, so every third doc first gets
+    synthetic PII derived from its own key appended (identically in
+    both engines) — the scrub then provably removes it. Per-row
+    regexp_replace chain: no shuffle, JVM codegen, trivially
+    data-parallel at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        P.inject_synthetic_pii(d, "text", "doc_id", "source").alias("dirty"),
+    )
+    return P.redact_pii(dirty, "dirty", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup (C4-style repeated-span removal)
+
+_SEG = 16
+
+
+@query(
+    "doc_segment_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    seg AS (SELECT doc_id, CAST(u.i AS INT) AS seg_id,
+                   array_to_string(toks[(u.i*{_SEG}+1):((u.i+1)*{_SEG})], ' ')
+                       AS seg
+            FROM t, LATERAL unnest(range(0, ((len(toks)-1)//{_SEG})+1)) AS u(i)),
+    banned AS (SELECT seg FROM seg GROUP BY seg
+               HAVING COUNT(DISTINCT doc_id) > 1),
+    kept AS (SELECT s.doc_id, s.seg_id, s.seg FROM seg s
+             ANTI JOIN banned b USING (seg)),
+    re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+                  CAST(COUNT(*) AS INT) AS n_kept
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(((len(toks)-1)//{_SEG})+1 AS INT) AS n_segs
+            FROM t)
+    SELECT tot.doc_id, coalesce(re.clean_text, '') AS clean_text,
+           tot.n_segs, coalesce(re.n_kept, 0) AS n_kept
+    FROM tot LEFT JOIN re USING (doc_id)
+    """,
+)
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment dedup: drop every 16-token span occurring in
+    more than one document, reassemble the survivors in order."""
+    return segment_dedup(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        seg_tokens=_SEG, max_docs=1,
+    )

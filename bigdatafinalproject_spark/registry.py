@@ -55,6 +55,9 @@ _MODULES = (
     "layout",
     "jdbc",
     "corpus_mix",
+    "privacy",
+    "sketches",
+    "formats",
 )
 
 
