@@ -106,6 +106,7 @@ _R3_CHANGED_TAIL = (
     # keep their guaranteed r3 driver row; these get theirs in r4.
     "doc_pii_scrub", "doc_segment_dedup", "cms_heavy_hitters",
     "orc_roundtrip_agg", "jsonl_roundtrip_agg",
+    "hive_partitioned_prune_agg", "bucketed_join_agg",
 )
 
 

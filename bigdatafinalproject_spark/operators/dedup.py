@@ -493,7 +493,6 @@ def segment_dedup(
     )
     segs = d.select(
         id_col,
-        F.size("_toks").alias("_n_toks"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, (size(_toks) - 1) div {s}),"
@@ -505,29 +504,27 @@ def segment_dedup(
         segs.groupBy("seg")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .filter(F.col("_nd") > max_docs)
-        .select("seg")
+        .select("seg", F.lit(1).alias("_b"))
     )
-    kept = segs.join(banned, "seg", "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
+    # LEFT join the (tiny) banned list as a flag instead of anti-joining
+    # and re-deriving totals from a third scan: one pass produces the
+    # segment total, the kept count, AND the reassembled text. AQE
+    # broadcasts `banned` while it fits; no hint so a huge banned list
+    # degrades to a shuffle join instead of an OOM.
+    flagged = segs.join(banned, "seg", "left")
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_id", "seg", "_b"))
+                    ),
+                    lambda st: st.getField("_b").isNull(),
+                ),
                 lambda st: st.seg,
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-    )
-    totals = d.select(
-        id_col,
-        ((F.size("_toks") - 1) / s).cast("int").alias("_floor"),
-    ).select(id_col, (F.col("_floor") + 1).alias("n_segs"))
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.col("n_segs").cast("int").alias("n_segs"),
-            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
-        )
+        F.count(F.lit(1)).cast("int").alias("n_segs"),
+        F.count(F.when(F.col("_b").isNull(), 1)).cast("int").alias("n_kept"),
     )

@@ -65,7 +65,15 @@ def cms_heavy_hitters(
     side of the probe join is depth*width rows, broadcast.
     """
     sketch = cms_build(df, key_col, depth, width)
-    total = df.groupBy().agg(F.count(F.lit(1)).alias("_total"))
+    # total row count falls out of the sketch itself (each input row
+    # increments exactly one cell per grid row, so row 0 sums to N) —
+    # no extra scan, and the identical sketch subtree lets Spark reuse
+    # the exchange between the probe join and this branch.
+    total = (
+        sketch.filter(F.col("r") == 0)
+        .groupBy()
+        .agg(F.sum("c").alias("_total"))
+    )
     probes = (
         df.select(key_col)
         .distinct()

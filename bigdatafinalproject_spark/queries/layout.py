@@ -78,3 +78,106 @@ def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("supp_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# physical-layout source/sink patterns: hive-partitioned write + pruned
+# read, and bucketed co-located joins. The plan-level evidence (pruned
+# PartitionFilters, shuffle-free SortMergeJoin) is asserted in
+# tests/test_sources.py and tests/test_bucketing_grid.py; these queries
+# give the same patterns end-to-end driver correctness rows.
+
+import hashlib as _hashlib
+import os as _os
+import tempfile as _tempfile
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    tag = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return _os.path.join(
+        _tempfile.gettempdir(), f"bdfp_{kind}_{tag}_{_os.getpid()}"
+    )
+
+
+@query(
+    "hive_partitioned_prune_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def hive_partitioned_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → hive-partitioned parquet (partitionBy status) → read
+    back filtered to ONE partition → aggregate.
+
+    At 100 TB the partition column is the first scan-eliminator: the
+    filter lands in PartitionFilters (directory-level pruning — the
+    non-matching partitions are never even listed), before any footer
+    or row-group work. The status filter here reads 1 of 3 directories.
+    Partition values come back as strings; o_orderstatus is already a
+    string, so the roundtrip is lossless.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    path = _scratch(sf_dir, "hivepart")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    from bigdatafinalproject_spark.functions import dsum as _dsum
+
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders + lineitem bucketed on the join key → co-located join →
+    aggregate.
+
+    Both sides are written with bucketBy(8, key) + sortBy, so the join
+    consumes the on-disk bucketing and plans with NO shuffle exchange
+    on either side (asserted in tests/test_bucketing_grid.py). This is
+    the 100 TB strategy for fact-fact joins that repeat every run:
+    shuffle once at write time, never again at read time.
+    """
+    pid = _os.getpid()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    ot, lt = f"bdfp_orders_b_{pid}", f"bdfp_lineitem_b_{pid}"
+    (
+        o.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", _scratch(sf_dir, "bucket_o"))
+        .mode("overwrite").saveAsTable(ot)
+    )
+    (
+        li.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", _scratch(sf_dir, "bucket_l"))
+        .mode("overwrite").saveAsTable(lt)
+    )
+    from bigdatafinalproject_spark.functions import dsum as _dsum
+
+    joined = spark.table(ot).join(spark.table(lt), "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(F.col("l_quantity")).alias("total_qty"),
+    )

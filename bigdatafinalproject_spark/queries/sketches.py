@@ -38,7 +38,8 @@ def _cms_oracle(table: str, key: str) -> str:
     SELECT {key}, CAST(est_count AS BIGINT) AS est_count
     FROM est
     WHERE CAST(est_count AS DOUBLE) >=
-          CAST((SELECT COUNT(*) FROM {table}) AS DOUBLE) * CAST({_SHARE} AS DOUBLE)
+          CAST((SELECT CAST(SUM(c) AS BIGINT) FROM sketch WHERE r = 0) AS DOUBLE)
+          * CAST({_SHARE} AS DOUBLE)
     """
 
 
