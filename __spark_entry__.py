@@ -104,7 +104,7 @@ _R3_CHANGED_TAIL = (
     # round-3 continuation additions (locally oracle-green at
     # sf0.001/0.01): queued behind the 37 first-time queries so those
     # keep their guaranteed r3 driver row; these get theirs in r4.
-    "doc_pii_scrub", "doc_segment_dedup", "cms_heavy_hitters",
+    "doc_pii_scrub", "doc_segment_dedup", "cms_user_frequency",
     "orc_roundtrip_agg", "jsonl_roundtrip_agg",
     "hive_partitioned_prune_agg", "bucketed_join_agg",
 )
