@@ -154,3 +154,105 @@ def cms_heavy_hitters(
         )
         .select(key_col, F.col("est_count").cast("long").alias("est_count"))
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Equi-join cardinality estimate from the two sides' sketches:
+    est = min over grid rows r of sum_cell cA[r,cell] * cB[r,cell]
+    (the CM inner-product estimator; >= the true join size, collisions
+    only inflate). Returns a single row (est_join_size).
+
+    This is what a query planner does with sketches: size a join
+    WITHOUT scanning either table again — both sketches are <=
+    depth*width rows however big the inputs, and stay mergeable across
+    shards/days.
+    """
+    a = cms_build(left, left_key, depth, width)
+    b = cms_build(right, right_key, depth, width)
+    per_row = (
+        a.join(b.withColumnRenamed("c", "c2"), ["r", "cell"])
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
+    )
+    return per_row.groupBy().agg(
+        F.min("ip").cast("long").alias("est_join_size")
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Mergeable approximate quantiles from an equi-width histogram:
+    one min/max/count pass, one combinable per-bin count, linear
+    interpolation inside the target bin. Error <= one bin width by
+    construction (the true quantile lies in the chosen bin).
+
+    Why not percentile_approx: its GK sketch is
+    not reproducible across engines; this histogram is a deterministic
+    fixed sequence of double ops the DuckDB oracle replays bit-for-bit,
+    and per-shard histograms merge by bin-wise addition (same property
+    CMS/HLL give counts/distincts).
+
+    The cumulative sum runs as a triangular join over the <= ``bins``-row
+    histogram (broadcast, bounded) — no single-partition window.
+
+    Returns (q, est_value), one row per requested quantile.
+    """
+    v = F.col(value_col)
+    b = df.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
+    )
+    binned = df.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(((v - F.col("lo")) / (F.col("hi") - F.col("lo"))) * bins)
+            .cast("int"),
+            F.lit(bins - 1),
+        ).alias("bin"),
+        "lo",
+        "hi",
+        "n",
+    )
+    hist = binned.groupBy("bin", "lo", "hi", "n").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hb = hist.select(F.col("bin").alias("bin2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        hist.join(F.broadcast(hb), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "lo", "hi", "n", "cnt")
+        .agg(F.sum("cnt2").alias("cum"))
+    )
+    targets = (
+        b.select(
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            F.col("n"),
+        ).select(
+            "q", F.ceil(F.col("q") * F.col("n").cast("double")).cast("double")
+            .alias("target")
+        )
+    )
+    cand = cum.join(
+        F.broadcast(targets), F.col("cum").cast("double") >= F.col("target")
+    )
+    chosen = cand.groupBy("q", "target").agg(F.min("bin").alias("bin"))
+    sel = chosen.join(F.broadcast(cum), "bin")
+    binw = (F.col("hi") - F.col("lo")) / bins
+    est = (
+        F.col("lo")
+        + F.col("bin") * binw
+        + binw
+        * (
+            (F.col("target") - (F.col("cum") - F.col("cnt")).cast("double"))
+            / F.col("cnt").cast("double")
+        )
+    )
+    return sel.select("q", est.alias("est_value"))

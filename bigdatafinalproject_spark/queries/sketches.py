@@ -61,3 +61,95 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     probes = ev.filter(F.col("user_id") % _PROBE_MOD == 0).distinct()
     return cms_estimates(ev, "user_id", probes, depth=_DEPTH, width=_WIDTH)
+
+
+def _cms_join_oracle() -> str:
+    def side(table: str, key: str, name: str) -> str:
+        cells = "\n      UNION ALL ".join(
+            f"SELECT {r} AS r, {cell_sql('h', r, _WIDTH)} AS cell FROM {name}_h"
+            for r in range(_DEPTH)
+        )
+        return (
+            f"{name}_h AS (SELECT {h31_sql(key)} AS h FROM {table}),\n"
+            f"    {name}_cells AS ({cells}),\n"
+            f"    {name}_sk AS (SELECT r, cell, COUNT(*) AS c"
+            f" FROM {name}_cells GROUP BY r, cell)"
+        )
+
+    return f"""
+    WITH {side("orders", "o_custkey", "a")},
+    {side("customer", "c_custkey", "b")},
+    ip AS (SELECT a_sk.r, SUM(a_sk.c * b_sk.c) AS ip
+           FROM a_sk JOIN b_sk USING (r, cell) GROUP BY a_sk.r)
+    SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip
+    """
+
+
+@query("cms_join_size_estimate", oracle=_cms_join_oracle())
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders-customer join cardinality estimated from the two CMS
+    grids alone (CM inner-product estimator, >= the true size).
+
+    The planner use-case: size a prospective join from two 256-row
+    sketches without re-scanning either table — at 100 TB the sketches
+    are the only thing that moves.
+    """
+    from bigdatafinalproject_spark.operators.sketches import cms_join_size
+
+    return cms_join_size(
+        load_table(spark, sf_dir, "orders").select("o_custkey"),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+        depth=_DEPTH,
+        width=_WIDTH,
+    )
+
+
+_QBINS = 256
+
+
+@query(
+    "events_value_quantiles",
+    oracle=f"""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n
+               FROM events),
+    binned AS (SELECT least(CAST(floor(((value - lo) / (hi - lo)) * {_QBINS})
+                                 AS INT), {_QBINS - 1}) AS bin
+               FROM events, b),
+    hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+    cum AS (SELECT a.bin, a.cnt, SUM(h2.cnt) AS cum
+            FROM hist a JOIN hist h2 ON h2.bin <= a.bin GROUP BY a.bin, a.cnt),
+    qs AS (SELECT CAST(0.5 AS DOUBLE) AS q
+           UNION ALL SELECT CAST(0.95 AS DOUBLE)
+           UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+    t AS (SELECT q, CAST(ceil(q * (SELECT CAST(n AS DOUBLE) FROM b)) AS DOUBLE)
+                     AS target
+          FROM qs),
+    chosen AS (SELECT t.q, t.target, MIN(c.bin) AS bin
+               FROM t JOIN cum c ON CAST(c.cum AS DOUBLE) >= t.target
+               GROUP BY t.q, t.target),
+    sel AS (SELECT ch.q, ch.target, ch.bin, c.cnt, c.cum
+            FROM chosen ch JOIN cum c USING (bin))
+    SELECT q,
+           (SELECT lo FROM b)
+           + bin * (((SELECT hi FROM b) - (SELECT lo FROM b)) / {_QBINS})
+           + (((SELECT hi FROM b) - (SELECT lo FROM b)) / {_QBINS})
+             * ((target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+               AS est_value
+    FROM sel
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of events.value from a 256-bin mergeable histogram
+    sketch (error <= one bin width; exact percentiles exist separately
+    in the percentile family — this is the streaming/sharded-merge
+    path). Cumulation is a triangular broadcast join over the 256-row
+    histogram, not a single-partition window.
+    """
+    from bigdatafinalproject_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "value",
+        qs=(0.5, 0.95, 0.99), bins=_QBINS,
+    )

@@ -1,0 +1,67 @@
+"""Sketch guarantees: CMS over-estimation bounds, CM join-size bound,
+histogram-quantile error bound (one bin width)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.operators.sketches import (
+    cms_estimates,
+    cms_join_size,
+    histogram_quantiles,
+)
+from tests.conftest import SF_DIR
+
+
+def test_cms_estimates_upper_bound_truth(spark):
+    """est >= true count for every probe key; est <= total rows."""
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    probes = ev.distinct()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimates(ev, "user_id", probes).collect()
+    }
+    true = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = ev.count()
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert t <= est[k] <= total, (k, t, est[k], total)
+
+
+def test_cms_join_size_upper_bound(spark):
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey")
+    est = cms_join_size(o, "o_custkey", c, "c_custkey").collect()[0][
+        "est_join_size"
+    ]
+    true = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert est >= true
+    # CM inner-product slack is ~|A|*|B|/width per Cormode-Muthukrishnan;
+    # allow 3x the expected slack so the test pins the estimator really
+    # used the grid (a degenerate 1-cell grid would give |A|*|B|)
+    width = 64
+    assert est <= true + 3 * o.count() * c.count() / width
+
+
+def test_histogram_quantiles_within_one_bin(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    bins = 256
+    rows = {
+        r["q"]: r["est_value"]
+        for r in histogram_quantiles(ev, "value", (0.5, 0.95, 0.99), bins).collect()
+    }
+    assert len(rows) == 3
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    binw = (hi - lo) / bins
+    # monotone in q and inside data range
+    assert lo <= rows[0.5] <= rows[0.95] <= rows[0.99] <= hi + 1e-9
+    # true quantile lies in the chosen bin -> error < one bin width
+    for q in (0.5, 0.95, 0.99):
+        true_q = ev.agg(
+            F.expr(f"percentile(value, {q})").alias("p")
+        ).collect()[0]["p"]
+        assert abs(rows[q] - true_q) <= binw + 1e-9, (q, rows[q], true_q, binw)
