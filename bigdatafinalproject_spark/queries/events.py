@@ -261,3 +261,4 @@ def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     )
+
