@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from bigdatafinalproject_spark.catalog import table_path
+from bigdatafinalproject_spark.streaming.schema import (
+    cast_to_canonical,
+    footer_read_schema,
+)
 from bigdatafinalproject_spark.operators.text import quality_score
 
 _DOC_SCHEMA = T.StructType(
@@ -56,10 +60,13 @@ def stream_quality_filter(
     """Run the quality filter as a stream to completion; return the
     sink contents (doc_id, lang, quality) for kept docs."""
     raw = (
-        spark.readStream.schema(_DOC_SCHEMA)
+        spark.readStream.schema(
+            footer_read_schema(table_path(sf_dir, "documents"))
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(_doc_stream_dir(sf_dir))
     )
+    raw = cast_to_canonical(raw, _DOC_SCHEMA)
     # stateless path: projection + filter only (no joins, no state)
     scored = quality_score(raw, "text", "doc_id")
     out = scored.filter(scored["quality"] >= min_quality).select(
@@ -99,10 +106,13 @@ def stream_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatafinalproject_spark.operators.text import norm_text
 
     raw = (
-        spark.readStream.schema(_DOC_SCHEMA)
+        spark.readStream.schema(
+            footer_read_schema(table_path(sf_dir, "documents"))
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(_doc_stream_dir(sf_dir))
     )
+    raw = cast_to_canonical(raw, _DOC_SCHEMA)
     batch_docs = raw.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id", F.md5(norm_text(F.col("text"))).alias("digest")
     )

@@ -21,6 +21,10 @@ from pyspark.sql import types as T
 
 from bigdatafinalproject_spark.catalog import table_path
 from bigdatafinalproject_spark.operators.ann import lsh_signatures
+from bigdatafinalproject_spark.streaming.schema import (
+    cast_to_canonical,
+    footer_read_schema,
+)
 
 _EMB_SCHEMA = T.StructType(
     [
@@ -68,10 +72,13 @@ def stream_lsh_index(
     import tempfile
 
     raw = (
-        spark.readStream.schema(_EMB_SCHEMA)
+        spark.readStream.schema(
+            footer_read_schema(table_path(sf_dir, "embeddings"))
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(_emb_stream_dir(sf_dir))
     )
+    raw = cast_to_canonical(raw, _EMB_SCHEMA)
     sigs = lsh_signatures(
         raw.select("vec_id", "embedding"),
         id_col="vec_id",
