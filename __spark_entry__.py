@@ -107,7 +107,7 @@ _R3_CHANGED_TAIL = (
     "doc_pii_scrub", "doc_segment_dedup", "cms_user_frequency",
     "orc_roundtrip_agg", "jsonl_roundtrip_agg",
     "hive_partitioned_prune_agg", "bucketed_join_agg",
-    "cms_join_size_estimate", "events_value_quantiles",
+    "cms_join_size_estimate", "events_value_quantiles", "ann_lsh_recall",
 )
 
 

@@ -167,3 +167,64 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, id_col="vec_id", vec_col="embedding",
         k=10, num_planes=12, bands=3, dim=_DIM,
     )
+
+
+def _recall_oracle() -> str:
+    """Compose the exact and LSH oracles as subqueries: recall@10 per
+    query id (sets are small and deterministic in both engines)."""
+    from bigdatafinalproject_spark.registry import ORACLES
+
+    exact = ORACLES["ann_cosine_topk"]
+    approx = ORACLES["ann_lsh_topk"]
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({exact}) x),
+    approx AS (SELECT query_id, neighbor_id FROM ({approx}) y),
+    base AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+    hits AS (SELECT e.query_id, COUNT(*) AS n_hit
+             FROM exact e JOIN approx a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             GROUP BY e.query_id)
+    SELECT base.query_id,
+           CAST(coalesce(hits.n_hit, 0) AS INT) AS n_hit,
+           CAST(base.n_exact AS INT) AS n_exact,
+           CAST(coalesce(hits.n_hit, 0) AS DOUBLE)
+               / CAST(base.n_exact AS DOUBLE) AS recall
+    FROM base LEFT JOIN hits ON hits.query_id = base.query_id
+    """
+
+
+@query("ann_lsh_recall", oracle=_recall_oracle())
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the LSH tier against the exact tier, per query —
+    the quality metric that justifies (or indicts) an approximate
+    index's band/plane settings before rolling it out corpus-wide.
+
+    Both tiers run their normal plans; the comparison joins two
+    (query_id, neighbor_id) sets of <= 10 rows per query, so the
+    evaluation cost is the two searches themselves — at 100 TB you run
+    this on a sampled query panel (here: the standing %50 panel)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ex = cosine_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10
+    ).select("query_id", "neighbor_id")
+    ap = lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=10, num_planes=12, bands=3, dim=_DIM,
+    ).select("query_id", "neighbor_id")
+    base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = ex.join(ap, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+            F.col("n_exact").cast("int").alias("n_exact"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
