@@ -7,6 +7,7 @@ plus a tiny broadcast aggregate) — no UDFs, no driver-side loops.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
@@ -194,4 +195,49 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id", z.alias("z"), (z > 0).cast("int").alias("keep")
+    )
+
+
+_SHARD_SEED = 11
+_N_SHARDS = 16
+
+
+@query(
+    "doc_shard_shuffle",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      {oracle_hash64('doc_id', seed=_SHARD_SEED)} AS hsh
+               FROM documents)
+    SELECT doc_id,
+           CAST(hsh % {_N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hsh % {_N_SHARDS}
+                                   ORDER BY hsh, doc_id) AS INT) AS pos
+    FROM h
+    """,
+)
+def doc_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into {_N_SHARDS} equal-ish
+    shards with a reproducible within-shard order — what a pretraining
+    data loader consumes (epoch order must be shuffled AND identical
+    across reruns/engines; the reference's orderBy(rand(seed)) is
+    partition-dependent, ALS_model3.py:222 — this is the stable form).
+
+    Plan shape: one hash projection, one shuffle on the shard id, one
+    PARTITIONED window (each task ranks only its shard — never a global
+    single-task sort). At 100 TB: shards stream straight to
+    partitionBy('shard') writers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hsh = portable_hash64(F.col("doc_id"), seed=_SHARD_SEED)
+    w = W.partitionBy("shard").orderBy("hsh", "doc_id")
+    return (
+        d.select("doc_id", hsh.alias("hsh"))
+        .withColumn("shard", (F.col("hsh") % _N_SHARDS).cast("int"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("int").alias("pos"),
+            "hsh",
+        )
+        .drop("hsh")
     )
