@@ -96,6 +96,18 @@ def cms_estimates(
     (collisions only inflate). ``probes`` is one key per row.
     """
     sketch = cms_build(df, key_col, depth, width)
+    return estimates_from_sketch(sketch, probes, key_col, depth, width)
+
+
+def estimates_from_sketch(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point estimates for probe keys against an EXISTING sketch (built
+    here, loaded from a store, or merged from streaming partials)."""
     cells = (
         probes.select(key_col, _h31(F.col(key_col)).alias("_h"))
         .select(

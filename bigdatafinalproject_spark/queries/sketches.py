@@ -153,3 +153,22 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"), "value",
         qs=(0.5, 0.95, 0.99), bins=_QBINS,
     )
+
+
+@query("stream_cms_user_frequency", oracle=_cms_oracle("events", "user_id"))
+def stream_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME probe-panel estimates as cms_user_frequency, but the
+    sketch is maintained INCREMENTALLY by a stream: each micro-batch
+    writes its own partial grid (stateless foreachBatch, idempotent
+    batch paths), and the queryable sketch is the bin-wise sum of the
+    partials. Sharing cms_user_frequency's oracle IS the theorem: the
+    merge of per-batch sketches equals the one-shot global sketch."""
+    from bigdatafinalproject_spark.operators.sketches import (
+        estimates_from_sketch,
+    )
+    from bigdatafinalproject_spark.streaming.sketches import stream_cms_sketch
+
+    sketch, _ = stream_cms_sketch(spark, sf_dir, depth=_DEPTH, width=_WIDTH)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    probes = ev.filter(F.col("user_id") % _PROBE_MOD == 0).distinct()
+    return estimates_from_sketch(sketch, probes, "user_id", _DEPTH, _WIDTH)

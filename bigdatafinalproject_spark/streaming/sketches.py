@@ -1,0 +1,122 @@
+"""Streaming count-min sketch maintenance: the merge property, live.
+
+Each micro-batch builds its own partial (r, cell, c) grid INSIDE
+foreachBatch (stateless stream — no state store at all) and writes it
+idempotently under batch=<id>; the queryable sketch is the bin-wise SUM
+of every partial. Because CMS cells are plain counts, merged partial
+sketches are EXACTLY the sketch of the concatenated stream — which is
+what the DuckDB oracle (one global grid over the full table) verifies.
+
+At 100 TB/day this is the production shape: per-interval partial
+sketches land as tiny parquet rows (<= depth*width per batch), the
+serving-side merge is a groupBy over kilobytes, and re-processing any
+interval just overwrites its batch directory (exactly-once via
+idempotent per-batch paths, same policy as streaming/embeddings'
+LSH index).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import table_path
+from bigdatafinalproject_spark.operators.sketches import (
+    _cells_from_h,
+    _h31,
+)
+from bigdatafinalproject_spark.streaming.schema import footer_read_schema
+
+_N_CHUNKS = 4
+
+
+def _chunked_events_dir(sf_dir: str) -> str:
+    """Stage events split into several parquet files so the file source
+    (maxFilesPerTrigger=1) produces MULTIPLE micro-batches — the merge
+    path is only exercised with >1 partial sketch. Staged once per
+    (source path, mtime); concurrent processes share it safely because
+    content is deterministic and writes go through a tmp+rename."""
+    import pyarrow.parquet as pq
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"bdfp_evchunks_{tag}")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    t = pq.read_table(src, columns=["event_id", "user_id"])
+    n = t.num_rows
+    step = (n + _N_CHUNKS - 1) // _N_CHUNKS
+    tmp = d + f".tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(_N_CHUNKS):
+        pq.write_table(
+            t.slice(i * step, step), os.path.join(tmp, f"chunk{i}.parquet")
+        )
+    open(os.path.join(tmp, "_STAGED"), "w").write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another process won
+    return d
+
+
+def stream_cms_sketch(
+    spark: SparkSession, sf_dir: str, depth: int = 4, width: int = 64
+) -> tuple[DataFrame, int]:
+    """Run the event stream to completion, building one partial CMS per
+    micro-batch; return (merged sketch (r, cell, c), number of partial
+    sketches merged)."""
+    d = _chunked_events_dir(sf_dir)
+    raw = (
+        spark.readStream.schema(
+            footer_read_schema(os.path.join(d, "chunk0.parquet"))
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    cells = (
+        raw.select(_h31(F.col("user_id")).alias("_h"))
+        .select(F.explode(_cells_from_h(F.col("_h"), depth, width)).alias("rc"))
+        .select(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+    )
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"bdfp_cms_index_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    def write_partial(bdf: DataFrame, bid: int) -> None:
+        # aggregate INSIDE the batch: stateless stream, zero state store
+        (
+            bdf.groupBy("r", "cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch={bid}")
+        )
+
+    q = (
+        cells.writeStream.foreachBatch(write_partial)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("r", "cell")
+        .agg(F.sum("c").alias("c"))
+    )
+    n_batches = len(
+        [p for p in os.listdir(out) if p.startswith("batch=")]
+    )
+    return merged, n_batches

@@ -65,3 +65,21 @@ def test_histogram_quantiles_within_one_bin(spark):
             F.expr(f"percentile(value, {q})").alias("p")
         ).collect()[0]["p"]
         assert abs(rows[q] - true_q) <= binw + 1e-9, (q, rows[q], true_q, binw)
+
+
+def test_stream_cms_merges_multiple_partials_to_exact_global(spark):
+    """>1 micro-batch partial sketches merge to EXACTLY the one-shot
+    global sketch (count additivity — the property that makes CMS
+    shard/day-mergeable)."""
+    from bigdatafinalproject_spark.catalog import load_table
+    from bigdatafinalproject_spark.operators.sketches import cms_build
+    from bigdatafinalproject_spark.streaming.sketches import stream_cms_sketch
+
+    merged, n_batches = stream_cms_sketch(spark, SF_DIR)
+    assert n_batches > 1, "merge path not exercised"
+    one_shot = cms_build(
+        load_table(spark, SF_DIR, "events").select("user_id"), "user_id"
+    )
+    m = sorted(map(tuple, merged.collect()))
+    g = sorted(map(tuple, one_shot.collect()))
+    assert m == g
