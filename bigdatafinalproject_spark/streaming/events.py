@@ -42,28 +42,41 @@ def _raw_schema_and_norm(sf_dir: str):
     """
     import pyarrow as pa
 
+    from bigdatafinalproject_spark.streaming.schema import (
+        cast_to_canonical,
+        footer_read_schema,
+    )
+
     t = _events_ts_arrow_type(sf_dir)
     if pa.types.is_timestamp(t) and t.unit != "ns" and t.tz is None:
         ts_field = T.StructField("ts", T.TimestampNTZType())
-        norm = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
+        ts_norm = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
     elif pa.types.is_timestamp(t) and t.unit != "ns":
         ts_field = T.StructField("ts", T.TimestampType())
-        norm = lambda df: df  # noqa: E731
+        ts_norm = lambda df: df  # noqa: E731
     else:
         ts_field = T.StructField("ts", T.LongType())
-        norm = lambda df: df.withColumn(  # noqa: E731
+        ts_norm = lambda df: df.withColumn(  # noqa: E731
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # the OTHER columns' read types come from the footer too (same
+    # regeneration-proofing as streaming/documents + embeddings), then
+    # cast to the engine's canonical types after the ts normalization
+    footer = footer_read_schema(table_path(sf_dir, "events"))
     schema = T.StructType(
+        [ts_field if f.name == "ts" else f for f in footer]
+    )
+    canonical = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            ts_field,
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
+    norm = lambda df: cast_to_canonical(ts_norm(df), canonical)  # noqa: E731
     return schema, norm
 
 
@@ -142,7 +155,10 @@ def _flush_stream_dir(sf_dir: str) -> str:
         if os.path.getmtime(p) <= os.path.getmtime(src):
             return False
         try:
-            return pq.read_schema(p).field("ts").type == pq.read_schema(src).field("ts").type
+            # FULL-schema comparison, not just ts: any regenerated
+            # column type (e.g. value double -> float) makes the staged
+            # flush file unreadable alongside the new data file
+            return pq.read_schema(p).equals(pq.read_schema(src))
         except Exception:
             return False
 

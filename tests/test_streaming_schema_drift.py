@@ -67,3 +67,28 @@ def test_emb_stream_survives_float64_embedding(spark, drifted_emb_dir):
     )
     assert len(base) > 0
     assert base == drifted
+
+
+@pytest.fixture(scope="module")
+def drifted_events_dir(tmp_path_factory):
+    """events with event_id/user_id stored int32 (values fit exactly)."""
+    t = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
+    for name in ("event_id", "user_id"):
+        i = t.schema.get_field_index(name)
+        t = t.set_column(
+            i, pa.field(name, pa.int32()), t.column(name).cast(pa.int32())
+        )
+    d = tmp_path_factory.mktemp("events_i32")
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+def test_event_stream_survives_int32_ids(spark, drifted_events_dir):
+    from bigdatafinalproject_spark.streaming.events import tumbling_counts
+
+    base = sorted(map(tuple, tumbling_counts(spark, SRC_DIR).collect()))
+    drifted = sorted(
+        map(tuple, tumbling_counts(spark, drifted_events_dir).collect())
+    )
+    assert len(base) > 0
+    assert base == drifted
