@@ -109,6 +109,7 @@ _R3_CHANGED_TAIL = (
     "hive_partitioned_prune_agg", "bucketed_join_agg",
     "cms_join_size_estimate", "events_value_quantiles", "ann_lsh_recall",
     "doc_shard_shuffle", "stream_cms_user_frequency",
+    "events_multigrain_rollup",
 )
 
 

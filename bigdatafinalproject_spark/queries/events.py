@@ -262,3 +262,66 @@ def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").alias("max_value"),
     )
 
+
+
+@query(
+    "events_multigrain_rollup",
+    oracle="""
+    SELECT 'minute' AS grain,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    """,
+)
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at minute/hour/day grains
+    where each COARSER grain aggregates the FINER grain's partials —
+    raw events are scanned exactly once (the oracle re-states each
+    grain from raw; results agree because decimal sums are exact and
+    associative).
+
+    The 100 TB point: the minute partials are the only full-data
+    aggregation; hour rolls up minute rows (~1440x smaller), day rolls
+    up hour rows. Partials stay DECIMAL until the final cast, so
+    re-aggregation is bit-exact — the invariant that makes stored
+    continuous aggregates trustworthy.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(25,6)"
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("b"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("sv"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def fin(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("sv").cast("decimal(25,6)").cast("double").alias("total_value"),
+        )
+
+    return fin(minute, "minute").unionAll(fin(hour, "hour")).unionAll(
+        fin(day, "day")
+    )
