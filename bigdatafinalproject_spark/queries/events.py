@@ -297,14 +297,24 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     up hour rows. Partials stay DECIMAL until the final cast, so
     re-aggregation is bit-exact — the invariant that makes stored
     continuous aggregates trustworthy.
+
+    The minute aggregate is BARRIERED before fan-out: Spark does not
+    share subplans across the union's three branches (verified: 3 raw
+    scans, zero ReusedExchange without it), so the fan-out point is
+    materialized once — the part_abc lesson (NOTES.md), and the same
+    thing a stored continuous aggregate does by definition.
     """
+    from bigdatafinalproject_spark.operators.barrier import (
+        materialize_barrier,
+    )
+
     e = load_table(spark, sf_dir, "events")
     dec = "decimal(25,6)"
-    minute = e.groupBy(
-        F.date_trunc("minute", "ts").alias("b"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(dec)).alias("sv"),
+    minute = materialize_barrier(
+        e.groupBy(F.date_trunc("minute", "ts").alias("b"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(dec)).alias("sv"),
+        )
     )
     hour = minute.groupBy(
         F.date_trunc("hour", "b").alias("b"), "event_type"
