@@ -74,54 +74,58 @@ _R2_DRIVER_CHECKED = (
     "stream_click_purchase_join",
 )
 
-# changed or fixed in round 3 (the events.ts timestamp[us] normalization
-# repaired the streaming family; approx_stats schema changed; triangle
-# broadcast hints dropped; five queries are new) -> verify first.
-# Sized deliberately: 13 changed + 37 never-driver-checked = exactly the
-# ~50-query window the driver has verified per round, so every changed
-# AND every never-checked query gets a round-3 row. The also-repaired
-# sessionize / stream_user_totals / events_gap_stats family either sits
-# inside the never-checked block or has r1/r2-identical restored results.
-_R3_CHANGED = (
+# driver-checked in r3 (CORRECTNESS_r03.json keys) — the 13 changed +
+# 37 first-time queries; union with r1/r2 below.
+_R3_DRIVER_CHECKED = (
     "stream_tumbling", "stream_sliding", "stream_sessions",
     "stream_foreachbatch_sink", "stream_click_purchase_join",
     "events_interval_join", "approx_stats", "stream_user_totals",
     "jdbc_roundtrip_agg", "doc_chunk_overlap", "doc_temperature_mix",
     "stream_click_purchase_left_join", "doc_quality_classifier",
+    "ann_ivf_topk", "eval_ranking_metrics", "exact_percentiles",
+    "grouping_sets_revenue", "portable_sample", "price_band_join",
+    "doc_audio_features", "orders_upsert_latest", "events_outlier_removal",
+    "orders_quality_checks", "events_resample_ffill", "doc_repetition",
+    "doc_mixture_sample", "part_fuzzy_names", "events_trailing_window",
+    "lineitem_standardize", "doc_hashed_bow", "doc_grouped_split",
+    "doc_bpe_tokens", "events_histogram", "customer_profile",
+    "customer_name_parse", "part_bayesian_rating", "nation_revenue_share",
+    "basket_pair_lift", "orders_scd2", "customer_stratified_k",
+    "corpus_curation", "doc_bigram_lm", "doc_contamination",
+    "events_funnel", "events_gap_stats", "events_moving_median",
+    "events_count_anomaly", "events_transition_matrix",
+    "part_degree_distribution", "events_retention",
 )
 
-# changed/new but LOWER re-verification priority, ordered right after
-# the never-checked block so all 37 first-time queries stay inside the
-# driver's ~50-row window: stream_embedding_index is new (locally
-# oracle-green at sf0.001/0.01); part_triangle_count's result is
-# r2-hash-green and unchanged (only the physical plan moved).
-_R3_CHANGED_TAIL = (
-    # corr_covar_portable's rewrite is verified bit-exact locally at
-    # sf0.001/0.01/0.1 (NOTES.md: string->double cancellation fix);
-    # the new/plan-only-changed queries below are locally green too
-    "corr_covar_portable", "stream_embedding_index",
-    "embedding_pca_project", "part_triangle_count",
-    # round-3 continuation additions (locally oracle-green at
-    # sf0.001/0.01): queued behind the 37 first-time queries so those
-    # keep their guaranteed r3 driver row; these get theirs in r4.
+# Round-4 front of the driver window, in priority order:
+# (a) the 15 round-3 additions that have never had a driver
+#     CORRECTNESS row (VERDICT r3 "What's missing" #1 — all locally
+#     oracle-green in tests/test_registry_oracle.py);
+# (b) queries whose results or plans CHANGE in round 4 — appended in
+#     the same commit as the change (rotation discipline, NOTES.md).
+_R4_FRONT = (
+    # (a) never driver-checked
     "doc_pii_scrub", "doc_segment_dedup", "cms_user_frequency",
-    "orc_roundtrip_agg", "jsonl_roundtrip_agg",
+    "cms_join_size_estimate", "orc_roundtrip_agg", "jsonl_roundtrip_agg",
     "hive_partitioned_prune_agg", "bucketed_join_agg",
-    "cms_join_size_estimate", "events_value_quantiles", "ann_lsh_recall",
-    "doc_shard_shuffle", "stream_cms_user_frequency",
-    "events_multigrain_rollup",
+    "events_value_quantiles", "ann_lsh_recall", "doc_shard_shuffle",
+    "stream_cms_user_frequency", "events_multigrain_rollup",
+    "stream_embedding_index", "embedding_pca_project",
+    # (b) changed in round 4
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(registry.QUERIES)
-    checked = set(_R1_DRIVER_CHECKED) | set(_R2_DRIVER_CHECKED)
-    changed = [n for n in _R3_CHANGED if n in registry.QUERIES]
-    tail = [n for n in _R3_CHANGED_TAIL if n in registry.QUERIES]
-    front = set(changed) | set(tail)
+    checked = (
+        set(_R1_DRIVER_CHECKED)
+        | set(_R2_DRIVER_CHECKED)
+        | set(_R3_DRIVER_CHECKED)
+    )
+    front = [n for n in _R4_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
-    ordered = changed + fresh + tail + green
+    ordered = front + fresh + green
     return {n: registry.QUERIES[n] for n in ordered}
 
 
