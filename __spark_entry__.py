@@ -112,6 +112,14 @@ _R4_FRONT = (
     "stream_cms_user_frequency", "events_multigrain_rollup",
     "stream_embedding_index", "embedding_pca_project",
     # (b) changed in round 4
+    # quantized 256-bin threshold grid (structural window boundedness)
+    "eval_auc", "eval_roc_points",
+    # multiprobe LSH retune (24 planes / 4 bands / multiprobe@1)
+    "ann_lsh_topk",
+    # large-star/small-star connected components (same labels, new plan)
+    "doc_neardup_components",
+    # leaner ALS twins (rows-only; rank/maxIter trimmed for the bench)
+    "als_recommendations", "als_eval_rmse",
 )
 
 

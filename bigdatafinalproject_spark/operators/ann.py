@@ -357,6 +357,53 @@ def quantized_topk(
     return out.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
 
 
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Bucket-sharing (query_id, neighbor_id) candidate pairs.
+
+    ``multiprobe=1`` additionally probes, per band, every signature at
+    Hamming distance 1 from the query's — the standard multiprobe-LSH
+    recall lever (Lv et al., VLDB'07). Crucially the probes are
+    generated on the QUERY side only (r+1 probe rows per query band):
+    the corpus index keeps one row per (vector, band), so at 100 TB the
+    index build cost and size are unchanged — recall is bought with a
+    constant factor more lookups on the small side of the join.
+    """
+    r = num_planes // bands
+    csig = lsh_signatures(corpus, id_col, vec_col, num_planes, bands, dim)
+    qsig = lsh_signatures(queries, id_col, vec_col, num_planes, bands, dim)
+    qprobe = qsig.select(F.col(id_col).alias("query_id"), "band", "band_sig")
+    if multiprobe >= 1:
+        # f = 0 keeps the exact signature; f in 1..r flips bit f
+        flips = F.expr(
+            f"transform(sequence(0, {r}), f -> CASE WHEN f = 0 THEN band_sig "
+            f"ELSE concat(substring(band_sig, 1, f - 1), "
+            f"CASE WHEN substring(band_sig, f, 1) = '1' THEN '0' ELSE '1' END, "
+            f"substring(band_sig, f + 1, {r})) END)"
+        )
+        qprobe = qprobe.select(
+            "query_id", "band", F.explode(flips).alias("band_sig")
+        )
+    cand = (
+        qprobe.join(
+            csig.select(F.col(id_col).alias("neighbor_id"), "band", "band_sig"),
+            on=["band", "band_sig"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return cand
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -366,20 +413,12 @@ def lsh_topk(
     num_planes: int = 12,
     bands: int = 3,
     dim: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine evaluated only on bucket-sharing
     candidates. Returns (query_id, neighbor_id, cosine, rank)."""
-    csig = lsh_signatures(corpus, id_col, vec_col, num_planes, bands, dim)
-    qsig = lsh_signatures(queries, id_col, vec_col, num_planes, bands, dim)
-    cand = (
-        qsig.select(F.col(id_col).alias("query_id"), "band", "band_sig")
-        .join(
-            csig.select(F.col(id_col).alias("neighbor_id"), "band", "band_sig"),
-            on=["band", "band_sig"],
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    cand = lsh_candidates(
+        corpus, queries, id_col, vec_col, num_planes, bands, dim, multiprobe
     )
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),

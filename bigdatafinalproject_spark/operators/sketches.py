@@ -16,12 +16,13 @@ The estimate step broadcasts the tiny sketch (depth*width rows) and
 never re-scans raw data.
 
 Hash cost note: the grid rows use ONE md5-derived base hash per key
-plus an affine family ((2r+1)*h + c_r mod p) — the same construction
-as the minhash family in operators/dedup.py — instead of depth
-independent md5s; the base hash is materialized in its own projection
-so codegen evaluates it once per row (4x less hashing; profiled 2x
-end-to-end at sf0.1). All arithmetic is md5-derived and exactly
-replayed by the DuckDB oracle.
+plus a Carter-Wegman affine family (a_r*h + b_r mod p, with LARGE
+md5-derived per-row multipliers — see _row_consts for why small
+structured multipliers are unsound) instead of depth independent md5s;
+the base hash is materialized in its own projection so codegen
+evaluates it once per row (4x less hashing; profiled 2x end-to-end at
+sf0.1). All arithmetic is md5-derived and exactly replayed by the
+DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -39,11 +40,29 @@ def _h31(key: Column) -> Column:
     return portable_hash64(key, seed=0) % _P
 
 
+def _row_consts(r: int) -> tuple[int, int]:
+    """Carter-Wegman multiplier/offset for grid row r, md5-derived.
+
+    The multipliers must be LARGE random odd-ish constants: with small
+    structured multipliers like (2r+1), two keys whose base hashes
+    differ by a multiple of ``width`` collide in EVERY row (the affine
+    map preserves the difference's low bits), collapsing the
+    (1/width)^depth full-depth collision bound to 1/width — found by
+    test_cms_heavy_hitters_finds_skewed_keys_no_false_negatives.
+    """
+    import hashlib
+
+    a = int(hashlib.md5(f"cms|a|{r}".encode()).hexdigest()[:15], 16) % (_P - 1) + 1
+    b = int(hashlib.md5(f"cms|b|{r}".encode()).hexdigest()[:15], 16) % _P
+    return a, b
+
+
 def _cell(h31: Column, r: int, width: int) -> Column:
-    """Grid-row r's cell from the base hash: affine family mod p, then
-    mod width. (2r+1)*max_h31 fits comfortably in int64 for any sane
-    depth."""
-    return (((2 * r + 1) * h31 + (r * 12345 + 678)) % _P % width).cast("int")
+    """Grid-row r's cell from the base hash: pairwise-independent
+    affine family mod p, then mod width. a_r*max_h31 < 2^62 fits
+    int64."""
+    a, b = _row_consts(r)
+    return ((a * h31 + b) % _P % width).cast("int")
 
 
 def _cells_from_h(h31: Column, depth: int, width: int) -> Column:
@@ -62,7 +81,8 @@ def h31_sql(key_sql: str) -> str:
 
 def cell_sql(h_sql: str, r: int, width: int) -> str:
     """DuckDB SQL mirroring :func:`_cell`."""
-    return f"CAST((({2 * r + 1} * {h_sql} + {r * 12345 + 678}) % {_P}) % {width} AS INT)"
+    a, b = _row_consts(r)
+    return f"CAST((({a} * {h_sql} + {b}) % {_P}) % {width} AS INT)"
 
 
 def cms_build(
@@ -225,11 +245,20 @@ def histogram_quantiles(
         F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
     )
     binned = df.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor(((v - F.col("lo")) / (F.col("hi") - F.col("lo"))) * bins)
-            .cast("int"),
-            F.lit(bins - 1),
-        ).alias("bin"),
+        # hi == lo guard (constant column): the affine bin expression
+        # would be 0/0 = NaN -> null bin; route every row to bin 0
+        # instead, where binw = 0 makes the interpolation collapse to
+        # the exact answer lo (ADVICE r3). Empty input yields an empty
+        # result by construction (no rows to bin).
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(((v - F.col("lo")) / (F.col("hi") - F.col("lo"))) * bins)
+                .cast("int"),
+                F.lit(bins - 1),
+            )
+        )
+        .alias("bin"),
         "lo",
         "hi",
         "n",

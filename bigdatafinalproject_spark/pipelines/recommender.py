@@ -277,6 +277,82 @@ def serve_wide(
     )
 
 
+def reference_model_txt(
+    trained: TrainedRecommender,
+    test_preds: DataFrame,
+    wide: DataFrame,
+    team: str = "spark-graft",
+    db_name: str = "ratings",
+    report_date: str = "",
+    n_books: int = 10,
+) -> str:
+    """Render the reference's exact ``model.txt`` section layout
+    (model_report.py:56-79: header comments, 6.a RMSE line, 6.b
+    0.25-wide RMSE histogram, 6.c wide top-N table with titles
+    truncated to 12 chars) — but from MEASURED values.
+
+    Documented divergence (SURVEY §7.8-5): the reference hard-codes
+    both the 6.a RMSE values and the 6.b histogram counts
+    (model_report.py:48-54, "RMSE values are predefined here for
+    demonstration"). Here 6.a prints the measured test RMSE and 6.b is
+    the measured per-prediction |rating − prediction| histogram — one
+    bounded Spark aggregation (≤ 11 bins), not a driver-side pass.
+
+    ``test_preds``: (rating, prediction) rows from the eval split.
+    ``wide``: serve_wide() output (original_user_id, userId, rec_*).
+    """
+    bins = [i * 0.25 for i in range(10)]
+    hist_rows = (
+        test_preds.select(
+            F.least(
+                F.floor(
+                    F.abs(
+                        F.col("rating").cast("double")
+                        - F.col("prediction").cast("double")
+                    )
+                    / 0.25
+                ),
+                F.lit(len(bins) - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hist = {r["bin"]: r["n"] for r in hist_rows}
+    rec_cols = [c for c in wide.columns if c.startswith("rec_")][:n_books]
+    wide_rows = wide.orderBy("userId").collect()
+
+    out = [
+        f"# Team: {team}",
+        f"# Date: {report_date}",
+        f"# Database name: {db_name}",
+        f"6.a) RMSE of the full model {trained.test_rmse:.4f} (measured; "
+        "the reference hard-coded UB 0.77 / IB 0.82 — model_report.py:48-54)",
+        "6.b) histogram of RMSE (measured |rating - prediction| counts)",
+        "RMSE",
+        "      N",
+        *[f"{b:.2f}   {hist.get(i, 0)}" for i, b in enumerate(bins)],
+        "",
+        f"6.c) Top-{n_books} recommendations",
+        "user",
+        "       " + "  ".join(f"book{i}" for i in range(1, n_books + 1)),
+    ]
+    for r in wide_rows:
+        books = "  ".join(
+            str(r[c])[:12] if r[c] is not None else "" for c in rec_cols
+        )
+        out.append(f"{str(r['original_user_id']):<12} {books}")
+    out.append("")
+    out.append(
+        "note: all values measured (the reference's report metrics were "
+        "fabricated; see SURVEY §7.8-5)"
+    )
+    return "\n".join(out)
+
+
 def model_report(
     cv: CVResult, trained: TrainedRecommender, dataset_counts: dict[str, int]
 ) -> str:

@@ -127,6 +127,15 @@ _PLANE_DOT = (
 )
 
 
+# tuned on the sf0.01 panel (NOTES.md round-4): 24 planes / 4 bands
+# (r=6) + query-side multiprobe at Hamming distance 1 lifts mean
+# recall@10 from 0.31 to 0.70 while candidates stay ~1/3 of the
+# brute-force pair count (asserted in test_properties.py)
+_LSH_PLANES = 24
+_LSH_BANDS = 4
+_LSH_R = _LSH_PLANES // _LSH_BANDS
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
@@ -134,13 +143,22 @@ _PLANE_DOT = (
     sig AS (SELECT vec_id, CAST(p AS INT) AS p,
                    CASE WHEN {_PLANE_DOT.format(dim1=_DIM + 1)} > 0
                         THEN 1 ELSE 0 END AS bit
-            FROM embeddings, LATERAL unnest(range(0, 12)) AS up(p)),
-    bands AS (SELECT vec_id, p // 4 AS band,
+            FROM embeddings, LATERAL unnest(range(0, {_LSH_PLANES})) AS up(p)),
+    bands AS (SELECT vec_id, p // {_LSH_R} AS band,
                      string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS band_sig
               FROM sig GROUP BY vec_id, band),
+    probes AS (SELECT vec_id, band,
+                      CASE WHEN f = 0 THEN band_sig
+                           ELSE concat(substr(band_sig, 1, f - 1),
+                                       CASE WHEN substr(band_sig, f, 1) = '1'
+                                            THEN '0' ELSE '1' END,
+                                       substr(band_sig, f + 1, {_LSH_R}))
+                      END AS band_sig
+               FROM bands, LATERAL unnest(range(0, {_LSH_R + 1})) AS uf(f)
+               WHERE vec_id % 50 = 0),
     cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-             FROM bands q JOIN bands c ON q.band = c.band AND q.band_sig = c.band_sig
-             WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+             FROM probes q JOIN bands c ON q.band = c.band AND q.band_sig = c.band_sig
+             WHERE q.vec_id <> c.vec_id),
     dots AS (SELECT cand.query_id, cand.neighbor_id,
                     {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
              FROM cand
@@ -159,13 +177,15 @@ _PLANE_DOT = (
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (3 bands × 4 hyperplanes): exact
-    cosine evaluated only on bucket-sharing candidates — the scale path."""
+    """LSH-bucketed approximate top-10 (4 bands × 6 hyperplanes,
+    query-side multiprobe@1): exact cosine evaluated only on
+    bucket-sharing candidates — the scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_topk(
         emb, queries, id_col="vec_id", vec_col="embedding",
-        k=10, num_planes=12, bands=3, dim=_DIM,
+        k=10, num_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_DIM,
+        multiprobe=1,
     )
 
 
@@ -210,7 +230,8 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
     ap = lsh_topk(
         emb, queries, id_col="vec_id", vec_col="embedding",
-        k=10, num_planes=12, bands=3, dim=_DIM,
+        k=10, num_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_DIM,
+        multiprobe=1,
     ).select("query_id", "neighbor_id")
     base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     hits = ex.join(ap, ["query_id", "neighbor_id"], "left_semi").groupBy(

@@ -87,16 +87,27 @@ def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_sources.py and tests/test_bucketing_grid.py; these queries
 # give the same patterns end-to-end driver correctness rows.
 
+import atexit as _atexit
 import hashlib as _hashlib
 import os as _os
+import shutil as _shutil
 import tempfile as _tempfile
+
+_SCRATCH_CLEANUP: set[str] = set()
 
 
 def _scratch(sf_dir: str, kind: str) -> str:
+    """Pid-tagged scratch dir, removed at interpreter exit — repeated
+    runs and testdata regenerations otherwise accrete one dir per pid
+    under /tmp (ADVICE r3)."""
     tag = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return _os.path.join(
+    path = _os.path.join(
         _tempfile.gettempdir(), f"bdfp_{kind}_{tag}_{_os.getpid()}"
     )
+    if path not in _SCRATCH_CLEANUP:
+        _SCRATCH_CLEANUP.add(path)
+        _atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @query(

@@ -33,8 +33,19 @@ def footer_read_schema(parquet_path: str) -> T.StructType:
 
 def cast_to_canonical(df: DataFrame, canonical: T.StructType) -> DataFrame:
     """Cast every column whose loaded type differs from the canonical
-    schema (no-op projection when nothing drifted)."""
+    schema (no-op projection when nothing drifted).
+
+    Raises ValueError naming the missing columns if a regeneration
+    dropped or renamed one — the drift class a bare KeyError would turn
+    into an opaque crash (ADVICE r3)."""
     loaded = dict(zip(df.schema.names, df.schema.fields))
+    missing = [f.name for f in canonical if f.name not in loaded]
+    if missing:
+        raise ValueError(
+            f"canonical columns {missing} absent from loaded schema "
+            f"{sorted(loaded)} — the source parquet no longer carries "
+            "them (dropped or renamed in a testdata regeneration?)"
+        )
     cols = []
     for f in canonical:
         if loaded[f.name].dataType == f.dataType:

@@ -17,6 +17,8 @@ LSH index).
 
 from __future__ import annotations
 
+import atexit
+import glob
 import hashlib
 import os
 import shutil
@@ -61,11 +63,27 @@ def _chunked_events_dir(sf_dir: str) -> str:
         pq.write_table(
             t.slice(i * step, step), os.path.join(tmp, f"chunk{i}.parquet")
         )
-    open(os.path.join(tmp, "_STAGED"), "w").write("ok")
+    # _STAGED records the source path so stale same-source chunk dirs
+    # (older mtime tags after a testdata regeneration) are identifiable
+    open(os.path.join(tmp, "_STAGED"), "w").write(src)
     try:
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # another process won
+    # prune stale chunk dirs for the SAME source file (ADVICE r3):
+    # different tag = an mtime that no longer exists; other sources'
+    # dirs are left alone (may be live in a concurrent process)
+    for p in glob.glob(
+        os.path.join(tempfile.gettempdir(), "bdfp_evchunks_*")
+    ):
+        if p == d or p.endswith(f".tmp{os.getpid()}"):
+            continue
+        try:
+            with open(os.path.join(p, "_STAGED")) as fh:
+                if fh.read() == src:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     return d
 
 
@@ -95,6 +113,10 @@ def stream_cms_sketch(
         tempfile.gettempdir(), f"bdfp_cms_index_{tag}_{os.getpid()}"
     )
     shutil.rmtree(out, ignore_errors=True)
+    # the merged frame reads `out` lazily, so removal must wait for
+    # interpreter exit — without this every run/pid leaks a partial-
+    # sketch tree under /tmp (ADVICE r3)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
 
     def write_partial(bdf: DataFrame, bid: int) -> None:
         # aggregate INSIDE the batch: stateless stream, zero state store

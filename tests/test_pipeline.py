@@ -89,6 +89,53 @@ def test_full_pipeline_end_to_end(spark, bx_raw):
     assert f"{trained.test_rmse:.4f}" in report
 
 
+def test_reference_model_txt_layout_from_measured_values(spark):
+    """The [ref]-shaped report artifact (VERDICT r3 #7): renders the
+    reference's model.txt section layout (model_report.py:56-79) and
+    pins that every value is MEASURED — the reference hard-coded its
+    RMSE and histogram (model_report.py:48-54); ours must derive the
+    6.b histogram from the actual predictions and say so."""
+    preds = spark.createDataFrame(
+        [(5.0, 4.8), (7.0, 6.5), (2.0, 4.1), (9.0, 8.9), (3.0, 3.0)],
+        "rating double, prediction double",
+    )
+    wide = spark.createDataFrame(
+        [("u000001", 0, "A Very Long Book Title", "Short"),
+         ("u000002", 1, "Another Title Exceeding", None)],
+        "original_user_id string, userId int, rec_1 string, rec_2 string",
+    )
+    trained = P.TrainedRecommender(
+        model=None, users=None, items=None,
+        train_rmse=0.41, test_rmse=1.2345, test_auc=0.77,
+    )
+    txt = P.reference_model_txt(
+        trained, preds, wide, team="spark-graft", db_name="ratings",
+        report_date="2026-08-14", n_books=2,
+    )
+    lines = txt.splitlines()
+    # reference header layout
+    assert lines[0] == "# Team: spark-graft"
+    assert lines[2] == "# Database name: ratings"
+    # 6.a carries the MEASURED rmse and flags the reference's values
+    assert "6.a) RMSE of the full model 1.2345 (measured" in txt
+    assert "hard-coded UB 0.77 / IB 0.82" in txt
+    # 6.b histogram: 0.25-wide bins, counts derived from preds
+    # |errors| = .2 .5 2.1 .1 0.0 -> bins 0,2,8,0,0 => bin0:3 bin2:1 bin8:1
+    assert "6.b) histogram of RMSE (measured" in txt
+    hist_start = lines.index("      N") + 1
+    hist = {lines[hist_start + i].split()[0]: int(lines[hist_start + i].split()[1])
+            for i in range(10)}
+    assert hist["0.00"] == 3 and hist["0.50"] == 1 and hist["2.00"] == 1
+    assert sum(hist.values()) == 5, "histogram must cover every prediction"
+    # 6.c wide table with 12-char truncation (reference model_report.py:45)
+    assert "6.c) Top-2 recommendations" in txt
+    assert "A Very Long " in txt and "A Very Long Book" not in txt
+    # nulls render as empty, layout keeps the user column left-padded
+    assert any(line.startswith("u000002") for line in lines)
+    # the divergence note is pinned
+    assert "fabricated" in txt and "measured" in txt
+
+
 def test_model_persistence_roundtrip(spark, bx_raw, tmp_path):
     """S4: train -> save -> load -> identical predictions + mappings
     (the reference's cross-script contract, ALS_model3.py:251-253 ->

@@ -29,10 +29,38 @@ _BOUNDED_WINDOW_OK = {
     # pool rank runs over the TakeOrderedAndProject result: exactly
     # pool_k (10) rows by construction, independent of data size
     "recs_wide_assembly": "rank over orderBy().limit(k) pool, k rows",
+    # operators/ids.py dense-ID offsets: the window input is the
+    # per-partition count aggregate — exactly numPartitions rows (a
+    # config constant), never data-sized
+    "dense_customer_ids": "offset window over numPartitions count rows",
+    "surrogate_join_back": "offset window over numPartitions count rows",
+    # operators/cumsum.py running-sum offsets: same shape — one row per
+    # repartitionByRange partition
+    "part_abc_analysis": "offset window over numPartitions partial rows",
+    # queries/recommend.py: AUC/ROC windows run over the quantized
+    # score grid — ≤ _ROC_BINS (256) rows BY CONSTRUCTION after the
+    # groupBy(bin), independent of input cardinality
+    "eval_auc": "window over fixed 256-bin quantized score grid",
+    "eval_roc_points": "window over fixed 256-bin quantized score grid",
+    # revenue share-of-total: windows partition over the nation
+    # dimension (25 rows, data-model-bounded)
+    "nation_revenue_share": "windows over nation dimension (25 rows)",
 }
 
 
 def _lint(df):
+    """Walk the FINAL physical plan (AQE-resolved) of df.
+
+    ``queryExecution().executedPlan()`` returns AdaptiveSparkPlanExec
+    whose ``inputPlan`` is the plan BEFORE EnsureRequirements — no
+    exchanges exist yet and every node reports UnknownPartitioning, so
+    walking it sees no SinglePartition feeds (the r3 blind spot: the
+    bench logged live ``WindowExec: No Partition Defined`` warnings
+    while this lint stayed green). ``finalPhysicalPlan()`` materializes
+    the query stages and returns the plan that actually ran, where the
+    Exchange/SinglePartition structure is real. Query stages are
+    descended via ``.plan()`` so upstream stages are linted too.
+    """
     single_part_windows, cartesians = [], []
 
     def walk(node):
@@ -47,10 +75,9 @@ def _lint(df):
         if name == "CartesianProduct":
             cartesians.append(name)
         if name == "AdaptiveSparkPlan":
-            try:
-                walk(node.inputPlan())
-            except Exception:
-                pass
+            walk(node.finalPhysicalPlan())
+        elif name.endswith("QueryStage"):
+            walk(node.plan())
 
     walk(df._jdf.queryExecution().executedPlan())
     return single_part_windows, cartesians

@@ -184,6 +184,30 @@ def test_lsh_topk_matches_exact_on_matched_pairs(spark):
         assert exact[k] == approx[k]
 
 
+def test_lsh_multiprobe_recall_and_candidate_bound(spark):
+    """The registered LSH parameterization (24 planes / 4 bands /
+    multiprobe@1, queries/ann.py) must deliver mean recall@10 >= 0.6 on
+    the sf0.01 panel (VERDICT r3 #3 — 0.31 was too weak to recommend)
+    while generating at most half the brute-force Q*(N-1) pair count:
+    the recall is bought with query-side probes, not a dense join."""
+    from bigdatafinalproject_spark.operators.ann import lsh_candidates
+    from bigdatafinalproject_spark.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    q = queries.count()
+    n_cand = lsh_candidates(
+        emb, queries, num_planes=24, bands=4, multiprobe=1
+    ).count()
+    assert n_cand <= 0.5 * q * (n - 1), (n_cand, q, n)
+    recall = QUERIES["ann_lsh_recall"](spark, sf_dir).agg(
+        F.avg("recall")
+    ).collect()[0][0]
+    assert recall >= 0.6, recall
+
+
 def test_quantized_topk_recall_and_exact_scores(spark):
     """Int8 quantization is an approximation of the SCAN ordering only:
     (a) returned cosines are exact (bit-equal to brute force for shared
@@ -227,6 +251,41 @@ def test_connected_components_chain_clique_singleton_pair(spark):
         }
         assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                         10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_logarithmic_rounds(spark):
+    """Large-star/small-star converges in O(log n) rounds: a 64-node
+    path (diameter 63) must finish in <= 8 rounds — min-label
+    propagation would need 63 and blow the 20-round default. Also
+    checked on a shuffled-id path (no monotone-chain shortcut)."""
+    import random
+
+    from bigdatafinalproject_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    stats = {}
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, stats=stats).collect()
+    }
+    assert comp == {i: 1 for i in range(1, 65)}
+    assert stats["rounds"] <= 8, stats
+
+    random.seed(7)
+    perm = list(range(1, 65))
+    random.shuffle(perm)
+    shuffled = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(63)], "id_a long, id_b long"
+    )
+    stats = {}
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(shuffled, stats=stats).collect()
+    }
+    assert all(v == 1 for v in comp.values()) and len(comp) == 64
+    assert stats["rounds"] <= 8, stats
 
 
 def test_connected_components_raises_when_not_converged(spark):

@@ -47,6 +47,52 @@ def test_cms_join_size_upper_bound(spark):
     assert est <= true + 3 * o.count() * c.count() / width
 
 
+def test_cms_heavy_hitters_finds_skewed_keys_no_false_negatives(spark):
+    """cms_heavy_hitters on a genuinely skewed key column (ADVICE r3:
+    the operator had no coverage): one key owns ~30% of rows, the rest
+    are near-uniform. CMS estimates are >= truth, so (a) every key with
+    true share >= min_share MUST be returned (no false negatives) and
+    (b) its est_count >= its true count. min_share is set high enough
+    that width-64 collision noise (~N/width per cell) cannot promote a
+    uniform key, so the result is exactly the two heavy keys."""
+    from bigdatafinalproject_spark.operators.sketches import cms_heavy_hitters
+
+    n_uniform, n_heavy1, n_heavy2 = 2000, 1500, 900
+    rows = (
+        [(i % 200,) for i in range(n_uniform)]
+        + [(100000,)] * n_heavy1
+        + [(100001,)] * n_heavy2
+    )
+    df = spark.createDataFrame(rows, "k long")
+    total = n_uniform + n_heavy1 + n_heavy2
+    hh = {
+        r["k"]: r["est_count"]
+        for r in cms_heavy_hitters(df, "k", min_share=0.15).collect()
+    }
+    # no false negatives: both true-heavy keys present with est >= truth
+    assert hh.get(100000, 0) >= n_heavy1
+    assert hh.get(100001, 0) >= n_heavy2
+    # uniform keys carry ~10 true rows + <= ~total/width collision noise
+    # each — far below the 15% threshold, so nothing else qualifies
+    assert set(hh) == {100000, 100001}, hh
+    # estimates can only overestimate, never reach the impossible
+    assert all(v <= total for v in hh.values())
+
+
+def test_histogram_quantiles_constant_column_returns_exact_value(spark):
+    """hi == lo guard (ADVICE r3): a constant column must yield the
+    exact constant for every quantile, not NaN/empty."""
+    df = spark.createDataFrame([(7.5,)] * 100, "value double")
+    rows = {
+        r["q"]: r["est_value"]
+        for r in histogram_quantiles(df, "value", (0.5, 0.95)).collect()
+    }
+    assert rows == {0.5: 7.5, 0.95: 7.5}, rows
+    # empty input: empty result (no rows to bin), not a crash
+    empty = spark.createDataFrame([], "value double")
+    assert histogram_quantiles(empty, "value", (0.5,)).count() == 0
+
+
 def test_histogram_quantiles_within_one_bin(spark):
     ev = load_table(spark, SF_DIR, "events")
     bins = 256
