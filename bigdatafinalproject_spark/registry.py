@@ -58,6 +58,7 @@ _MODULES = (
     "privacy",
     "sketches",
     "formats",
+    "modern_sql",
 )
 
 
