@@ -12,8 +12,10 @@ value-lossless for the hashes to match.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,9 +32,13 @@ def _tmp_dir(sf_dir: str, fmt: str) -> str:
     processes must not clobber each other's files (same rule as the
     Derby path in queries/jdbc.py)."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(
+    path = os.path.join(
         tempfile.gettempdir(), f"bdfp_{fmt}_{tag}_{os.getpid()}"
     )
+    # pid-tagged dirs pile up across runs otherwise (advisor flag) —
+    # idempotent: rmtree ignores an already-removed dir
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @query(
@@ -61,6 +67,58 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "xml_roundtrip_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer GROUP BY 1
+    """,
+)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → XML sink → schema'd XML source → aggregate (XML became
+    a BUILT-IN Spark source in 4.0 — previously the spark-xml package).
+
+    Same contract as the ORC/JSONL twins: the read supplies an explicit
+    schema (XML inference is a second full scan — never at 100 TB), and
+    doubles survive the text roundtrip exactly (shortest-roundtrip
+    serialization), which the oracle hash over the ORIGINAL parquet
+    proves. rowTag splits records, so the files stay splittable row
+    streams rather than one document tree.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _tmp_dir(sf_dir, "xml")
+    (
+        c.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(_XML_SCHEMA)
+        .format("xml")
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
         dsum(F.col("c_acctbal")).alias("total_acctbal"),
     )

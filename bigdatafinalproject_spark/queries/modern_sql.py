@@ -168,6 +168,70 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_rich_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rich,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_acctbal >= 9000
+    GROUP BY c_nationkey
+    """,
+)
+def nation_rich_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — ``listagg(...) WITHIN GROUP (ORDER
+    BY ...)`` (SQL:2016, new in Spark 4): the deterministic form of
+    collect_list+concat for building per-group label strings. The
+    WITHIN GROUP ordering is the whole point at scale: shuffle arrival
+    order is nondeterministic, so an unordered listagg would produce a
+    different string every run — ordered, it is one map-side-combinable
+    aggregation with stable output. Filter keeps groups small (an
+    unbounded listagg is a memory smell at 100 TB — cap or pre-rank
+    the group first)."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS n_rich,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM customer WHERE c_acctbal >= 9000
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@query(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE
+    WHERE c.c_nationkey % 5 = 2
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-row ORDER BY + LIMIT (the
+    SQL-standard "top-N per group" spelling). Catalyst decorrelates the
+    correlated LIMIT into a partitioned window over one equi-join — no
+    per-customer re-execution and no nested loop, so the plan is the
+    same shuffle-once shape as the hand-written row_number()<=2 form
+    (queries/windows.topk_per_group) and scales identically. The query
+    proves the decorrelation path, the windows.py twin the manual one."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_nationkey % 5 = 2
+        """
+    )
+
+
+@query(
     "python_datasource_agg",
     oracle=f"""
     SELECT CAST(i % 7 AS BIGINT) AS bucket,

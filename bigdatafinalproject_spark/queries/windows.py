@@ -169,3 +169,69 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER seq IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER seq)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+      WINDOW seq AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 1800 SECONDS,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE batch ``session_window`` (the declarative twin of the
+    gaps-and-islands ``sessionize`` above): one groupBy whose grouping
+    key is the merged 30-min-gap session interval — Spark plans it as
+    a single partial/final session aggregation (map-side session
+    merging), no window function and no second shuffle, which is the
+    shape you want when sessions, not raw events, are the output.
+
+    Boundary rule pinned by the oracle: windows are half-open
+    [ts, ts+gap), so a successor exactly gap seconds later starts a
+    NEW session (the >= in the oracle's microsecond-exact gap test);
+    session_end is last-event time + gap, exactly session_window's
+    ``end`` field.
+    """
+    from bigdatafinalproject_spark.functions import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Targeted tests for the round-4 surface additions: SemDeDup-style
+semantic dedup, LATERAL decorrelation, ordered listagg, XML roundtrip.
+(Oracle value checks live in test_registry_oracle.py; these pin the
+structural / plan properties the docstrings claim.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark import registry
+from bigdatafinalproject_spark.plans import formatted_plan
+from tests.conftest import SF_DIR
+
+
+def test_semantic_dedup_keeps_cluster_minimum(spark):
+    """Greedy keep-lowest can never drop a cluster's lowest-id vector,
+    and drops are strictly fewer than cluster size."""
+    out = registry.QUERIES["doc_semantic_dedup"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    total_dropped = 0
+    for r in out:
+        assert 0 <= r.n_dropped < r.n_vectors
+        total_dropped += r.n_dropped
+        if r.n_dropped > 0:
+            # dropped ids sum over n_dropped DISTINCT positive ids —
+            # each >= 1, and none can be the cluster's minimum (id 0's
+            # cluster: sum >= 1+2+...)
+            assert r.dropped_id_sum >= r.n_dropped * (r.n_dropped + 1) // 2 - r.n_dropped
+    # tau=0.3 on the synthetic embeddings does find near-dups
+    assert total_dropped > 0
+
+
+def test_semantic_dedup_pairs_confined_to_clusters(spark):
+    """The self-join is keyed on cid (SemDeDup's whole scale story) —
+    the plan must show an equi-join, never a CartesianProduct or
+    BroadcastNestedLoopJoin over the corpus."""
+    df = registry.QUERIES["doc_semantic_dedup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_top_orders_decorrelates_to_group_limit(spark):
+    """Catalyst must rewrite the correlated ORDER BY+LIMIT lateral
+    subquery into a WindowGroupLimit (top-N per group) — not a
+    per-customer nested loop."""
+    df = registry.QUERIES["lateral_top_orders"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-customer cardinality bound: at most 2 orders each
+    counts = (
+        df.groupBy("c_custkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert counts <= 2
+
+
+def test_listagg_is_deterministic_across_runs(spark):
+    """WITHIN GROUP ordering makes the aggregated string independent of
+    shuffle arrival order: two separate executions must agree exactly."""
+    q = registry.QUERIES["nation_rich_listagg"]
+    a = {r.c_nationkey: r.names for r in q(spark, SF_DIR).collect()}
+    b = {r.c_nationkey: r.names for r in q(spark, SF_DIR).collect()}
+    assert a == b
+    for names in a.values():
+        parts = names.split(",")
+        assert parts == sorted(parts)
+
+
+def test_xml_roundtrip_matches_parquet_source(spark):
+    """XML write→read is value-lossless: the aggregate over the XML
+    readback equals the same aggregate computed directly on parquet."""
+    from bigdatafinalproject_spark.catalog import load_table
+    from bigdatafinalproject_spark.functions import dsum
+
+    got = {
+        r.c_mktsegment: (r.n_cust, r.total_acctbal)
+        for r in registry.QUERIES["xml_roundtrip_agg"](spark, SF_DIR).collect()
+    }
+    want = {
+        r.c_mktsegment: (r.n_cust, r.total_acctbal)
+        for r in load_table(spark, SF_DIR, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .collect()
+    }
+    assert got == want
