@@ -131,3 +131,46 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .select(F.size(F.array_intersect("_nu", "_nv")).alias("_t"))
     )
     return per_edge.agg(F.sum("_t").cast("bigint").alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distances: frontier expansion over a
+    directed edge list, ``max_hops`` synchronous rounds. ``sources``
+    is a 1-column (node) frame; returns (node, dist) for every node
+    within max_hops of any source (dist = fewest hops, sources at 0).
+
+    The Pregel shape: each round shuffles ONLY the current frontier
+    against the (barrier-frozen) edge list — visited nodes never
+    re-expand, so total work is O(edges touched), not O(paths) (the
+    path-enumeration blowup is the naive recursive-CTE cost this
+    operator exists to avoid). Each round's frontier is materialized
+    (localCheckpoint locally, reliable checkpoint via checkpoint_dir
+    on a cluster) so the iterative lineage never grows.
+    """
+    edges = materialize_barrier(
+        pin(edges.select("src", "dst"), "src"), checkpoint_dir
+    )
+    known = materialize_barrier(
+        sources.select(F.col(sources.columns[0]).alias("node")).withColumn(
+            "dist", F.lit(0)
+        ),
+        checkpoint_dir,
+    )
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = materialize_barrier(nxt, checkpoint_dir)
+        known = known.unionByName(nxt)
+        frontier = nxt
+    return known

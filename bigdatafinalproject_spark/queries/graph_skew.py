@@ -149,3 +149,51 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join whose out-degree cap survives power-law skew."""
     li = load_table(spark, sf_dir, "lineitem")
     return triangle_count(copurchase_edges(li))
+
+
+@query(
+    "part_bfs_reach",
+    oracle="""
+    WITH RECURSIVE
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b USING (l_orderkey)
+      WHERE a.l_partkey <> b.l_partkey),
+    walk(node, dist) AS (
+      SELECT (SELECT MIN(src) FROM edges), 0
+      UNION
+      SELECT DISTINCT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < 3),
+    best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM best GROUP BY dist
+    """,
+)
+def part_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the co-purchase graph (source = lowest
+    part key in the edge list), 3 hops: per-hop reachable-node counts
+    and the exact integer sum of reached node ids.
+
+    The Spark side is frontier expansion (operators/graph.bfs_distances
+    — visited nodes never re-expand, work is O(edges touched)); the
+    oracle is the recursive-CTE statement of the same fixpoint, with a
+    UNION + per-level DISTINCT so DuckDB explores node-levels, not
+    paths. Same exact answer, two very different evaluation strategies
+    — which is the point of the check."""
+    from bigdatafinalproject_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    src = edges.agg(F.min("src").alias("node"))
+    dists = bfs_distances(edges, src, max_hops=3)
+    return (
+        dists.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_sum"),
+        )
+    )

@@ -90,3 +90,28 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
     the batch LEFT JOIN exactly — a true oracle for an outer stream
     join."""
     return click_purchase_left_join(spark, sf_dir, within_minutes=60)
+
+
+@query(
+    "stream_click_purchase_full_join",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'
+    """,
+)
+def stream_click_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — completes the
+    inner/left/full family: unmatched CLICKS and unmatched PURCHASES
+    both surface with NULLs, each gated on the opposite side's
+    watermark (streaming/joins.click_purchase_full_join). Drain mode
+    makes the finite-input result equal the batch FULL JOIN exactly —
+    a true oracle for the hardest stream-join shape."""
+    from bigdatafinalproject_spark.streaming.joins import click_purchase_full_join
+
+    return click_purchase_full_join(spark, sf_dir, within_minutes=60)

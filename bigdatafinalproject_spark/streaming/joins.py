@@ -118,3 +118,53 @@ def click_purchase_left_join(
     )
     out = _run_to_memory(joined, "append", "bdfp_mem_cpjoin_left")
     return out.filter(F.col("user_id") >= 0)
+
+
+def click_purchase_full_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 60
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both unmatched sides
+    emit NULLs: clicks with no purchase in the window AND purchases
+    with no preceding click. Each side's NULL emission is gated on the
+    OTHER side's watermark (same flush discipline as the left join:
+    '_flush' rows must survive the event_type filters to advance both
+    watermarks, and are dropped from the materialized sink). user_id
+    is COALESCEd across sides since either may be NULL."""
+    ev = read_event_stream(spark, sf_dir, drain=True)
+    clicks = (
+        ev.filter(F.col("event_type").isin("click", "_flush"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type").isin("purchase", "_flush"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        on=F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {within_minutes} MINUTES
+            """
+        ),
+        how="fullOuter",
+    ).select(
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+    out = _run_to_memory(joined, "append", "bdfp_mem_cpjoin_full")
+    return out.filter(F.col("user_id") >= 0)

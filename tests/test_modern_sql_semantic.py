@@ -90,3 +90,19 @@ def test_xml_roundtrip_matches_parquet_source(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bfs_distances_on_path_graph(spark):
+    """Frontier BFS on a directed 6-node path: exact hop distances up
+    to max_hops, nothing beyond, visited nodes never relabeled."""
+    from bigdatafinalproject_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(2, 4)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist for r in bfs_distances(edges, src, max_hops=3).collect()
+    }
+    # 0-1-2-3 via path, 4 via the 2->4 shortcut at hop 3
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
