@@ -59,6 +59,7 @@ _MODULES = (
     "sketches",
     "formats",
     "modern_sql",
+    "tpch",
 )
 
 

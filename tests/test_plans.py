@@ -232,3 +232,31 @@ def test_correlated_subquery_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_tpch_q6_full_predicate_pushdown(spark):
+    """Q6 is the scan-efficiency query: every one of the four
+    predicates must reach the parquet reader as a PushedFilter, and
+    the plan is scan -> partial/final agg with no shuffle-heavy ops."""
+    df = registry.QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, f"predicate not pushed: {frag}"
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_tpch_q10_topk_and_pruned_scans(spark):
+    """Q10's ORDER BY ... LIMIT 20 must compile to TakeOrderedAndProject
+    (never a global sort), with the quarter and returnflag filters
+    pushed into their scans."""
+    df = registry.QUERIES["tpch_q10_returned_items"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
