@@ -612,3 +612,47 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier), faithful: the supplier(s) whose
+    3-month revenue equals the maximum over all suppliers — the spec's
+    revenue view + scalar MAX subquery, here as one reused aggregate
+    (computed once behind a barrier, read by both the MAX and the
+    equality filter) joined to the supplier dim.
+
+    Equality on total_revenue is safe cross-engine because both sides
+    come from the same decimal-sum pipeline — bit-identical doubles."""
+    from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue0 = materialize_barrier(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dsum(_rev()).alias("total_revenue")
+        )
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue0, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
