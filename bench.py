@@ -45,6 +45,21 @@ def main() -> None:
     spark.range(10_000).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # same principle for the Python DataSource worker kind (separate
+    # from the pandas pool): first use costs ~3 s of interpreter
+    # spin-up that would otherwise be charged to python_datasource_agg
+    from bigdatafinalproject_spark.sources.pydatasource import register
+
+    register(spark)
+    (
+        spark.read.format("bdfp_series")
+        .option("n", 64)
+        .option("parts", 8)
+        .load()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

@@ -130,3 +130,30 @@ def test_weighted_systematic_sample_exact_k_and_coverage(spark):
         ).collect()
     )
     assert got == again
+
+
+def test_systematic_selection_math_exact_k():
+    """Pure-math property of the Madow predicate the sampler uses
+    (hypothesis over random weight multisets): whenever every weight is
+    <= W/k, exactly k items satisfy floor(k*cum/W) > floor(k*(cum-w)/W),
+    and picks are 1..k in order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=50), min_size=5, max_size=200),
+        st.integers(min_value=1, max_value=20),
+    )
+    def check(ws, k):
+        W = sum(ws)
+        if max(ws) > W // k:  # bounded-weight precondition
+            return
+        cum, picks = 0, []
+        for w in ws:
+            lo, cum = cum, cum + w
+            if (k * cum) // W > (k * lo) // W:
+                picks.append((k * cum) // W)
+        assert picks == list(range(1, k + 1))
+
+    check()
