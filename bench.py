@@ -84,8 +84,11 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
     }
-    sidecar = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    sidecar.write_text(json.dumps(full, indent=1) + "\n")
+    # subset runs (BENCH_QUERIES) must not clobber the full-registry
+    # sidecar with a 2-query map
+    if not subset:
+        sidecar = Path(__file__).resolve().parent / "BENCH_FULL.json"
+        sidecar.write_text(json.dumps(full, indent=1) + "\n")
     print(
         json.dumps(
             {
