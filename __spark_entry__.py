@@ -120,6 +120,9 @@ _R4_FRONT = (
     "doc_neardup_components",
     # leaner ALS twins (rows-only; rank/maxIter trimmed for the bench)
     "als_recommendations", "als_eval_rmse",
+    # triangle count rewritten to flat wedge-join rows (same count,
+    # new plan — the adjacency-array form OOM'd small heaps at sf0.1)
+    "part_triangle_count",
 )
 
 

@@ -117,20 +117,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .select("src", "dst")
     )
     o = materialize_barrier(pin(o, "src"), None)
-    # out-neighbor adjacency lists: one per node, length <= O(sqrt(E))
-    # by the orientation cap, so the index stays edge-sized (its rows
-    # shuffle-join below; no per-list blowup). Count per oriented edge
-    # (u,v): |N+(u) ∩ N+(v)| — each triangle closes at exactly one edge
-    # (its pivot, toward the lower-ordered of the other two vertices).
-    adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nbrs"))
-    au = adj.select(F.col("src").alias("_au"), F.col("_nbrs").alias("_nu"))
-    av = adj.select(F.col("src").alias("_av"), F.col("_nbrs").alias("_nv"))
-    per_edge = (
-        o.join(au, o["src"] == au["_au"])
-        .join(av, o["dst"] == av["_av"])
-        .select(F.size(F.array_intersect("_nu", "_nv")).alias("_t"))
+    # wedge enumeration + closure, all flat 2-int rows: ordered pairs
+    # (a, b) of out-neighbors at each pivot, closed against the
+    # oriented edge set. The oriented edge between a and b exists in
+    # exactly ONE direction, so of the two ordered wedges (a,b)/(b,a)
+    # exactly one joins — each triangle counts once at its pivot.
+    # (An earlier form carried BOTH collect_list adjacency arrays on
+    # every edge row — O(sqrt(E))-wide rows that OOM'd a default-heap
+    # session at sf0.1; wedges stream through ordinary shuffle joins
+    # with constant-width rows, so heap never holds a neighborhood.)
+    x = o.select(F.col("src").alias("_p"), F.col("dst").alias("_a"))
+    y = o.select(F.col("src").alias("_q"), F.col("dst").alias("_b"))
+    wedges = (
+        x.join(y, (x["_p"] == y["_q"]) & (x["_a"] != y["_b"]))
+        .select("_a", "_b")
     )
-    return per_edge.agg(F.sum("_t").cast("bigint").alias("n_triangles"))
+    closed = wedges.join(
+        o, (wedges["_a"] == o["src"]) & (wedges["_b"] == o["dst"])
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
 def bfs_distances(
