@@ -84,7 +84,7 @@ def pagerank_fixed_point(
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, mode: str = "arrays") -> DataFrame:
     """Exact triangle count via degree-ordered orientation (the
     node-iterator++ algorithm): orient every undirected edge from its
     lower-(degree, id) endpoint to the higher, enumerate two-out-edge
@@ -93,9 +93,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Each triangle has exactly one node with out-edges to the other two
     under a total order, so it is counted exactly once. The
     orientation is the scale story: out-degree is capped at O(sqrt(E))
-    even on power-law graphs — the wedge self-join never explodes on a
+    even on power-law graphs — the wedge work never explodes on a
     celebrity node, where the naive (count common neighbors per edge)
     plan is quadratic in the hottest degree.
+
+    Two physical strategies, same count (equality pinned in tests):
+
+    - ``mode="arrays"`` (default): per-edge ``array_intersect`` of the
+      two endpoints' out-neighbor lists. The intersection happens
+      WITHIN each row — no wedge materialization or extra shuffle —
+      which measured ~2x faster at sf0.1 (4.8 s vs 7-9 s). Cost: rows
+      are O(sqrt(E)) wide, so executor heap must hold a task's worth
+      of neighborhoods (fine at 16 g, the repo default; the wedge form
+      exists for tighter heaps).
+    - ``mode="wedges"``: unordered out-neighbor pairs (a < b) per
+      pivot, closed with one equi-join against the id-canonicalized
+      (least, greatest) edge set. Constant-width rows that stream
+      through ordinary shuffle joins — heap never holds a
+      neighborhood — at the price of shuffling the wedge set
+      (sum-of-C(outdeg, 2) rows).
 
     ``edges`` must hold BOTH directions of each undirected edge
     (copurchase_edges' contract). Returns a single row (n_triangles).
@@ -117,25 +133,35 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .select("src", "dst")
     )
     o = materialize_barrier(pin(o, "src"), None)
-    # wedge enumeration + closure, all flat 2-int rows: ordered pairs
-    # (a, b) of out-neighbors at each pivot, closed against the
-    # oriented edge set. The oriented edge between a and b exists in
-    # exactly ONE direction, so of the two ordered wedges (a,b)/(b,a)
-    # exactly one joins — each triangle counts once at its pivot.
-    # (An earlier form carried BOTH collect_list adjacency arrays on
-    # every edge row — O(sqrt(E))-wide rows that OOM'd a default-heap
-    # session at sf0.1; wedges stream through ordinary shuffle joins
-    # with constant-width rows, so heap never holds a neighborhood.)
-    x = o.select(F.col("src").alias("_p"), F.col("dst").alias("_a"))
-    y = o.select(F.col("src").alias("_q"), F.col("dst").alias("_b"))
-    wedges = (
-        x.join(y, (x["_p"] == y["_q"]) & (x["_a"] != y["_b"]))
-        .select("_a", "_b")
+    if mode == "wedges":
+        x = o.select(F.col("src").alias("_p"), F.col("dst").alias("_a"))
+        y = o.select(F.col("src").alias("_q"), F.col("dst").alias("_b"))
+        wedges = (
+            x.join(y, (x["_p"] == y["_q"]) & (x["_a"] < y["_b"]))
+            .select("_a", "_b")
+        )
+        oc = o.select(
+            F.least("src", "dst").alias("_ca"),
+            F.greatest("src", "dst").alias("_cb"),
+        )
+        closed = wedges.join(
+            oc, (wedges["_a"] == oc["_ca"]) & (wedges["_b"] == oc["_cb"])
+        )
+        return closed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+        )
+    # arrays mode: out-neighbor adjacency lists, length <= O(sqrt(E))
+    # by the orientation cap; count per oriented edge (u, v) is
+    # |N+(u) ∩ N+(v)| — each triangle closes at exactly one edge.
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nbrs"))
+    au = adj.select(F.col("src").alias("_au"), F.col("_nbrs").alias("_nu"))
+    av = adj.select(F.col("src").alias("_av"), F.col("_nbrs").alias("_nv"))
+    per_edge = (
+        o.join(au, o["src"] == au["_au"])
+        .join(av, o["dst"] == av["_av"])
+        .select(F.size(F.array_intersect("_nu", "_nv")).alias("_t"))
     )
-    closed = wedges.join(
-        o, (wedges["_a"] == o["src"]) & (wedges["_b"] == o["dst"])
-    )
-    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return per_edge.agg(F.sum("_t").cast("bigint").alias("n_triangles"))
 
 
 def bfs_distances(

@@ -157,3 +157,21 @@ def test_systematic_selection_math_exact_k():
         assert picks == list(range(1, k + 1))
 
     check()
+
+
+def test_triangle_count_modes_agree(spark):
+    """arrays (within-row intersect, fast at 16g) and wedges
+    (constant-width rows, tight-heap-safe) are the same algorithm in
+    two physical shapes — counts must be identical."""
+    from bigdatafinalproject_spark.operators.graph import (
+        copurchase_edges,
+        triangle_count,
+    )
+    from bigdatafinalproject_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = copurchase_edges(li)
+    a = triangle_count(edges, mode="arrays").collect()[0][0]
+    w = triangle_count(edges, mode="wedges").collect()[0][0]
+    assert a == w and a > 0

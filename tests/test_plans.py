@@ -260,3 +260,26 @@ def test_tpch_q10_topk_and_pruned_scans(spark):
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    """Q5's nation/region (and the filtered supplier co-location path)
+    must resolve to broadcast hash joins on the dimension sides — the
+    fact table is the only side that may shuffle."""
+    df = registry.QUERIES["tpch_q5_local_supplier_volume"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q9_filtered_part_broadcasts(spark):
+    """Q9 filters part by name substring before joining — the filtered
+    dim must broadcast (explicit hint) and the name predicate must
+    reach the part scan."""
+    df = registry.QUERIES["tpch_q9_product_type_profit"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "StringContains(p_name,red)" in plan or "p_name" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0]
