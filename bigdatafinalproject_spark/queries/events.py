@@ -335,3 +335,86 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fin(minute, "minute").unionAll(fin(hour, "hour")).unionAll(
         fin(day, "day")
     )
+
+
+@query(
+    "events_orders_cogroup_merge",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.user_id, e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,
+           CAST(SUM(COALESCE(o_orderkey, 0)) AS BIGINT) AS orderkey_sum
+    FROM ranked WHERE rn = 1
+    GROUP BY user_id
+    """,
+)
+def events_orders_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped ``applyInPandas`` (the cogroup row of the UDF surface
+    — §2.11 family): events and orders are co-grouped per user and
+    merged with ``pandas.merge_asof`` inside one Arrow batch, then
+    summarized per user (event count, matched count, exact orderkey
+    sum).
+
+    Policy note (same as doc_sentences_udtf): the built-in as-of join
+    (events_asof_order / operators/asof.py) is what a hot path should
+    use — this operator demonstrates the cogroup shape for logic that
+    genuinely needs two sorted per-key frames in Python (custom
+    point-in-time feature joins). Scale: one shuffle per side on
+    user_id, bounded per-user groups, Arrow batch transfer — no
+    driver involvement.
+
+    merge_asof tie-breaking == the oracle's (o_orderdate DESC,
+    o_orderkey DESC) argmax: pandas takes the LAST matching row in
+    (o_orderdate, o_orderkey) sort order at each event.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+    def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        if ev.empty:
+            # a user with orders but no events contributes nothing
+            # (the oracle's LEFT JOIN starts from events)
+            return pd.DataFrame(
+                {"user_id": [], "n_events": [], "n_matched": [], "orderkey_sum": []}
+            )
+        ev = ev.sort_values(["ts", "event_id"])
+        od = od.sort_values(["o_orderdate", "o_orderkey"])
+        m = pd.merge_asof(
+            ev,
+            od[["o_orderdate", "o_orderkey"]],
+            left_on="ts",
+            right_on="o_orderdate",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(ev["user_id"].iloc[0])],
+                "n_events": [len(m)],
+                "n_matched": [int(m["o_orderkey"].notna().sum())],
+                "orderkey_sum": [int(m["o_orderkey"].fillna(0).sum())],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_events bigint, n_matched bigint, "
+            "orderkey_sum bigint",
+        )
+    )

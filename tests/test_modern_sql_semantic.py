@@ -175,3 +175,25 @@ def test_triangle_count_modes_agree(spark):
     a = triangle_count(edges, mode="arrays").collect()[0][0]
     w = triangle_count(edges, mode="wedges").collect()[0][0]
     assert a == w and a > 0
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partition(spark, tmp_path):
+    """INSERT OVERWRITE semantics at the writer level: with
+    partitionOverwriteMode=dynamic, overwriting a frame that contains
+    only partition B must leave partition A's files and rows intact
+    (static mode would wipe the whole table root) — the idempotent
+    partition-level backfill primitive every warehouse job relies on."""
+    path = str(tmp_path / "dyn")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, part string"
+    )
+    df.write.partitionBy("part").parquet(path)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        repl = spark.createDataFrame([(30, "b"), (31, "b")], "id long, part string")
+        repl.write.mode("overwrite").partitionBy("part").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = {(r.id, r.part) for r in spark.read.parquet(path).collect()}
+    assert back == {(1, "a"), (2, "a"), (30, "b"), (31, "b")}
