@@ -287,3 +287,101 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_systematic_sample(
         d, "n_chars", k=_WS_K, hash_cols=["doc_id"], seed=_WS_SEED
     )
+
+
+_RAG_DIMS = 16
+_RAG_K = 5
+_RAG_QMOD = 199  # bounded query panel: first chunk of every 199th doc
+
+_RAG_EMB_SQL = ", ".join(
+    f"CAST(({oracle_hash64('chunk_text', seed=1300 + d)} % 2001) - 1000 "
+    "AS DOUBLE)"
+    for d in range(_RAG_DIMS)
+)
+
+_RAG_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> s[1] * s[2]), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "rag_chunk_retrieval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    ch AS (
+      SELECT doc_id,
+             CAST((st - 1) // {_STRIDE} AS INT) AS chunk_idx,
+             array_to_string(toks[st : st + {_CHUNK - 1}], ' ') AS chunk_text
+      FROM s, LATERAL unnest(generate_series(1, n, {_STRIDE})) AS u(st)),
+    e AS (
+      SELECT doc_id * 1000 + chunk_idx AS uid, doc_id, chunk_idx,
+             [{_RAG_EMB_SQL}] AS emb
+      FROM ch),
+    nrm AS (
+      SELECT uid, doc_id, chunk_idx, emb,
+             sqrt({_RAG_DOT.format(a='emb', b='emb')}) AS nm
+      FROM e),
+    q AS (SELECT * FROM nrm WHERE doc_id % {_RAG_QMOD} = 0 AND chunk_idx = 0),
+    scored AS (
+      SELECT q.uid AS quid, c.uid AS cuid,
+             {_RAG_DOT.format(a='q.emb', b='c.emb')} / (q.nm * c.nm) AS cosine
+      FROM q JOIN nrm c ON q.uid <> c.uid),
+    ranked AS (
+      SELECT quid, cuid, cosine,
+             row_number() OVER (PARTITION BY quid
+                                ORDER BY cosine DESC, cuid ASC) AS rank
+      FROM scored)
+    SELECT CAST(quid // 1000 AS BIGINT) AS query_doc,
+           CAST(cuid // 1000 AS BIGINT) AS neighbor_doc,
+           CAST(cuid % 1000 AS INT) AS neighbor_chunk,
+           cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_RAG_K}
+    """,
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped retrieval end-to-end in ONE plan: chunk the corpus
+    (64-token windows, 48 stride — doc_chunk_overlap's machinery),
+    embed every chunk deterministically (16 md5-derived dims, the
+    portable stand-in for a real encoder — the Spark-side plumbing is
+    identical), and run exact cosine top-{_RAG_K} retrieval for a
+    bounded query panel (first chunk of every {_RAG_QMOD}th doc)
+    against the full chunk corpus.
+
+    Scale story: chunking+embedding are row-local (no shuffle);
+    retrieval is the brute-force tier of operators/ann.cosine_topk —
+    query panel broadcast, corpus scanned once — and swaps to the
+    lsh/ivf/quantized tiers unchanged when the corpus outgrows a scan.
+    The whole pipeline hash-matches DuckDB, chunk text through
+    cosine."""
+    from bigdatafinalproject_spark.operators.ann import cosine_topk
+
+    chunks = doc_chunk_overlap(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    emb = F.array(
+        *[
+            (
+                (portable_hash64(F.col("chunk_text"), seed=1300 + d) % 2001)
+                - 1000
+            ).cast("double")
+            for d in range(_RAG_DIMS)
+        ]
+    )
+    e = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("uid"),
+        "doc_id",
+        "chunk_idx",
+        emb.alias("emb"),
+    )
+    q = e.filter((F.col("doc_id") % _RAG_QMOD == 0) & (F.col("chunk_idx") == 0))
+    out = cosine_topk(e, q, id_col="uid", vec_col="emb", k=_RAG_K)
+    return out.select(
+        F.expr("query_id DIV 1000").alias("query_doc"),
+        F.expr("neighbor_id DIV 1000").alias("neighbor_doc"),
+        F.expr("CAST(neighbor_id % 1000 AS INT)").alias("neighbor_chunk"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
