@@ -118,8 +118,12 @@ _R4_FRONT = (
     "ann_lsh_topk",
     # large-star/small-star connected components (same labels, new plan)
     "doc_neardup_components",
-    # leaner ALS twins (rows-only; rank/maxIter trimmed for the bench)
-    "als_recommendations", "als_eval_rmse",
+    # leaner ALS twin (rows-only; rank/maxIter trimmed for the bench).
+    # als_eval_rmse (same trim, 1-row rows-only output, r1+r2 driver
+    # rows) is deliberately NOT fronted: front+fresh must fit the
+    # driver's ~50-query window and it is the lowest-information
+    # re-check (the 1-row shape cannot change).
+    "als_recommendations",
     # triangle count rewritten to flat wedge-join rows (same count,
     # new plan — the adjacency-array form OOM'd small heaps at sf0.1)
     "part_triangle_count",
