@@ -344,7 +344,7 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.user_id, e.event_id, o.o_orderkey, o.o_totalprice,
              row_number() OVER (PARTITION BY e.event_id
                                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-      FROM events e
+      FROM (SELECT * FROM events WHERE user_id % 10 = 3) e
       LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -375,12 +375,27 @@ def events_orders_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        "o_orderdate",
-        "o_orderkey",
-        "o_totalprice",
+    # bounded user panel: cogroup invokes Python once per key, so the
+    # API demo runs on a 10% slice — the built-in as-of join
+    # (events_asof_order) is the full-corpus hot path
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 3)
+        .select("user_id", "event_id", "ts")
+    )
+    # panel-filter BOTH sides: cogroup invokes the Python function once
+    # per key present in EITHER side, so unfiltered orders would add
+    # ~9x empty-events calls — per-call Arrow overhead, not data
+    # volume, is the cost that matters here
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
     )
 
     def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
