@@ -961,3 +961,91 @@ def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_excess_parts"))
     )
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             (1 + {oracle_hash64('l_orderkey, l_linenumber', seed=81)} % 30)
+               > ({oracle_hash64('l_orderkey, l_linenumber', seed=82)} % 90)
+                 AS is_late
+      FROM lineitem),
+    multi AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns FROM li GROUP BY 1),
+    latecnt AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nls
+      FROM li WHERE is_late GROUP BY 1)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM li
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN multi    ON multi.l_orderkey = li.l_orderkey
+    JOIN latecnt  ON latecnt.l_orderkey = li.l_orderkey
+    WHERE li.is_late AND n_name = 'NATION_4' AND o_orderstatus = 'F'
+      AND multi.ns > 1 AND latecnt.nls = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the last of the
+    22 classics. Adaptation: the schema has no commit/receipt dates,
+    so the spec's lateness test (l_receiptdate > l_commitdate) becomes
+    a derived pair of hash day-offsets per line (ship+1..30 receipt
+    vs ship+0..89 commit slack, ~17% late) compared as integers —
+    replayed bit-for-bit by the oracle.
+
+    The spec's correlated EXISTS / NOT EXISTS pair is written in its
+    decorrelated form: 'another supplier exists in the order' is a
+    distinct-supplier count > 1, and 'no OTHER supplier was late' is a
+    distinct-LATE-supplier count of exactly 1 (the probe line itself
+    is late) — two per-order aggregates joined back, no correlated
+    re-execution, which is the only shape that scales."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            (
+                F.lit(1)
+                + portable_hash64(
+                    F.col("l_orderkey"), F.col("l_linenumber"), seed=81
+                )
+                % 30
+            )
+            > portable_hash64(
+                F.col("l_orderkey"), F.col("l_linenumber"), seed=82
+            )
+            % 90
+        ).alias("is_late"),
+    )
+    multi = li.groupBy(F.col("l_orderkey").alias("m_key")).agg(
+        F.countDistinct("l_suppkey").alias("ns")
+    )
+    latecnt = (
+        li.filter("is_late")
+        .groupBy(F.col("l_orderkey").alias("lc_key"))
+        .agg(F.countDistinct("l_suppkey").alias("nls"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        li.filter("is_late")
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(multi, (F.col("m_key") == F.col("l_orderkey")) & (F.col("ns") > 1))
+        .join(
+            latecnt,
+            (F.col("lc_key") == F.col("l_orderkey")) & (F.col("nls") == 1),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
