@@ -1021,13 +1021,19 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
             % 90
         ).alias("is_late"),
     )
-    multi = li.groupBy(F.col("l_orderkey").alias("m_key")).agg(
-        F.countDistinct("l_suppkey").alias("ns")
-    )
-    latecnt = (
-        li.filter("is_late")
-        .groupBy(F.col("l_orderkey").alias("lc_key"))
-        .agg(F.countDistinct("l_suppkey").alias("nls"))
+    # the derived frame feeds BOTH the probe side and the per-order
+    # counts: barrier it so the 2x|lineitem| md5 derivations run once
+    from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
+    li = materialize_barrier(li)
+    # ONE per-order aggregate pass carries both decorrelated counts
+    # (all suppliers + late suppliers) — a second groupBy over the fact
+    # would shuffle it twice for no reason
+    percnt = li.groupBy(F.col("l_orderkey").alias("m_key")).agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("nls"),
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
@@ -1039,10 +1045,11 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(multi, (F.col("m_key") == F.col("l_orderkey")) & (F.col("ns") > 1))
         .join(
-            latecnt,
-            (F.col("lc_key") == F.col("l_orderkey")) & (F.col("nls") == 1),
+            percnt,
+            (F.col("m_key") == F.col("l_orderkey"))
+            & (F.col("ns") > 1)
+            & (F.col("nls") == 1),
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
