@@ -97,6 +97,31 @@ _R3_DRIVER_CHECKED = (
     "part_degree_distribution", "events_retention",
 )
 
+# driver-checked in r4 (CORRECTNESS_r04.json keys) — union below.
+_R4_DRIVER_CHECKED = (
+    "doc_pii_scrub", "doc_segment_dedup", "cms_user_frequency",
+    "cms_join_size_estimate", "orc_roundtrip_agg", "jsonl_roundtrip_agg",
+    "hive_partitioned_prune_agg", "bucketed_join_agg",
+    "events_value_quantiles", "ann_lsh_recall", "doc_shard_shuffle",
+    "stream_cms_user_frequency", "events_multigrain_rollup",
+    "stream_embedding_index", "embedding_pca_project", "eval_auc",
+    "eval_roc_points", "ann_lsh_topk", "doc_neardup_components",
+    "als_recommendations", "part_triangle_count", "events_session_window",
+    "events_orders_cogroup_merge", "stream_click_purchase_full_join",
+    "part_bfs_reach", "doc_semantic_dedup", "doc_weighted_sample",
+    "rag_chunk_retrieval", "xml_roundtrip_agg",
+    "customer_hierarchy_closure", "sql_udf_price_bands",
+    "events_variant_props", "nation_rich_listagg", "lateral_top_orders",
+    "python_datasource_agg", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue", "tpch_q22_global_sales_opportunity",
+    "tpch_q15_top_supplier", "tpch_q12_late_lines_by_priority",
+)
+
 # Round-4 front of the driver window, in priority order:
 # (a) the 15 round-3 additions that have never had a driver
 #     CORRECTNESS row (VERDICT r3 "What's missing" #1 — all locally
@@ -124,9 +149,32 @@ _R4_FRONT = (
     # driver's ~50-query window and it is the lowest-information
     # re-check (the 1-row shape cannot change).
     "als_recommendations",
-    # triangle count rewritten to flat wedge-join rows (same count,
-    # new plan — the adjacency-array form OOM'd small heaps at sf0.1)
+    # triangle count became dual-mode in r4 (adjacency-arrays default,
+    # wedge-join alternate for tight heaps) — fronted because the
+    # registered query now runs the arrays plan
     "part_triangle_count",
+)
+
+# Round-5 front of the driver window, in priority order:
+# (a) the 5 TPC-H queries that landed at positions 51-55 in r4 and
+#     never got a driver CORRECTNESS row (VERDICT r4 missing #1);
+# (b) queries whose results or plans CHANGE in round 5 — appended in
+#     the same commit as the change (rotation discipline, NOTES.md);
+# (c) net-new round-5 queries (auto-fresh, but pinned here so their
+#     position is explicit).
+_R5_FRONT = (
+    # (a) never driver-checked (q2 also changed: eur barrier per ADVICE)
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_counts", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
+    # (b) changed in round 5
+    # PCA output unpacked to scalar pc0..pc7 columns (driver
+    # canonicalizer cannot hash array<double> cells — VERDICT r4 #2)
+    "embedding_pca_project",
+    # exact int64 audit sum + lower cogroup parallelism
+    "events_orders_cogroup_merge",
+    # (c) new in round 5
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
 )
 
 
@@ -136,8 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         set(_R1_DRIVER_CHECKED)
         | set(_R2_DRIVER_CHECKED)
         | set(_R3_DRIVER_CHECKED)
+        | set(_R4_DRIVER_CHECKED)
     )
-    front = [n for n in _R4_FRONT if n in registry.QUERIES]
+    front = [n for n in _R5_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

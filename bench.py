@@ -69,6 +69,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Noise self-description (VERDICT r4): popular_parts is the host
+    # canary — steady ~0.72 s at sf0.1 on a quiet host (NOTES.md).
+    # r3/r4 both produced bench artifacts with 1.5-5x host inflation
+    # that readers could only detect by forensics; embed the canary
+    # value and a derived flag so every artifact says how noisy its
+    # own run was.
+    canary = timings.get("popular_parts")
+    steady = 0.72 if sf == 0.1 else None
+    hot_host = (
+        bool(canary is not None and steady is not None and canary > steady * 1.35)
+        if steady is not None
+        else None
+    )
+    noise = {"canary_sec": canary, "canary_steady_sec": steady, "hot_host": hot_host}
     # The driver captures a bounded tail of stdout: the ONE contract
     # JSON line must stay compact (r1's full 114-query map overflowed
     # the window and parsed as null). The line carries the total + the
@@ -83,6 +97,7 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "sf": sf,
+        **noise,
     }
     # subset runs (BENCH_QUERIES) must not clobber the full-registry
     # sidecar with a 2-query map
@@ -98,6 +113,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "sf": sf,
+                **noise,
             }
         )
     )

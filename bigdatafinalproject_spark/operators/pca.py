@@ -79,7 +79,9 @@ def pca_project(
     k: int = 8,
 ) -> DataFrame:
     """Project each embedding onto the top-``k`` principal components of
-    the corpus. Returns (id, pc array<double> length k)."""
+    the corpus. Returns (id, pc0..pc{k-1} double columns) — scalar
+    columns, not ``array<double>``: downstream tabular consumers (and
+    the driver's pandas canonicalizer) need hashable cells."""
     import numpy as np
 
     g, mean, n = gram_and_mean(df, vec_col, dim)
@@ -101,8 +103,6 @@ def pca_project(
                 f"aggregate(zip_with({vec_col}, array({arr}), (x, w) -> "
                 f"CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), "
                 f"(acc, v) -> acc + v) - CAST({mdot!r} AS DOUBLE)"
-            ).alias(f"_pc{j}")
+            ).alias(f"pc{j}")
         )
-    return df.select(F.col(id_col), *proj_cols).select(
-        id_col, F.array(*[f"_pc{j}" for j in range(k)]).alias("pc")
-    )
+    return df.select(F.col(id_col), *proj_cols)

@@ -33,21 +33,36 @@ def weighted_systematic_sample(
     hash_cols: list[str | Column],
     seed: int = 0,
     checkpoint_dir: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Select exactly ``k`` rows with probability proportional to
     ``weight_col`` (positive integers), deterministically.
 
     Row i (in portable-hash order, ties broken by ``hash_cols``) is
     selected iff floor(k*cum_i / W) > floor(k*cum_{i-1} / W) — its
-    weight interval [cum_{i-1}, cum_i) contains a multiple of W/k.
-    Exactly k selections when every weight <= W/k (one row can absorb
-    multiple marks otherwise — its ``pick`` then jumps by >1, which
-    callers can detect). Adds ``pick`` (1..k) and drops helpers.
+    half-open weight interval (cum_{i-1}, cum_i] contains a multiple
+    of W/k. Exactly k selections when every weight <= W/k (one row can
+    absorb multiple marks otherwise — its ``pick`` then jumps by >1 and
+    fewer than k rows come back). ``strict=True`` runs a one-pass
+    aggregate up front and raises ValueError when max(weight) > W/k,
+    so an under-k result is never silent; the default stays lazy.
+    Adds ``pick`` (1..k) and drops helpers.
 
     Integer overflow note: k*W must fit int64 here; at 100 TB token
     weights, route the multiply through decimal(38,0) — the comparison
     stays exact either way.
     """
+    if strict:
+        chk = df.agg(
+            F.max(weight_col).cast("long").alias("_mx"),
+            F.sum(weight_col).cast("long").alias("_w"),
+        ).first()
+        if chk._mx is not None and chk._mx * k > chk._w:
+            raise ValueError(
+                f"weighted_systematic_sample: max weight {chk._mx} exceeds "
+                f"W/k = {chk._w}/{k}; a single row spans multiple marks, so "
+                f"fewer than k={k} rows would be returned"
+            )
     keyed = df.withColumn("_hk", portable_hash64(*hash_cols, seed=seed))
     order = [F.col("_hk")] + [
         F.col(c) if isinstance(c, str) else c for c in hash_cols

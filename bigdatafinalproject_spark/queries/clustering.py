@@ -217,7 +217,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     d x d covariance -> broadcast literal components -> row-local fold
     projection. Rows-only by design (float sums are order-dependent so
     PCA is not bit-portable across engines); numerics pinned against a
-    single-node numpy reference in tests/test_pca.py."""
+    single-node numpy reference in tests/test_pca.py. Output is the
+    scalar columns (vec_id, pc0..pc7) — not array<double>, which the
+    driver's pandas canonicalizer cannot hash (CORRECTNESS_r04)."""
     from bigdatafinalproject_spark.operators.pca import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")

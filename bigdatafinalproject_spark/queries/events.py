@@ -420,13 +420,25 @@ def events_orders_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [int(ev["user_id"].iloc[0])],
                 "n_events": [len(m)],
                 "n_matched": [int(m["o_orderkey"].notna().sum())],
-                "orderkey_sum": [int(m["o_orderkey"].fillna(0).sum())],
+                # merge_asof NaNs make o_orderkey float64 — cast back
+                # to int64 BEFORE summing so the audit sum stays exact
+                # past 2^53 total
+                "orderkey_sum": [
+                    int(m["o_orderkey"].fillna(0).astype("int64").sum())
+                ],
             }
         )
 
+    # cogroup's fixed cost is per-Python-pipeline (one worker fork +
+    # Arrow stream per shuffle partition), not per-row: pre-hash both
+    # sides onto a handful of partitions so EnsureRequirements reuses
+    # the partitioning and the pipeline count drops 32 -> 8 (streaming
+    # modules use the same max(8, parallelism/4) floor)
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     return (
-        e.groupBy("user_id")
-        .cogroup(o.groupBy("user_id"))
+        e.repartition(n_parts, "user_id")
+        .groupBy("user_id")
+        .cogroup(o.repartition(n_parts, "user_id").groupBy("user_id"))
         .applyInPandas(
             merge,
             "user_id bigint, n_events bigint, n_matched bigint, "

@@ -800,13 +800,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part MIN aggregate joined back — which is exactly what Catalyst
     produces for the subquery and the only shape that scales. Integer
     cents make the MIN-equality exact; cost turns into dollars only at
-    output."""
+    output. ``eur`` feeds both the MIN aggregate and the final join, so
+    it is frozen behind a materialize_barrier (the repo's
+    barrier-before-fanout discipline — same pattern as Q15/Q21)."""
+    from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
     ps = _derived_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    eur = (
+    eur = materialize_barrier(
         ps.join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
@@ -1056,3 +1060,34 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Suite-completion aliases: Q1 and Q3 landed in round 1 under their
+# descriptive names (queries/aggregates.py pricing_summary /
+# top_orders_by_revenue — the module header documents the
+# equivalence). These entries make the TPC-H suite nameable as 22/22
+# without a crosswalk; each delegates to the registered callable and
+# reuses its oracle verbatim, so the plans (and their lint/pushdown
+# tests) are shared, not duplicated.
+
+from bigdatafinalproject_spark import registry as _registry  # noqa: E402
+
+
+@query("tpch_q1_pricing_summary", oracle=_registry.ORACLES["pricing_summary"])
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — alias of ``pricing_summary``
+    (queries/aggregates.py): 2-key group, 8 aggregates, date predicate
+    pushed to the scan."""
+    return _registry.QUERIES["pricing_summary"](spark, sf_dir)
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=_registry.ORACLES["top_orders_by_revenue"],
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) — alias of ``top_orders_by_revenue``
+    (queries/aggregates.py): selective dim filter -> join -> agg ->
+    top-k via TakeOrderedAndProject."""
+    return _registry.QUERIES["top_orders_by_revenue"](spark, sf_dir)

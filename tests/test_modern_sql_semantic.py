@@ -197,3 +197,28 @@ def test_dynamic_partition_overwrite_touches_only_written_partition(spark, tmp_p
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     back = {(r.id, r.part) for r in spark.read.parquet(path).collect()}
     assert back == {(1, "a"), (2, "a"), (30, "b"), (31, "b")}
+
+
+def test_weighted_systematic_sample_strict_raises_on_heavy_weight(spark):
+    """strict=True surfaces the under-k case up front: one row heavier
+    than W/k would absorb multiple marks, so the call raises instead of
+    silently returning fewer than k rows."""
+    import pytest
+
+    from bigdatafinalproject_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(i, 1) for i in range(20)] + [(99, 1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    with pytest.raises(ValueError, match="exceeds"):
+        weighted_systematic_sample(df, "w", k=5, hash_cols=["id"], strict=True)
+    # non-strict stays lazy and returns the under-k result
+    n = weighted_systematic_sample(df, "w", k=5, hash_cols=["id"]).count()
+    assert n <= 5
+    # strict on a bounded-weight input passes through unchanged
+    ok = spark.createDataFrame([(i, 10) for i in range(100)], "id long, w long")
+    assert (
+        weighted_systematic_sample(ok, "w", k=5, hash_cols=["id"], strict=True).count()
+        == 5
+    )

@@ -35,7 +35,7 @@ def test_gram_matches_numpy(spark):
 def test_projection_matches_numpy_subspace(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     got = {
-        r.vec_id: np.asarray(r.pc)
+        r.vec_id: np.asarray([r[f"pc{j}"] for j in range(K)])
         for r in pca_project(emb, "embedding", "vec_id", DIM, K).collect()
     }
     ids, X = _reference(spark)
