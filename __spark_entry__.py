@@ -175,6 +175,19 @@ _R5_FRONT = (
     "events_orders_cogroup_merge",
     # (c) new in round 5
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    # explicit Bloom-filter join pruning (oracle = plain-join
+    # equivalence, i.e. the soundness theorem)
+    "bloom_prune_join",
+    # portable md5-register HLL — the oracle-checked twin of the
+    # rows-only DataSketches customer_hll_distinct; global row is a
+    # register-table merge
+    "customer_hll_portable",
+    # near-dup representative selection (components + quality argmax
+    # in one aggregation pass)
+    "doc_neardup_canonical",
+    # streaming HLL: per-batch register partials merged by max; shares
+    # the one-shot oracle (merge theorem)
+    "stream_hll_user_distinct",
 )
 
 

@@ -297,3 +297,116 @@ def histogram_quantiles(
         )
     )
     return sel.select("q", est.alias("est_value"))
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: md5-register distinct-count sketch that DuckDB
+# replays bit-for-bit (the oracle-checkable twin of the DataSketches
+# HLL in queries/sql_json.py, which is rows-only because its register
+# layout is implementation-private).
+#
+# Shape at 100 TB: register table = groupBy (group, idx) max(rho) —
+# partial-aggregated map-side, <= 2^p rows per group out of the
+# shuffle regardless of input size; merging corpora/groups is another
+# max over the same bounded table (demonstrated by the global row of
+# customer_hll_portable). The estimate is EXACT integer arithmetic
+# until one final double multiply/divide: S = sum_j 2^(RHO_CAP - M_j)
+# fits int64 by construction (2^54 * 256 = 2^62), is
+# order-independent, and both engines evaluate the same left-to-right
+# double expression for alpha*m^2*2^RHO_CAP/S.
+#
+# rho uses TRAILING zeros of the 52-bit hash suffix (+1) instead of
+# the textbook leading zeros: same geometric distribution
+# (P(rho>=r) = 2^-(r-1)), but computable with pure integer modulo
+# tests — no log2/floating point whose last-ulp rounding could differ
+# across engines.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_RHO_CAP = 54  # 52-bit suffix: trailing-zeros+1 <= 53; w=0 -> 54
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_SEED = 11
+
+
+def hll_register_table(
+    df: DataFrame, key: str | Column, group_cols: list[str]
+) -> DataFrame:
+    """Max-rho register table: (group..., idx int, M int), <= 256 rows
+    per group. Mergeable: ``groupBy(idx).agg(max(M))`` over any union
+    of register tables is the sketch of the union of their inputs."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = portable_hash64(col, seed=HLL_SEED)  # 60-bit, non-negative
+    w = F.expr(f"_h DIV {HLL_M}")
+    rho = F.expr(
+        "size(filter(sequence(1, 53), "
+        "t -> _w % shiftleft(CAST(1 AS BIGINT), t) = 0)) + 1"
+    )
+    return (
+        df.select(*group_cols, h.alias("_h"))
+        .withColumn("idx", F.pmod(F.col("_h"), F.lit(HLL_M)).cast("int"))
+        .withColumn("_w", w)
+        .withColumn("_rho", rho)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("_rho").cast("int").alias("M"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate per group from a register table: (group...,
+    n_est double, n_zero_regs int). Absent registers contribute
+    2^RHO_CAP (M=0). ``n_zero_regs`` is the exact empty-register count
+    the caller needs for the small-range linear-counting correction
+    (est = m*ln(m/V) when n < ~2.5m) — the correction stays
+    caller-side because ln's last-ulp rounding is not bit-portable
+    across engines, while everything emitted here is."""
+    s = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - M)")
+            )
+            + (HLL_M - F.count(F.lit(1)))
+            * F.lit(1 << HLL_RHO_CAP).cast("long")
+        ).alias("S"),
+        (HLL_M - F.count(F.lit(1))).cast("int").alias("n_zero_regs"),
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_RHO_CAP))
+        / F.col("S").cast("double")
+    )
+    return s.select(*group_cols, est.alias("n_est"), "n_zero_regs")
+
+
+def hll_oracle_cte(table: str, key: str, group: str) -> str:
+    """DuckDB CTE text replaying the register table: yields relation
+    ``hllm({group}, idx, M)``."""
+    h = oracle_hash64(key, seed=HLL_SEED)
+    return f"""
+    hllh AS (SELECT {group}, {h} AS h FROM {table}),
+    hllr AS (SELECT {group}, h % {HLL_M} AS idx,
+                    len(list_filter(range(1, 54),
+                        t -> ((h // {HLL_M}) % (1::BIGINT << t)) = 0)) + 1 AS rho
+             FROM hllh),
+    hllm AS (SELECT {group}, idx, MAX(rho) AS M FROM hllr GROUP BY 1, 2)
+    """
+
+
+def hll_oracle_estimate(rel: str, group: str | None = None) -> str:
+    """DuckDB SELECT text over a register relation (group?, idx, M)
+    mirroring :func:`hll_estimate` (identical left-to-right double
+    expression). ``group=None`` emits the global (ungrouped) form."""
+    # literals are cast to DOUBLE explicitly: DuckDB parses bare float
+    # literals as DECIMAL and overflows multiplying them
+    est = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+        f" * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE)"
+        f" * CAST({float(1 << HLL_RHO_CAP)!r} AS DOUBLE)"
+        f" / CAST(CAST(SUM(1::BIGINT << ({HLL_RHO_CAP} - M)) AS BIGINT)"
+        f" + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_RHO_CAP})"
+        f" AS DOUBLE) AS n_est,"
+        f" CAST({HLL_M} - COUNT(*) AS INT) AS n_zero_regs"
+    )
+    if group is None:
+        return f"SELECT {est} FROM {rel}"
+    return f"SELECT {group}, {est} FROM {rel} GROUP BY {group}"

@@ -172,3 +172,113 @@ def stream_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     probes = ev.filter(F.col("user_id") % _PROBE_MOD == 0).distinct()
     return estimates_from_sketch(sketch, probes, "user_id", _DEPTH, _WIDTH)
+
+
+from bigdatafinalproject_spark.operators.barrier import materialize_barrier  # noqa: E402
+from bigdatafinalproject_spark.operators.sketches import (  # noqa: E402
+    hll_estimate,
+    hll_oracle_cte,
+    hll_oracle_estimate,
+    hll_register_table,
+)
+
+_HLL_ORACLE = f"""
+    WITH {hll_oracle_cte("customer", "c_custkey", "c_nationkey")},
+    per AS ({hll_oracle_estimate("hllm", "c_nationkey")}),
+    ex AS (SELECT c_nationkey, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_exact
+           FROM customer GROUP BY 1),
+    gm AS (SELECT idx, MAX(M) AS M FROM hllm GROUP BY 1),
+    g_est AS ({hll_oracle_estimate("gm")})
+    SELECT CAST(per.c_nationkey AS INT) AS c_nationkey, ex.n_exact, per.n_est,
+           per.n_zero_regs
+    FROM per JOIN ex ON per.c_nationkey = ex.c_nationkey
+    UNION ALL
+    SELECT -1 AS c_nationkey,
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS n_exact,
+           (SELECT n_est FROM g_est) AS n_est,
+           (SELECT n_zero_regs FROM g_est) AS n_zero_regs
+    """
+
+
+@query("customer_hll_portable", oracle=_HLL_ORACLE)
+def customer_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count sketch, ORACLE-CHECKED: the
+    md5-register twin of customer_hll_distinct (whose DataSketches
+    binary layout forces a rows-only check). Per-nation register
+    tables (<= 256 rows each out of one groupBy) estimate per-nation
+    distinct customers; the GLOBAL row is produced by MERGING the
+    per-nation registers (max per idx) — never rescanning the data —
+    which is the 100 TB pattern: sketch each shard/day once, answer
+    any rollup by merging bounded register tables. DuckDB replays the
+    registers and the exact integer-arithmetic estimate bit-for-bit
+    (trailing-zero rho, int64 power sums, one final double divide).
+    n_exact rides along per group for error inspection."""
+    c = load_table(spark, sf_dir, "customer")
+    # regs feeds BOTH the per-nation estimate and the global merge —
+    # barrier before fan-out (NOTES.md discipline)
+    regs = materialize_barrier(
+        hll_register_table(c, "c_custkey", ["c_nationkey"])
+    )
+    per = hll_estimate(regs, ["c_nationkey"])
+    ex = c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_custkey").alias("n_exact")
+    )
+    per_rows = per.join(ex, "c_nationkey").select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "n_exact",
+        "n_est",
+        "n_zero_regs",
+    )
+    gm = regs.groupBy("idx").agg(F.max("M").cast("int").alias("M"))
+    glob = (
+        hll_estimate(gm, [])
+        .crossJoin(
+            F.broadcast(
+                c.agg(F.countDistinct("c_custkey").alias("n_exact"))
+            )
+        )
+        .select(
+            F.lit(-1).cast("int").alias("c_nationkey"),
+            "n_exact",
+            "n_est",
+            "n_zero_regs",
+        )
+    )
+    return per_rows.unionByName(glob)
+
+
+_STREAM_HLL_ORACLE = f"""
+    WITH {hll_oracle_cte("events", "user_id", "0 AS g")},
+    g_est AS ({hll_oracle_estimate("hllm")})
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+           (SELECT n_est FROM g_est) AS n_est,
+           (SELECT n_zero_regs FROM g_est) AS n_zero_regs
+    """
+
+
+@query("stream_hll_user_distinct", oracle=_STREAM_HLL_ORACLE)
+def stream_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users, sketched INCREMENTALLY by a stream: each
+    micro-batch writes its own partial HLL register table (stateless
+    foreachBatch, idempotent batch paths) and the queryable sketch is
+    the register-wise MAX of the partials. The oracle computes the
+    one-shot global register table over the full events table —
+    matching it IS the merge theorem (max of per-batch maxima = global
+    max), the same discipline as stream_cms_user_frequency. max is
+    also idempotent, so replayed batches are harmless — the
+    exactly-once story needs only at-least-once delivery."""
+    from bigdatafinalproject_spark.streaming.sketches import (
+        stream_hll_registers,
+    )
+
+    regs, _ = stream_hll_registers(spark, sf_dir)
+    est = hll_estimate(regs, [])
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        F.broadcast(ex)
+        .crossJoin(est)
+        .select("n_exact", "n_est", "n_zero_regs")
+    )

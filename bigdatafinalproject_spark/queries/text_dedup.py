@@ -320,10 +320,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_neardup_components",
-    oracle=f"""
-    WITH RECURSIVE {_SIMHASH_CTE},
+# SimHash banding -> near pairs -> symmetric edges -> min-label walk;
+# `comp(doc_id, component)` is shared by doc_neardup_components and
+# doc_neardup_canonical (identical text to the r1-green components
+# oracle — only factored into a constant).
+_NEARDUP_COMP_CTE = f"""
+    {_SIMHASH_CTE},
     sl AS (SELECT doc_id, simhash, CAST(b AS INT) AS band,
                   (simhash >> (CAST(b AS INT) * 15)) & 32767 AS slice
            FROM sig, LATERAL unnest(range(0, 4)) AS u(b)),
@@ -339,9 +341,17 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s, s FROM e
       UNION
       SELECT e.s, w.label FROM e JOIN walk w ON w.node = e.d
-    )
-    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
-    FROM walk GROUP BY node
+    ),
+    comp AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+             FROM walk GROUP BY node)
+"""
+
+
+@query(
+    "doc_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_COMP_CTE}
+    SELECT doc_id, component FROM comp
     """,
 )
 def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,6 +368,78 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "doc_neardup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_COMP_CTE},
+    qc AS (SELECT doc_id,
+                  CAST(length(text) AS INT) AS raw_len,
+                  CAST(length(lower(text))
+                       - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INT)
+                      AS punct,
+                  {_TOKS} AS toks
+           FROM documents),
+    qr AS (SELECT doc_id,
+                  CAST(punct AS DOUBLE) / raw_len AS punct_ratio,
+                  CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks)
+                      AS stopword_ratio,
+                  CAST(len(toks) AS INT) AS n_tokens
+           FROM qc),
+    q AS (SELECT doc_id,
+                 1.0 - least(punct_ratio * 2, 0.5)
+                     - CASE WHEN stopword_ratio < 0.05 THEN 0.25 ELSE 0.0 END
+                     - CASE WHEN n_tokens < 10 THEN 0.25 ELSE 0.0 END AS quality
+          FROM qr),
+    j AS (SELECT comp.component, comp.doc_id, q.quality
+          FROM comp JOIN q USING (doc_id)),
+    r AS (SELECT component, doc_id, quality,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY quality DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members
+          FROM j)
+    SELECT component, doc_id AS keep_doc_id, quality AS keep_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def doc_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the dedup-pipeline stage AFTER
+    clustering: each near-dup component keeps its highest-quality
+    member (tie-break: lowest doc_id), the rest are dropped. Composes
+    the SimHash components with the quality scorer; the argmax is ONE
+    aggregation pass (max over (quality, -doc_id) structs — lexical
+    struct ordering gives the tie-break for free), not a window, so at
+    100 TB it is a single partial+final shuffle on component with no
+    per-group sort. The oracle replays components + quality and takes
+    the same argmax via row_number."""
+    from bigdatafinalproject_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(
+        docs, "text", "doc_id", bits=60, max_hamming=3, bands=4
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    q = T.quality_score(docs, "text", "doc_id").select("doc_id", "quality")
+    j = comp.join(q, "doc_id")
+    agg = j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("quality"),
+                (-F.col("doc_id")).cast("long").alias("negid"),
+            )
+        ).alias("best"),
+    )
+    return agg.select(
+        "component",
+        (-F.col("best.negid")).alias("keep_doc_id"),
+        F.col("best.quality").alias("keep_quality"),
+        "n_members",
+    )
 
 
 @query(

@@ -142,3 +142,59 @@ def stream_cms_sketch(
         [p for p in os.listdir(out) if p.startswith("batch=")]
     )
     return merged, n_batches
+
+
+def stream_hll_registers(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Streaming portable-HLL maintenance (same shape as
+    :func:`stream_cms_sketch`): each micro-batch writes its OWN partial
+    register table (idx, M) under an idempotent batch=<id> path —
+    stateless stream, zero state store — and the queryable sketch is
+    the register-wise MAX over all partials. max is idempotent and
+    commutative, so re-processing a batch or merging shards can never
+    corrupt the estimate; the merged registers are EXACTLY the
+    registers of the concatenated stream, which is what sharing the
+    batch oracle verifies. Returns (registers (idx, M), n partials)."""
+    from bigdatafinalproject_spark.operators.sketches import (
+        hll_register_table,
+    )
+
+    d = _chunked_events_dir(sf_dir)
+    raw = (
+        spark.readStream.schema(
+            footer_read_schema(os.path.join(d, "chunk0.parquet"))
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"bdfp_hll_index_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+
+    def write_partial(bdf: DataFrame, bid: int) -> None:
+        (
+            hll_register_table(bdf, "user_id", [])
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch={bid}")
+        )
+
+    q = (
+        raw.select("user_id")
+        .writeStream.foreachBatch(write_partial)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("idx")
+        .agg(F.max("M").cast("int").alias("M"))
+    )
+    n_batches = len([p for p in os.listdir(out) if p.startswith("batch=")])
+    return merged, n_batches

@@ -129,3 +129,34 @@ def test_stream_cms_merges_multiple_partials_to_exact_global(spark):
     m = sorted(map(tuple, merged.collect()))
     g = sorted(map(tuple, one_shot.collect()))
     assert m == g
+
+
+def test_hll_portable_corrected_estimate_accuracy(spark):
+    """The portable HLL's raw estimate + exact zero-register count must
+    support the standard small-range correction: applying linear
+    counting (m*ln(m/V)) when the raw estimate falls below 2.5m lands
+    within ~3 standard errors (1.04/sqrt(m) ~ 6.5%) of the exact
+    per-nation distinct counts, and the merged global row behaves the
+    same. (The correction is caller-side by design: ln is not bit-
+    portable; everything the operator emits is.)"""
+    import math
+
+    from bigdatafinalproject_spark import registry
+    from bigdatafinalproject_spark.operators.sketches import HLL_M
+
+    rows = registry.QUERIES["customer_hll_portable"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        est = r.n_est
+        if est < 2.5 * HLL_M and r.n_zero_regs > 0:
+            est = HLL_M * math.log(HLL_M / r.n_zero_regs)
+        # relative bound for real cardinalities; absolute floor for the
+        # tiny per-nation counts at sf0.001 (n~7 vs linear counting's
+        # ~±11 expected std at t = n/m = 0.03)
+        assert abs(est - r.n_exact) <= max(0.20 * r.n_exact, 5.0), (
+            r.c_nationkey,
+            est,
+            r.n_exact,
+        )
