@@ -188,6 +188,12 @@ _R5_FRONT = (
     # streaming HLL: per-batch register partials merged by max; shares
     # the one-shot oracle (merge theorem)
     "stream_hll_user_distinct",
+    # sketch set algebra: union by register merge, intersection by
+    # inclusion-exclusion
+    "customer_hll_set_algebra",
+    # MMR diversified retrieval — integer-quantized greedy walk,
+    # recursive-CTE oracle
+    "ann_mmr_diversified",
 )
 
 

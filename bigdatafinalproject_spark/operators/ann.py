@@ -437,3 +437,140 @@ def lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 12,
+    k: int = 4,
+    lam_num: int = 7,
+    pen_num: int = 3,
+    scale: int = 1 << 30,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedily pick k of
+    each query's ``n_candidates`` exact-cosine candidates, trading
+    relevance against similarity-to-already-picked
+    (mmr = lam*rel - (1-lam)*max_sim; lam = lam_num/(lam_num+pen_num)).
+
+    The RAG-retrieval stage after ANN: raw top-k is often near-
+    duplicate context; MMR returns a panel that covers the
+    neighborhood. Greedy MMR is inherently sequential in k and
+    quadratic in the candidate set, so THE CANDIDATE SET is where the
+    scale design lives: candidates come from the (banded/bucketed at
+    scale) ANN tier and are bounded per query, making every frame here
+    kilobytes regardless of corpus size. The k-step loop is a driver
+    loop over bounded DataFrames — each step one anti-join + one
+    bounded max-sim aggregate + one struct-max argmax (no windows), with
+    a barrier per step so lineage never re-executes.
+
+    Portability: cosines are sequential double folds (bit-identical in
+    DuckDB); scores then quantize to int64 (floor(cos * scale)), so
+    every MMR comparison is EXACT integer arithmetic — the greedy
+    trajectory cannot diverge between engines on a float ulp. Ties
+    break on lowest id via struct-max over (score, -id).
+
+    Returns (query_id, pick 1..k, vec_id, rel_q, mmr_q).
+    """
+    from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
+    cand = materialize_barrier(
+        cosine_topk(corpus, queries, id_col, vec_col, k=n_candidates).select(
+            "query_id",
+            F.col("neighbor_id").alias("cid"),
+            F.floor(F.col("cosine") * scale).cast("long").alias("rel_q"),
+        )
+    )
+    en = with_norm(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v",
+    )
+    pa = cand.select("query_id", F.col("cid").alias("a"))
+    pb = cand.select("query_id", F.col("cid").alias("b"))
+    sims = materialize_barrier(
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(
+            en.select(
+                F.col("_id").alias("a"),
+                F.col("_v").alias("_va"),
+                F.col("_norm").alias("_na"),
+            ),
+            "a",
+        )
+        .join(
+            en.select(
+                F.col("_id").alias("b"),
+                F.col("_v").alias("_vb"),
+                F.col("_norm").alias("_nb"),
+            ),
+            "b",
+        )
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.floor(
+                _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")) * scale
+            )
+            .cast("long")
+            .alias("sim_q"),
+        )
+    )
+    first = cand.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("rel_q"), (-F.col("cid")).alias("negid"))
+        ).alias("best")
+    )
+    sel_all = materialize_barrier(
+        first.select(
+            "query_id",
+            F.lit(1).cast("int").alias("pick"),
+            (-F.col("best.negid")).alias("cid"),
+            F.col("best.rel_q").alias("rel_q"),
+            (F.lit(lam_num) * F.col("best.rel_q")).alias("mmr_q"),
+        )
+    )
+    for step in range(2, k + 1):
+        rem = cand.join(
+            sel_all.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+        )
+        pen = (
+            sims.join(
+                sel_all.select("query_id", F.col("cid").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("cid"))
+            .agg(F.max("sim_q").alias("p"))
+        )
+        best = (
+            rem.join(pen, ["query_id", "cid"])
+            .groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        (
+                            F.lit(lam_num) * F.col("rel_q")
+                            - F.lit(pen_num) * F.col("p")
+                        ).alias("mmr_q"),
+                        (-F.col("cid")).alias("negid"),
+                        F.col("rel_q"),
+                    )
+                ).alias("best")
+            )
+        )
+        nxt = materialize_barrier(
+            best.select(
+                "query_id",
+                F.lit(step).cast("int").alias("pick"),
+                (-F.col("best.negid")).alias("cid"),
+                F.col("best.rel_q").alias("rel_q"),
+                F.col("best.mmr_q").alias("mmr_q"),
+            )
+        )
+        sel_all = sel_all.unionByName(nxt)
+    return sel_all.select(
+        "query_id", "pick", F.col("cid").alias("vec_id"), "rel_q", "mmr_q"
+    )

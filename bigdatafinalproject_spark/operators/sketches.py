@@ -378,17 +378,19 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     return s.select(*group_cols, est.alias("n_est"), "n_zero_regs")
 
 
-def hll_oracle_cte(table: str, key: str, group: str) -> str:
+def hll_oracle_cte(table: str, key: str, group: str, prefix: str = "") -> str:
     """DuckDB CTE text replaying the register table: yields relation
-    ``hllm({group}, idx, M)``."""
+    ``{prefix}hllm({group}, idx, M)``. ``table`` may be any relation
+    text (a prior CTE name works); ``prefix`` disambiguates multiple
+    sketches in one statement."""
     h = oracle_hash64(key, seed=HLL_SEED)
     return f"""
-    hllh AS (SELECT {group}, {h} AS h FROM {table}),
-    hllr AS (SELECT {group}, h % {HLL_M} AS idx,
+    {prefix}hllh AS (SELECT {group}, {h} AS h FROM {table}),
+    {prefix}hllr AS (SELECT {group}, h % {HLL_M} AS idx,
                     len(list_filter(range(1, 54),
                         t -> ((h // {HLL_M}) % (1::BIGINT << t)) = 0)) + 1 AS rho
-             FROM hllh),
-    hllm AS (SELECT {group}, idx, MAX(rho) AS M FROM hllr GROUP BY 1, 2)
+             FROM {prefix}hllh),
+    {prefix}hllm AS (SELECT {group}, idx, MAX(rho) AS M FROM {prefix}hllr GROUP BY 1, 2)
     """
 
 

@@ -249,3 +249,77 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_MMR_ORACLE = f"""
+    WITH RECURSIVE
+    {_NORMS_CTE.strip()},
+    mdots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     {_DOT_AB.format(a='q.embedding', b='c.embedding')} AS dot
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id % 50 = 0),
+    cand0 AS (SELECT qid, cid,
+                     CAST(floor((dot / (qa.nrm * qb.nrm)) * 1073741824) AS BIGINT)
+                         AS rel_q,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dot / (qa.nrm * qb.nrm) DESC,
+                                                 cid) AS rn
+              FROM mdots JOIN norms qa ON qa.vec_id = qid
+                         JOIN norms qb ON qb.vec_id = cid),
+    cand AS (SELECT qid, cid, rel_q FROM cand0 WHERE rn <= 12),
+    sims AS (SELECT a.qid, a.cid AS a, b.cid AS b,
+                    CAST(floor(({_DOT_AB.format(a='ea.embedding', b='eb.embedding')})
+                               / (na.nrm * nb.nrm) * 1073741824) AS BIGINT) AS sim_q
+             FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+             JOIN embeddings ea ON ea.vec_id = a.cid
+             JOIN embeddings eb ON eb.vec_id = b.cid
+             JOIN norms na ON na.vec_id = a.cid
+             JOIN norms nb ON nb.vec_id = b.cid),
+    walk(qid, step, sel, picked, rel_q, mmr_q) AS (
+      SELECT qid, 1, [cid], cid, rel_q, 7 * rel_q
+      FROM (SELECT qid, cid, rel_q,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel_q DESC, cid) AS rn
+            FROM cand) WHERE rn = 1
+      UNION ALL
+      SELECT qid, step + 1, list_append(sel, cid), cid, rel_q, mmr_q
+      FROM (
+        SELECT t.*, row_number() OVER (PARTITION BY t.qid
+                                       ORDER BY t.mmr_q DESC, t.cid) AS rn
+        FROM (
+          SELECT w.qid, w.step, w.sel, c.cid, c.rel_q,
+                 7 * c.rel_q - 3 * (SELECT MAX(s.sim_q) FROM sims s
+                                    WHERE s.qid = w.qid AND s.a = c.cid
+                                      AND list_contains(w.sel, s.b)) AS mmr_q
+          FROM walk w JOIN cand c ON c.qid = w.qid
+                                 AND NOT list_contains(w.sel, c.cid)
+          WHERE w.step < 4
+        ) t
+      ) WHERE rn = 1
+    )
+    SELECT qid AS query_id, CAST(step AS INT) AS pick, picked AS vec_id,
+           rel_q, mmr_q
+    FROM walk
+    """
+
+
+@query("ann_mmr_diversified", oracle=_MMR_ORACLE)
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/ann.mmr_diversify): the
+    standing %50 query panel takes its exact-cosine top-12 candidates,
+    then greedily picks 4 by maximal marginal relevance
+    (7*rel - 3*max_sim_to_picked in integer-quantized score space, so
+    the greedy trajectory is EXACT and engine-portable — no float-ulp
+    divergence across the sequential argmax). The oracle replays the
+    whole greedy walk with a recursive CTE over the same quantized
+    scores. Scale: the k-loop only ever touches per-query bounded
+    candidate frames; the corpus-sized work stays in the ANN candidate
+    tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    from bigdatafinalproject_spark.operators.ann import mmr_diversify
+
+    return mmr_diversify(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        n_candidates=12, k=4,
+    )

@@ -282,3 +282,79 @@ def stream_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(est)
         .select("n_exact", "n_est", "n_zero_regs")
     )
+
+
+_SET_ALG_ORACLE = f"""
+    WITH seta AS (SELECT DISTINCT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING'),
+    setb AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT'),
+    {hll_oracle_cte("seta", "c_custkey", "0 AS g", prefix="a")},
+    {hll_oracle_cte("setb", "c_custkey", "0 AS g", prefix="b")},
+    um AS (SELECT idx, MAX(M) AS M
+           FROM (SELECT idx, M FROM ahllm UNION ALL SELECT idx, M FROM bhllm)
+           GROUP BY idx),
+    ea AS ({hll_oracle_estimate("ahllm")}),
+    eb AS ({hll_oracle_estimate("bhllm")}),
+    eu AS ({hll_oracle_estimate("um")})
+    SELECT (SELECT n_est FROM ea) AS n_a_est,
+           (SELECT n_est FROM eb) AS n_b_est,
+           (SELECT n_est FROM eu) AS n_union_est,
+           (SELECT n_est FROM ea) + (SELECT n_est FROM eb)
+             - (SELECT n_est FROM eu) AS n_inter_est,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM seta JOIN setb USING (c_custkey)) AS n_inter_exact
+    """
+
+
+@query("customer_hll_set_algebra", oracle=_SET_ALG_ORACLE)
+def customer_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: distinct-count estimates for two customer
+    cohorts (BUILDING-segment vs urgent-order placers), their UNION by
+    register-wise max merge, and their INTERSECTION by
+    inclusion-exclusion — all from three bounded register tables,
+    never rescanning or joining the raw sets (the exact intersection
+    rides along only as the error reference). This is the sketch-
+    algebra answer to audience-overlap questions at 100 TB: |A|, |B|,
+    |A u B|, |A n B| from kilobytes of mergeable state. Register
+    tables and every estimate replay bit-for-bit in DuckDB; the same
+    left-to-right double arithmetic keeps inclusion-exclusion exact
+    cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    # each register table feeds its own estimate AND the union merge —
+    # barrier before fan-out
+    ra = materialize_barrier(hll_register_table(a, "c_custkey", []))
+    rb = materialize_barrier(hll_register_table(b, "c_custkey", []))
+    um = (
+        ra.unionByName(rb)
+        .groupBy("idx")
+        .agg(F.max("M").cast("int").alias("M"))
+    )
+    ea = hll_estimate(ra, []).select(F.col("n_est").alias("n_a_est"))
+    eb = hll_estimate(rb, []).select(F.col("n_est").alias("n_b_est"))
+    eu = hll_estimate(um, []).select(F.col("n_est").alias("n_union_est"))
+    inter_exact = a.join(b, "c_custkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_inter_exact")
+    )
+    return (
+        F.broadcast(ea)
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(inter_exact))
+        .select(
+            "n_a_est",
+            "n_b_est",
+            "n_union_est",
+            (
+                F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est")
+            ).alias("n_inter_est"),
+            "n_inter_exact",
+        )
+    )

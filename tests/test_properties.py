@@ -418,3 +418,46 @@ def test_hashed_bow_conserves_tokens_and_dim(spark):
         F.sum("n")
     ).collect()[0][0]
     assert total == expect
+
+
+def test_mmr_diversify_structure_and_diversification(spark):
+    """MMR invariants: pick 1 is the plain relevance argmax; picks are
+    distinct candidates; mmr_q is non-increasing across steps for each
+    query (greedy maximality over a shrinking frontier with a growing
+    penalty); and on at least one query the diversified panel differs
+    from the plain top-k (the penalty actually re-ranks)."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.catalog import load_table
+    from bigdatafinalproject_spark.operators.ann import (
+        cosine_topk,
+        mmr_diversify,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = mmr_diversify(emb, queries, n_candidates=12, k=4).collect()
+    top = cosine_topk(emb, queries, k=12).collect()
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    top_by_q = {}
+    for r in top:
+        top_by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+
+    assert set(by_q) == set(top_by_q)
+    diverged = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.pick)
+        ids = [r.vec_id for r in rows]
+        assert len(set(ids)) == 4
+        ranked = [n for _, n in sorted(top_by_q[qid])]
+        # pick 1 == relevance argmax (quantized ties break on low id)
+        assert ids[0] == ranked[0]
+        assert set(ids) <= set(ranked)
+        mmrs = [r.mmr_q for r in rows]
+        assert all(a >= b for a, b in zip(mmrs, mmrs[1:]))
+        if ids != ranked[:4]:
+            diverged += 1
+    assert diverged > 0
