@@ -194,6 +194,9 @@ _R5_FRONT = (
     # MMR diversified retrieval — integer-quantized greedy walk,
     # recursive-CTE oracle
     "ann_mmr_diversified",
+    # OPTIMIZE-style compaction; oracle = original-table aggregate
+    # (content neutrality)
+    "lineitem_compaction_roundtrip",
 )
 
 

@@ -126,3 +126,62 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """OPTIMIZE-style small-files compaction: rewrite a fragmented
+    parquet dataset into ~``target_bytes`` files. Returns the file
+    count written.
+
+    Why this is an operator and not "just a repartition": the output
+    file COUNT must be computed from the INPUT's physical size, and at
+    100 TB nothing may pass through the driver — the size comes from
+    the file index Spark already built for the scan (kilobytes of
+    metadata), never from the data. ``n = clamp(input_bytes /
+    target_bytes)`` then:
+
+    - unsorted: ``repartition(n)`` — round-robin, every output file
+      lands within ~1 row group of target size regardless of input
+      skew;
+    - ``sort_col``: ``repartitionByRange(n, col)`` +
+      ``sortWithinPartitions`` — compaction and global clustering in
+      one shuffle, so each output file covers a disjoint key range
+      (footer min/max prune like the z-order path, but 1-D).
+
+    Compaction is content-neutral by contract — the registry query
+    aggregates the compacted copy against the ORIGINAL table's oracle
+    to prove it.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    # physical size via the binaryFile source: a DISTRIBUTED file
+    # listing that exposes (path, length) without reading content —
+    # works on any Hadoop filesystem (local/HDFS/S3), moves only
+    # metadata, and the content column is pruned by the projection
+    input_bytes = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src_path)
+        .agg(F.sum("length").alias("b"))
+        .first()
+        .b
+    )
+    n = max(1, -(-int(input_bytes) // target_bytes))
+    if sort_col is None:
+        out = df.repartition(n)
+    else:
+        out = df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    out.write.mode("overwrite").parquet(dst_path)
+    import glob as _glob
+    import os as _os
+
+    return len(_glob.glob(_os.path.join(dst_path, "*.parquet")))

@@ -199,3 +199,41 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         _dsum(F.col("l_quantity")).alias("total_qty"),
     )
+
+
+@query(
+    "lineitem_compaction_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style compaction, content-neutrality proven by oracle:
+    lineitem is deliberately fragmented into 64 small files, compacted
+    back to ~8 MB target files SORTED on l_orderkey
+    (operators/layout.compact: input size via a distributed binaryFile
+    metadata listing, repartitionByRange + sortWithinPartitions — one
+    shuffle buys both compaction and disjoint per-file key ranges for
+    footer pruning), and the aggregate over the COMPACTED copy must
+    hash-match the original table. File-count and range-disjointness
+    are pinned in tests/test_layout_zorder.py."""
+    from bigdatafinalproject_spark.functions import dsum as _dsum
+    from bigdatafinalproject_spark.operators.layout import compact
+
+    frag = _scratch(sf_dir, "frag")
+    dst = _scratch(sf_dir, "compacted")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact(spark, frag, dst, target_bytes=8 << 20, sort_col="l_orderkey")
+    back = spark.read.parquet(dst)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )

@@ -79,3 +79,52 @@ def test_zorder_layout_prunes_non_leading_dimension(spark):
         == spark.read.parquet(ldir).count()
         == li.count()
     )
+
+
+def test_compact_file_count_and_disjoint_ranges(spark, tmp_path):
+    """compact() must (a) hit the computed file count from the input's
+    physical size, (b) with sort_col, produce files whose footer
+    min/max l_orderkey ranges are pairwise disjoint (the 1-D clustering
+    that makes row-group pruning work), and (c) preserve content."""
+    import pyarrow.parquet as pq
+
+    from bigdatafinalproject_spark.catalog import load_table
+    from bigdatafinalproject_spark.operators.layout import compact
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    frag = str(tmp_path / "frag")
+    li.repartition(16).write.parquet(frag)
+    input_bytes = sum(
+        f.stat().st_size for f in (tmp_path / "frag").glob("*.parquet")
+    )
+    target = max(1, input_bytes // 4)
+    dst = str(tmp_path / "compacted")
+    n = compact(spark, frag, dst, target_bytes=target, sort_col="l_orderkey")
+
+    expected = max(1, -(-input_bytes // target))
+    assert n == expected
+    files = sorted((tmp_path / "compacted").glob("*.parquet"))
+    assert len(files) == n
+
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(str(f))
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_orderkey"
+            )
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        if los:
+            ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # range-partitioned: disjoint up to boundary
+
+    assert (
+        spark.read.parquet(dst).count() == li.count()
+    )
