@@ -197,6 +197,9 @@ _R5_FRONT = (
     # OPTIMIZE-style compaction; oracle = original-table aggregate
     # (content neutrality)
     "lineitem_compaction_roundtrip",
+    # materialized-rollup maintenance: base ⊕ delta partials under
+    # dynamic partition overwrite; oracle = one-shot aggregate
+    "events_incremental_rollup_refresh",
 )
 
 

@@ -237,3 +237,93 @@ def lineitem_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "events_incremental_rollup_refresh",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_incremental_rollup_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-rollup MAINTENANCE: a day-partitioned aggregate
+    store is built from the first 24 days of events, then a late batch
+    (days 25-30) arrives and ONLY the affected partitions are
+    refreshed — old partials merged with delta partials by exact
+    integer-cent addition, written back under
+    ``partitionOverwriteMode=dynamic`` so untouched days are never
+    rewritten. The oracle is the ONE-SHOT aggregate over all events:
+    matching it proves base ⊕ delta ≡ full recompute (additive
+    partials in int64 cents are order/batching-independent — same
+    discipline as the streaming state operator).
+
+    The 100 TB pattern: refresh cost scales with the DELTA's partitions
+    (partition-pruned read of old partials + delta aggregate), never
+    with the history; at scale the store is the serving table and this
+    query is the nightly/streaming upsert."""
+    from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
+    store = _scratch(sf_dir, "rollup_store")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = "2024-01-25"
+    base = ev.filter(F.col("day") < split)
+    delta = ev.filter(F.col("day") >= split)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        )
+
+    (
+        partials(base)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(store)
+    )
+    # refresh: read ONLY the affected day partitions of the store
+    # (partition-pruned), merge with the delta's partials by exact
+    # integer addition, rewrite just those partitions
+    d = partials(delta)
+    old = spark.read.parquet(store).filter(F.col("day") >= split)
+    merged = (
+        old.select("day", "event_type", F.col("n").alias("n0"), F.col("cents").alias("c0"))
+        .join(
+            d.select("day", "event_type", F.col("n").alias("n1"), F.col("cents").alias("c1")),
+            ["day", "event_type"],
+            "full_outer",
+        )
+        .select(
+            "day",
+            "event_type",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0))).alias("n"),
+            (F.coalesce("c0", F.lit(0)) + F.coalesce("c1", F.lit(0))).alias("cents"),
+        )
+    )
+    # barrier before writing INTO a path the plan also reads: the
+    # checkpoint cuts lineage to the store files, making the
+    # read-then-dynamic-overwrite legal and race-free
+    merged = materialize_barrier(merged)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(store)
+    )
+    final = spark.read.parquet(store)
+    # hive partition-column inference reads the day strings back as
+    # DATE — normalize to the oracle's string form
+    return final.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").alias("n_events"),
+        (F.col("cents") / 100.0).alias("total_value"),
+    )
