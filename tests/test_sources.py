@@ -121,3 +121,26 @@ def test_jsonl_roundtrip_training_records(spark):
                 lines += [ln for ln in fh.read().splitlines() if ln]
         assert len(lines) == 2
         assert all(isinstance(json.loads(ln), dict) for ln in lines)
+
+
+def test_avro_roundtrip_if_module_present(spark):
+    """Avro source/sink — ENV-GATED like Delta/Iceberg: the image ships
+    avro-core jars but not the spark-avro DataSource module, so
+    format('avro') raises AnalysisException here. The test documents
+    the gate and auto-activates (full roundtrip equality) in any
+    deployment that adds org.apache.spark:spark-avro to the classpath.
+    """
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    df = spark.range(100).selectExpr(
+        "id", "cast(id as string) AS s", "cast(id * 1.5 as double) AS v"
+    )
+    path = "/tmp/bdfp_avro_gate_test"
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except AnalysisException as e:
+        assert "avro" in str(e).lower()
+        pytest.skip("spark-avro module not on classpath (documented gate)")
+    back = spark.read.format("avro").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
