@@ -200,6 +200,9 @@ _R5_FRONT = (
     # materialized-rollup maintenance: base ⊕ delta partials under
     # dynamic partition overwrite; oracle = one-shot aggregate
     "events_incremental_rollup_refresh",
+    # deterministic negative sampling (generated candidates, seen
+    # anti-join, rank by generation order)
+    "ratings_negative_samples",
 )
 
 

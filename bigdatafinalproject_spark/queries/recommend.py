@@ -346,3 +346,90 @@ def als_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.agg(
         F.sqrt(F.avg(err * err)).alias("rmse"), F.count(F.lit(1)).alias("n")
     )
+
+
+_NEG_K, _NEG_OVER, _NEG_SEED = 5, 4, 33
+_NEG_HASH = (
+    "(('0x' || substr(md5(concat_ws('|', '33', userId, j)), 1, 15))::BIGINT)"
+)
+
+
+@query(
+    "ratings_negative_samples",
+    oracle=f"""
+    WITH items AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+    users AS (SELECT DISTINCT o_custkey AS userId FROM orders
+              WHERE o_custkey % 20 = 0),
+    seen AS (SELECT DISTINCT o_custkey AS userId, l_partkey AS itemId
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    cand AS (SELECT u.userId, CAST(j AS INT) AS j,
+                    {_NEG_HASH} % (SELECT n FROM items) AS itemId
+             FROM users u, LATERAL unnest(range(0, {_NEG_K * _NEG_OVER})) AS t(j)),
+    ded AS (SELECT userId, itemId, MIN(j) AS j FROM cand GROUP BY 1, 2),
+    neg AS (SELECT d.userId, d.itemId, d.j FROM ded d
+            WHERE NOT EXISTS (SELECT 1 FROM seen s
+                              WHERE s.userId = d.userId
+                                AND s.itemId = d.itemId)),
+    r AS (SELECT userId, itemId,
+                 row_number() OVER (PARTITION BY userId ORDER BY j) AS neg_rank
+          FROM neg)
+    SELECT userId, CAST(neg_rank AS INT) AS neg_rank, itemId
+    FROM r WHERE neg_rank <= {_NEG_K}
+    """,
+)
+def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the training-data op every
+    implicit-feedback recommender / contrastive objective needs: k
+    items the user has NOT interacted with, per user, reproducible on
+    any engine/partitioning (reference trains ALS on positives only,
+    ALS_model3.py:197-210; serving then needs negatives for ranking
+    eval — net-new here).
+
+    Scale shape: candidates are GENERATED (portable-hash j -> item id
+    over the dense item-key space), never enumerated — per user this
+    is k*oversample rows regardless of catalog size; the only
+    corpus-sized structure is the seen-pairs anti-join, which is the
+    join the training set already materializes. Collisions with seen
+    items or duplicate candidates cost oversample slack (4x here), not
+    correctness: survivors keep their generation order j, so the first
+    k are deterministic. The oracle replays hash, dedup, anti-join,
+    and rank exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    from bigdatafinalproject_spark.functions import portable_hash64
+
+    n_items = part.agg(F.count(F.lit(1)).alias("n"))
+    users = (
+        o.filter(F.col("o_custkey") % 20 == 0)
+        .select(F.col("o_custkey").alias("userId"))
+        .distinct()
+    )
+    seen = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("userId"), F.col("l_partkey").alias("itemId"))
+        .distinct()
+    )
+    cand = (
+        users.select(
+            "userId",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K * _NEG_OVER - 1))).alias("j"),
+        )
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "userId",
+            F.col("j").cast("int").alias("j"),
+            F.pmod(
+                portable_hash64(F.col("userId"), F.col("j"), seed=_NEG_SEED),
+                F.col("n"),
+            ).alias("itemId"),
+        )
+    )
+    ded = cand.groupBy("userId", "itemId").agg(F.min("j").alias("j"))
+    neg = ded.join(seen, ["userId", "itemId"], "left_anti")
+    w = W.partitionBy("userId").orderBy("j")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select("userId", F.col("neg_rank").cast("int").alias("neg_rank"), "itemId")
+    )

@@ -461,3 +461,27 @@ def test_mmr_diversify_structure_and_diversification(spark):
         if ids != ranked[:4]:
             diverged += 1
     assert diverged > 0
+
+
+def test_negative_samples_are_unseen_and_exactly_k(spark):
+    """Every sampled (user, item) must be absent from the user's seen
+    set, each panel user gets exactly k ranked negatives, and the
+    output is deterministic across invocations."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark import registry
+    from bigdatafinalproject_spark.catalog import load_table
+
+    neg = registry.QUERIES["ratings_negative_samples"](spark, SF_DIR)
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    seen = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("userId"), F.col("l_partkey").alias("itemId"))
+        .distinct()
+    )
+    assert neg.join(seen, ["userId", "itemId"], "inner").count() == 0
+    per_user = {r.userId: r["count"] for r in neg.groupBy("userId").count().collect()}
+    assert per_user and all(v == 5 for v in per_user.values())
+    again = registry.QUERIES["ratings_negative_samples"](spark, SF_DIR)
+    assert sorted(map(tuple, neg.collect())) == sorted(map(tuple, again.collect()))
