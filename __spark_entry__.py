@@ -203,6 +203,9 @@ _R5_FRONT = (
     # deterministic negative sampling (generated candidates, seen
     # anti-join, rank by generation order)
     "ratings_negative_samples",
+    # streaming CDC apply: latest-wins keyed store via versioned
+    # snapshots; oracle = one-shot batch argmax
+    "stream_orders_cdc_apply",
 )
 
 

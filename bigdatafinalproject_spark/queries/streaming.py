@@ -255,3 +255,39 @@ def stream_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatafinalproject_spark.streaming.embeddings import stream_lsh_index
 
     return stream_lsh_index(spark, sf_dir)
+
+
+@query(
+    "stream_orders_cdc_apply",
+    oracle="""
+    WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate DESC,
+                                                  o_orderkey DESC) AS rn
+               FROM orders)
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate,
+           o_totalprice AS last_totalprice
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/cdc.py): the order stream
+    maintains a latest-order-per-customer store through VERSIONED
+    snapshots — batch b merges its per-key argmax partial into
+    snapshot v=b-1 and writes v=b (never reading and overwriting the
+    same path), the hand-rolled MERGE INTO with no table-format
+    dependency. max-over-structs is associative, commutative, and
+    idempotent, so at-least-once batch delivery yields an exactly-once
+    store; matching the batch argmax oracle over the full table IS the
+    proof that the incremental chain equals the one-shot computation,
+    whatever the chunking."""
+    from bigdatafinalproject_spark.streaming.cdc import stream_cdc_latest_store
+
+    store, _ = stream_cdc_latest_store(spark, sf_dir)
+    return store.select(
+        "o_custkey",
+        F.col("s.o_orderkey").alias("last_orderkey"),
+        F.date_format("s.o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+        F.col("s.o_totalprice").alias("last_totalprice"),
+    )

@@ -1,0 +1,135 @@
+"""Streaming CDC apply: a latest-wins keyed store maintained across
+micro-batches through VERSIONED snapshots — the upsert counterpart of
+the partial-sketch streams (streaming/sketches.py), and the hand-rolled
+form of what a table format's MERGE INTO does, with no Delta/Iceberg
+dependency (no such jars in this image — documented env gate).
+
+Protocol (exactly-once from at-least-once delivery):
+
+- batch b computes its OWN per-key argmax (latest (o_orderdate,
+  o_orderkey) per customer — a bounded partial, like a sketch);
+- it reads the previous snapshot ``v=<b-1>`` (empty for b=0), merges
+  by the same argmax — max over structs is associative, commutative,
+  and IDEMPOTENT, so replaying a failed batch cannot corrupt the
+  store — and writes snapshot ``v=<b>`` (overwrite: retries of the
+  same batch id land on the same path);
+- the queryable state is always the highest-numbered snapshot; old
+  snapshots are the time-travel/debug trail (and would be vacuumed by
+  retention in production).
+
+Each snapshot holds ONE ROW PER KEY (not per event), so snapshot size
+is bounded by key cardinality regardless of stream length; the merge
+is one shuffle on the key per batch. Reading v=<b-1> while writing
+v=<b> never reads-and-overwrites the same path, which is what makes
+the chain safe without a commit log.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import table_path
+from bigdatafinalproject_spark.streaming.schema import footer_read_schema
+
+_N_CHUNKS = 4
+
+
+def _chunked_orders_dir(sf_dir: str) -> str:
+    """Orders split into several parquet files so the file source
+    (maxFilesPerTrigger=1) yields multiple micro-batches — same staging
+    discipline as streaming/sketches._chunked_events_dir."""
+    import pyarrow.parquet as pq
+
+    src = os.path.abspath(table_path(sf_dir, "orders"))
+    tag = hashlib.md5(f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"bdfp_ordchunks_{tag}")
+    if os.path.exists(os.path.join(d, "_STAGED")):
+        return d
+    t = pq.read_table(
+        src, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    n = t.num_rows
+    step = (n + _N_CHUNKS - 1) // _N_CHUNKS
+    tmp = d + f".tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(_N_CHUNKS):
+        pq.write_table(
+            t.slice(i * step, step), os.path.join(tmp, f"chunk{i}.parquet")
+        )
+    open(os.path.join(tmp, "_STAGED"), "w").write(src)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def _latest_struct() -> F.Column:
+    # ordering keys FIRST (lexicographic struct max), payload after;
+    # (o_orderdate, o_orderkey) is unique per customer row set, so the
+    # argmax is total and deterministic
+    return F.struct(
+        F.col("o_orderdate"), F.col("o_orderkey"), F.col("o_totalprice")
+    ).alias("s")
+
+
+def _argmax(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_custkey").agg(F.max(_latest_struct()).alias("s"))
+
+
+def stream_cdc_latest_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Run the chunked order stream to completion, maintaining the
+    latest-order-per-customer store through versioned snapshots.
+    Returns (final store (o_custkey, s struct), n snapshots)."""
+    import atexit
+
+    d = _chunked_orders_dir(sf_dir)
+    raw = (
+        spark.readStream.schema(
+            footer_read_schema(os.path.join(d, "chunk0.parquet"))
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    src = os.path.abspath(table_path(sf_dir, "orders"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"bdfp_cdc_store_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        delta = _argmax(bdf)
+        prev_path = f"{out}/v={bid - 1}"
+        if bid > 0 and os.path.exists(prev_path):
+            prev = spark.read.parquet(prev_path)
+            merged = _argmax(
+                prev.select("o_custkey", "s.*").unionByName(
+                    delta.select("o_custkey", "s.*")
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{out}/v={bid}")
+
+    q = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(p.split("=")[1]) for p in os.listdir(out) if p.startswith("v=")
+    )
+    final = spark.read.parquet(f"{out}/v={versions[-1]}")
+    return final, len(versions)
