@@ -68,6 +68,19 @@ def _chunked_orders_dir(sf_dir: str) -> str:
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+    # prune stale chunk dirs for the SAME source (older mtime tags after
+    # a testdata regeneration) — same hygiene as _chunked_events_dir
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(tempfile.gettempdir(), "bdfp_ordchunks_*")):
+        if p == d or p.endswith(f".tmp{os.getpid()}"):
+            continue
+        try:
+            with open(os.path.join(p, "_STAGED")) as fh:
+                if fh.read() == src:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     return d
 
 
