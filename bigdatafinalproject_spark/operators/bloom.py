@@ -72,8 +72,12 @@ def _base_hash(col: Column, seed: int, hash_fn: str) -> Column:
     pure-Python replay test, or a DuckDB CTE) can reproduce. Both are
     deterministic across runs and partitionings."""
     if hash_fn == "xxhash64":
-        # fold the sign bit away so pmod/DIV stay in non-negative range
-        return F.abs(F.xxhash64(F.lit(str(seed)), col))
+        # MASK the sign bit away (not abs: abs(Long.MIN_VALUE) is
+        # still negative under two's complement) so the non-negative
+        # invariant _positions assumes holds unconditionally
+        return F.xxhash64(F.lit(str(seed)), col).bitwiseAND(
+            F.lit(0x7FFFFFFFFFFFFFFF)
+        )
     if hash_fn == "md5":
         return portable_hash64(col, seed=seed)
     raise ValueError(f"unknown hash_fn {hash_fn!r}")

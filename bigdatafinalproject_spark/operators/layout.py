@@ -165,15 +165,20 @@ def compact(
     # listing that exposes (path, length) without reading content —
     # works on any Hadoop filesystem (local/HDFS/S3), moves only
     # metadata, and the content column is pruned by the projection
-    input_bytes = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(src_path)
-        .agg(F.sum("length").alias("b"))
-        .first()
-        .b
-    )
-    n = max(1, -(-int(input_bytes) // target_bytes))
+    def _listing_bytes_files(path: str) -> tuple[int, int]:
+        row = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .load(path)
+            .agg(F.sum("length").alias("b"), F.count(F.lit(1)).alias("f"))
+            .first()
+        )
+        return (int(row.b) if row.b is not None else 0, int(row.f))
+
+    input_bytes, input_files = _listing_bytes_files(src_path)
+    if input_files == 0:
+        raise ValueError(f"compact: no *.parquet files under {src_path!r}")
+    n = max(1, -(-input_bytes // target_bytes))
     if sort_col is None:
         out = df.repartition(n)
     else:
@@ -181,7 +186,6 @@ def compact(
             sort_col
         )
     out.write.mode("overwrite").parquet(dst_path)
-    import glob as _glob
-    import os as _os
-
-    return len(_glob.glob(_os.path.join(dst_path, "*.parquet")))
+    # count output files with the SAME distributed metadata listing as
+    # the input sizing — filesystem-agnostic, unlike a local glob
+    return _listing_bytes_files(dst_path)[1]

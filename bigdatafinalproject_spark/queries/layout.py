@@ -271,12 +271,20 @@ def events_incremental_rollup_refresh(
     store = _scratch(sf_dir, "rollup_store")
     ev = load_table(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # The late batch OVERLAPS stored partitions: days >= split are
+    # already present in the store (their morning events) when the
+    # afternoon events arrive, so the full_outer merge below sees
+    # non-empty old partials for every refreshed key — the base ⊕
+    # delta arithmetic is genuinely exercised, not vacuously satisfied
+    # by an empty old side.
     split = "2024-01-25"
-    base = ev.filter(F.col("day") < split)
-    delta = ev.filter(F.col("day") >= split)
+    late = (F.col("day") >= split) & (F.col("hr") >= 12)
+    base = ev.filter(~late).drop("hr")
+    delta = ev.filter(late).drop("hr")
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("day", "event_type").agg(

@@ -357,13 +357,15 @@ _NEG_HASH = (
 @query(
     "ratings_negative_samples",
     oracle=f"""
-    WITH items AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+    WITH items AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(MIN(p_partkey) AS BIGINT) AS lo FROM part),
     users AS (SELECT DISTINCT o_custkey AS userId FROM orders
               WHERE o_custkey % 20 = 0),
     seen AS (SELECT DISTINCT o_custkey AS userId, l_partkey AS itemId
              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     cand AS (SELECT u.userId, CAST(j AS INT) AS j,
-                    {_NEG_HASH} % (SELECT n FROM items) AS itemId
+                    (SELECT lo FROM items)
+                      + {_NEG_HASH} % (SELECT n FROM items) AS itemId
              FROM users u, LATERAL unnest(range(0, {_NEG_K * _NEG_OVER})) AS t(j)),
     ded AS (SELECT userId, itemId, MIN(j) AS j FROM cand GROUP BY 1, 2),
     neg AS (SELECT d.userId, d.itemId, d.j FROM ded d
@@ -399,7 +401,12 @@ def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     from bigdatafinalproject_spark.functions import portable_hash64
 
-    n_items = part.agg(F.count(F.lit(1)).alias("n"))
+    # n + lo instead of assuming a 0-based key space: candidates land on
+    # [lo, lo+n-1], the table's actual dense id range, under either the
+    # 0-based convention this generator uses or TPC-H's 1-based keys.
+    n_items = part.agg(
+        F.count(F.lit(1)).alias("n"), F.min("p_partkey").alias("lo")
+    )
     users = (
         o.filter(F.col("o_custkey") % 20 == 0)
         .select(F.col("o_custkey").alias("userId"))
@@ -419,9 +426,12 @@ def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "userId",
             F.col("j").cast("int").alias("j"),
-            F.pmod(
-                portable_hash64(F.col("userId"), F.col("j"), seed=_NEG_SEED),
-                F.col("n"),
+            (
+                F.col("lo")
+                + F.pmod(
+                    portable_hash64(F.col("userId"), F.col("j"), seed=_NEG_SEED),
+                    F.col("n"),
+                )
             ).alias("itemId"),
         )
     )
