@@ -61,12 +61,39 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry.QUERIES[name]
+    # Per-query noise guard (VERDICT r5): a single-query spike can slip
+    # past the whole-run canary (BENCH_r05 carried price_band_join at
+    # 6.3 s vs its steady ~1.5 s in an otherwise-quiet run). Reference
+    # = the committed BENCH_FULL sidecar's per-query map at the same
+    # sf; any reading >2.5x its reference is re-run once in-process and
+    # the MIN recorded, with both raw readings kept in a `reruns`
+    # field so the artifact self-describes the outlier.
+    steady_ref: dict[str, float] = {}
+    sidecar = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        prior = json.loads(sidecar.read_text())
+        if prior.get("sf") == sf:
+            steady_ref = prior.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    _MAX_RERUNS = 8  # bound added wall-clock on a genuinely hot host
+
+    def _run_once(fn) -> float:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    timings: dict[str, float] = {}
+    reruns: dict[str, list[float]] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        t = _run_once(fn)
+        ref = steady_ref.get(name)
+        if ref and t > 2.5 * ref and len(reruns) < _MAX_RERUNS:
+            t2 = _run_once(fn)
+            reruns[name] = [t, t2]
+            t = min(t, t2)
+        timings[name] = t
 
     total = round(sum(timings.values()), 3)
     # Noise self-description (VERDICT r4): popular_parts is the host
@@ -82,7 +109,12 @@ def main() -> None:
         if steady is not None
         else None
     )
-    noise = {"canary_sec": canary, "canary_steady_sec": steady, "hot_host": hot_host}
+    noise = {
+        "canary_sec": canary,
+        "canary_steady_sec": steady,
+        "hot_host": hot_host,
+        "reruns": reruns,
+    }
     # The driver captures a bounded tail of stdout: the ONE contract
     # JSON line must stay compact (r1's full 114-query map overflowed
     # the window and parsed as null). The line carries the total + the
@@ -102,7 +134,6 @@ def main() -> None:
     # subset runs (BENCH_QUERIES) must not clobber the full-registry
     # sidecar with a 2-query map
     if not subset:
-        sidecar = Path(__file__).resolve().parent / "BENCH_FULL.json"
         sidecar.write_text(json.dumps(full, indent=1) + "\n")
     print(
         json.dumps(
