@@ -143,23 +143,34 @@ def bloom_might_contain(
     return cond
 
 
-def bloom_prune(
+def bloom_merge_words(*words_dfs: DataFrame) -> DataFrame:
+    """Merge Bloom word tables built with the SAME (m_bits, k, seed,
+    hash_fn): union + re-``bit_or``. Because set-bit union is exactly
+    what inserting both key sets into one filter produces, the merged
+    table is bit-identical to a single build over the union of the
+    corpora — the property that makes per-shard / per-day builds
+    composable without re-reading history."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), words_dfs)
+    return u.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_prune_with_words(
     df: DataFrame,
     key: str | Column,
-    build_df: DataFrame,
-    build_key: str | Column,
+    words: DataFrame,
     m_bits: int = 8192,
     k: int = 4,
     seed: int = 0,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Filter ``df`` to rows whose ``key`` might appear in
-    ``build_df[build_key]`` — sound (no false negatives), bounded-size
-    broadcast, probe fully codegen'd with one hash per row. The bloom
-    words fold into a single-row map that rides a broadcast cross join
-    (no driver collect; the same broadcast-1-row-scalar pattern as the
-    TPC-H fraction tests)."""
-    words = bloom_build_words(build_df, build_key, m_bits, k, seed, hash_fn)
+    """Probe side of the Bloom prune against a PREBUILT word table —
+    the cross-job path: build once with :func:`bloom_build_words`,
+    persist the <= m_bits/32 (word_idx, word) rows to parquet, reload
+    in any later job and prune with the same (m_bits, k, seed,
+    hash_fn). The words fold into a single-row map that rides a
+    broadcast cross join (no driver collect)."""
     packed = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word_idx", "word"))
@@ -173,3 +184,21 @@ def bloom_prune(
     return pruned.filter(
         bloom_might_contain(F.col("_bloom"), m_bits, k)
     ).drop("_bloom", "_h")
+
+
+def bloom_prune(
+    df: DataFrame,
+    key: str | Column,
+    build_df: DataFrame,
+    build_key: str | Column,
+    m_bits: int = 8192,
+    k: int = 4,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``key`` might appear in
+    ``build_df[build_key]`` — sound (no false negatives), bounded-size
+    broadcast, probe fully codegen'd with one hash per row. One-job
+    convenience over build + :func:`bloom_prune_with_words`."""
+    words = bloom_build_words(build_df, build_key, m_bits, k, seed, hash_fn)
+    return bloom_prune_with_words(df, key, words, m_bits, k, seed, hash_fn)

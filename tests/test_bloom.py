@@ -101,3 +101,80 @@ def test_prune_then_join_equals_plain_join(spark):
         .count()
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_persisted_words_prune_identically(spark, tmp_path):
+    """Cross-job reuse: words written to parquet and reloaded in a
+    fresh plan prune exactly the rows the in-process filter prunes
+    (bit-identical words => identical probe verdicts)."""
+    from bigdatafinalproject_spark.operators.bloom import (
+        bloom_prune_with_words,
+    )
+
+    p = load_table(spark, SF_DIR, "part").filter(F.col("p_size") == 15)
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey")
+    words = bloom_build_words(p, "p_partkey", M_BITS, K)
+    store = str(tmp_path / "bloom_words")
+    words.write.mode("overwrite").parquet(store)
+
+    reloaded = spark.read.parquet(store)
+    a = sorted(
+        r.l_partkey
+        for r in bloom_prune_with_words(
+            li, "l_partkey", reloaded, M_BITS, K
+        ).collect()
+    )
+    b = sorted(
+        r.l_partkey
+        for r in bloom_prune(li, "l_partkey", p, "p_partkey", M_BITS, K).collect()
+    )
+    assert len(a) > 0
+    assert a == b
+    # the persisted form is the bounded one: <= m_bits/32 rows
+    assert spark.read.parquet(store).count() <= M_BITS // WORD_BITS
+
+
+def test_merged_words_equal_union_build_and_pin_fp_rate(spark):
+    """union + re-bit_or over two shard builds == one build over the
+    union corpus (bit-for-bit), and the merged filter's FP rate stays
+    near the textbook bound for the COMBINED member count."""
+    from bigdatafinalproject_spark.operators.bloom import (
+        bloom_merge_words,
+        bloom_prune_with_words,
+    )
+
+    part = load_table(spark, SF_DIR, "part")
+    s1 = part.filter(F.col("p_size") == 15)
+    s2 = part.filter(F.col("p_size") == 23)
+    w1 = bloom_build_words(s1, "p_partkey", M_BITS, K, hash_fn="md5")
+    w2 = bloom_build_words(s2, "p_partkey", M_BITS, K, hash_fn="md5")
+    merged = {
+        r.word_idx: r.word for r in bloom_merge_words(w1, w2).collect()
+    }
+    both = part.filter(F.col("p_size").isin(15, 23))
+    onebuild = {
+        r.word_idx: r.word
+        for r in bloom_build_words(
+            both, "p_partkey", M_BITS, K, hash_fn="md5"
+        ).collect()
+    }
+    assert merged == onebuild
+
+    members = {r.p_partkey for r in both.select("p_partkey").collect()}
+    assert len(members) > 0
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey")
+    kept = {
+        r.l_partkey
+        for r in bloom_prune_with_words(
+            li.distinct(),
+            "l_partkey",
+            bloom_merge_words(w1, w2),
+            M_BITS,
+            K,
+            hash_fn="md5",
+        ).collect()
+    }
+    non_members = {r.l_partkey for r in li.distinct().collect()} - members
+    fp = len(kept - members)
+    bound = (1 - math.exp(-K * len(members) / M_BITS)) ** K
+    assert fp / max(len(non_members), 1) <= max(5 * bound, 0.02)
