@@ -97,12 +97,61 @@ def _argmax(df: DataFrame) -> DataFrame:
     return df.groupBy("o_custkey").agg(F.max(_latest_struct()).alias("s"))
 
 
+def store_versions(out_dir: str) -> list[int]:
+    """Snapshot versions currently retained under ``out_dir``, ascending."""
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(out_dir)
+        if p.startswith("v=")
+    )
+
+
+def store_as_of(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
+    """Time-travel read: the store exactly as it stood after batch
+    ``version`` was applied — snapshot ``v=<version>`` verbatim, the
+    hand-rolled form of a table format's VERSION AS OF. Raises
+    ``ValueError`` if that snapshot was vacuumed or never written."""
+    path = f"{out_dir}/v={version}"
+    if not os.path.exists(path):
+        raise ValueError(
+            f"snapshot v={version} not retained under {out_dir!r}; "
+            f"available: {store_versions(out_dir)}"
+        )
+    return spark.read.parquet(path)
+
+
+def vacuum_snapshots(out_dir: str, keep: int = 1) -> list[int]:
+    """Retention: drop all but the newest ``keep`` snapshots (and their
+    batch manifests), returning the removed versions. The queryable
+    state — the highest-numbered snapshot — is untouched by
+    construction, so vacuum never changes query results, only how far
+    back :func:`store_as_of` can reach."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1: the latest snapshot IS the store")
+    versions = store_versions(out_dir)
+    removed = versions[:-keep] if len(versions) > keep else []
+    for v in removed:
+        shutil.rmtree(f"{out_dir}/v={v}", ignore_errors=True)
+        shutil.rmtree(f"{out_dir}/m={v}", ignore_errors=True)
+    return removed
+
+
 def stream_cdc_latest_store(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> tuple[DataFrame, int]:
     """Run the chunked order stream to completion, maintaining the
     latest-order-per-customer store through versioned snapshots.
-    Returns (final store (o_custkey, s struct), n snapshots)."""
+    Returns (final store (o_custkey, s struct), n snapshots).
+
+    ``out_dir`` pins the snapshot directory so a caller can time-travel
+    (:func:`store_as_of`) and vacuum (:func:`vacuum_snapshots`) after
+    the stream finishes; when omitted a process-scoped temp dir is used
+    and cleaned at exit. Alongside each snapshot ``v=<b>`` the batch's
+    source-file manifest is written to ``m=<b>`` (no driver collect —
+    a distinct over ``input_file_name``), giving the replay trail a
+    commit-log-style record of what each batch contained."""
     import atexit
 
     d = _chunked_orders_dir(sf_dir)
@@ -113,15 +162,24 @@ def stream_cdc_latest_store(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    src = os.path.abspath(table_path(sf_dir, "orders"))
-    tag = hashlib.md5(src.encode()).hexdigest()[:10]
-    out = os.path.join(
-        tempfile.gettempdir(), f"bdfp_cdc_store_{tag}_{os.getpid()}"
-    )
+    if out_dir is None:
+        src = os.path.abspath(table_path(sf_dir, "orders"))
+        tag = hashlib.md5(src.encode()).hexdigest()[:10]
+        out = os.path.join(
+            tempfile.gettempdir(), f"bdfp_cdc_store_{tag}_{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    else:
+        out = out_dir
     shutil.rmtree(out, ignore_errors=True)
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
+        (
+            bdf.select(F.input_file_name().alias("file"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{out}/m={bid}")
+        )
         delta = _argmax(bdf)
         prev_path = f"{out}/v={bid - 1}"
         if bid > 0 and os.path.exists(prev_path):

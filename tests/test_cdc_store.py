@@ -1,0 +1,91 @@
+"""Versioned-snapshot CDC store: time-travel + retention semantics.
+
+The table-format story the absent Delta/Iceberg jars would otherwise
+provide, hand-rolled and pinned:
+
+1. ``store_as_of(v)`` == replaying the source files batches 0..v
+   actually contained (each snapshot's ``m=<b>`` manifest records
+   them), for EVERY version — the time-travel read is exact, not
+   approximate;
+2. vacuum keeps the newest N snapshots, the latest store is
+   bit-identical before/after, and reads of vacuumed versions fail
+   loudly;
+3. the final snapshot equals the one-shot batch argmax over the whole
+   table (the streaming query's oracle property, re-checked here
+   engine-side).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.streaming.cdc import (
+    _argmax,
+    store_as_of,
+    store_versions,
+    stream_cdc_latest_store,
+    vacuum_snapshots,
+)
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(
+        (r.o_custkey, r.s.o_orderdate, r.s.o_orderkey, r.s.o_totalprice)
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def cdc_store(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cdc") / "store")
+    final, n = stream_cdc_latest_store(spark, SF_DIR, out_dir=out)
+    return out, final, n
+
+
+def test_as_of_every_version_equals_manifest_replay(spark, cdc_store):
+    out, _, n = cdc_store
+    versions = store_versions(out)
+    assert versions == list(range(n)) and n >= 2
+    seen_files: list[str] = []
+    for v in versions:
+        manifest = spark.read.parquet(f"{out}/m={v}")
+        seen_files += [r.file for r in manifest.collect()]
+        replay = _argmax(spark.read.parquet(*sorted(set(seen_files))))
+        assert _rows(store_as_of(spark, out, v)) == _rows(replay)
+
+
+def test_final_version_equals_batch_argmax(spark, cdc_store):
+    out, final, n = cdc_store
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    assert _rows(store_as_of(spark, out, n - 1)) == _rows(_argmax(orders))
+
+
+def test_as_of_mid_version_differs_from_final(spark, cdc_store):
+    """Time-travel is not a no-op: an early snapshot misses customers
+    whose first order arrives in a later batch. (Must run before the
+    vacuum test below — that one removes v=0 from the shared store.)"""
+    out, _, n = cdc_store
+    early = store_as_of(spark, out, 0).count()
+    final = store_as_of(spark, out, n - 1).count()
+    assert early < final
+
+
+def test_vacuum_keeps_latest_and_fails_loudly_on_vacuumed(spark, cdc_store):
+    out, _, n = cdc_store
+    before = _rows(store_as_of(spark, out, n - 1))
+    removed = vacuum_snapshots(out, keep=2)
+    assert removed == list(range(n - 2))
+    assert store_versions(out) == [n - 2, n - 1]
+    # latest store unchanged by retention
+    assert _rows(store_as_of(spark, out, n - 1)) == before
+    # vacuumed version is gone, loudly
+    with pytest.raises(ValueError, match="not retained"):
+        store_as_of(spark, out, 0)
+    # keep=0 is nonsense: the latest snapshot IS the store
+    with pytest.raises(ValueError, match="keep"):
+        vacuum_snapshots(out, keep=0)
