@@ -155,6 +155,31 @@ _R4_FRONT = (
     "part_triangle_count",
 )
 
+# driver-checked in r5 (CORRECTNESS_r05.json keys) — union below.
+_R5_DRIVER_CHECKED = (
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_counts", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_suppliers_kept_waiting", "embedding_pca_project",
+    "events_orders_cogroup_merge", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "bloom_prune_join",
+    "customer_hll_portable", "doc_neardup_canonical",
+    "stream_hll_user_distinct", "customer_hll_set_algebra",
+    "ann_mmr_diversified", "lineitem_compaction_roundtrip",
+    "events_incremental_rollup_refresh", "ratings_negative_samples",
+    "stream_orders_cdc_apply", "popular_parts", "clean_project",
+    "case_when_priority", "distinct_pairs", "null_handling",
+    "scalar_functions", "set_operations", "customers_with_orders_semi",
+    "customers_without_orders_anti", "left_join_order_counts",
+    "star_join_revenue_by_nation", "full_outer_join",
+    "broadcast_dim_join", "null_safe_join", "pricing_summary",
+    "top_orders_by_revenue", "summary_stats", "pivot_status",
+    "rollup_revenue", "distinct_counts", "corr_covar_portable",
+    "topk_per_group", "window_analytics", "window_distribution",
+    "sessionize", "events_session_window", "dense_customer_ids",
+    "surrogate_join_back", "kfold_assignment", "leave_one_out_split",
+    "cold_start_filtered_count",
+)
+
 # Round-5 front of the driver window, in priority order:
 # (a) the 5 TPC-H queries that landed at positions 51-55 in r4 and
 #     never got a driver CORRECTNESS row (VERDICT r4 missing #1);
@@ -209,6 +234,31 @@ _R5_FRONT = (
 )
 
 
+# Round-6 front of the driver window, in priority order: queries whose
+# results or plans CHANGE in round 6 — appended in the same commit as
+# the change (rotation discipline, NOTES.md) — then net-new r6 queries.
+# The registry enters r6 at 100% driver-verified (VERDICT r5), so the
+# front is purely change-driven this round.
+_R6_FRONT = (
+    # (a) changed in round 6
+    # candidate ids now derived from min(p_partkey)+n (key-space
+    # convention robustness; ADVICE r5)
+    "ratings_negative_samples",
+    # late batch overlaps stored partitions so the base⊕delta merge
+    # sees non-empty old partials (ADVICE r5)
+    "events_incremental_rollup_refresh",
+    # compact() counts output files via the distributed listing and
+    # rejects empty sources (ADVICE r5)
+    "lineitem_compaction_roundtrip",
+    # xxhash64 sign-bit MASK (abs(Long.MIN_VALUE) overflow; ADVICE r5)
+    # + build/probe split for cross-job word-table persistence
+    "bloom_prune_join",
+    # per-batch source-file manifests written alongside snapshots
+    # (time-travel replay trail)
+    "stream_orders_cdc_apply",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(registry.QUERIES)
     checked = (
@@ -216,8 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R2_DRIVER_CHECKED)
         | set(_R3_DRIVER_CHECKED)
         | set(_R4_DRIVER_CHECKED)
+        | set(_R5_DRIVER_CHECKED)
     )
-    front = [n for n in _R5_FRONT if n in registry.QUERIES]
+    front = [n for n in _R6_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green
