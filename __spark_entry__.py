@@ -256,6 +256,24 @@ _R6_FRONT = (
     # per-batch source-file manifests written alongside snapshots
     # (time-travel replay trail)
     "stream_orders_cdc_apply",
+    # scale-stress fixes (sf0.1->sf1 exponents 1.66/1.64 -> ~linear):
+    # ABSOLUTE stop-shingle DF cap (64 docs) instead of 2%-of-corpus
+    "doc_ngram_jaccard",
+    # centroid count + query panel capped (were scaling with N; the
+    # id-range caps are no-ops at driver SFs)
+    "ann_ivf_topk",
+    # (b) net-new round 6: TPC-DS-shaped warehouse reports
+    # Q27/Q36 GROUPING SETS with grouping_id level labels
+    "sales_grouping_sets",
+    # Q89 monthly deviation from category mean (window over aggregate)
+    "brand_monthly_deviation",
+    # Q67 top-5 per ROLLUP aggregation level (rank over grouping sets)
+    "segment_rollup_top5",
+    # Q38 customers present in all five priority channels
+    "channel_overlap_customers",
+    # persisted LSH index maintenance: build + append ≡ one-shot
+    # (batch twin of stream_embedding_index)
+    "ann_index_append",
 )
 
 

@@ -119,8 +119,14 @@ def main() -> None:
     # JSON line must stay compact (r1's full 114-query map overflowed
     # the window and parsed as null). The line carries the total + the
     # slowest 10; the full per-query map goes to a sidecar file.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    # subset runs are small — print the full map (scale tooling parses
+    # it); only the full-registry line needs the top-10 cap
+    slowest = (
+        dict(timings)
+        if subset
+        else dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        )
     )
     full = {
         "metric": "bench_total_sec",

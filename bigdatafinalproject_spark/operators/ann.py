@@ -148,22 +148,37 @@ def ivf_topk(
     k: int = 10,
     centroid_mod: int = 37,
     nprobe: int = 2,
+    max_centroids: int | None = 64,
 ) -> DataFrame:
     """IVF-flat approximate top-k: an inverted-file index with sampled
-    centroids (every ``centroid_mod``-th vector — IVF without k-means
-    iterations, deterministic and oracle-replayable).
+    centroids (every ``centroid_mod``-th vector up to ``max_centroids``
+    of them — IVF without k-means iterations, deterministic and
+    oracle-replayable).
 
     1. assign every corpus vector to its nearest centroid (one pass,
        centroids broadcast — the IVF build);
     2. each query probes its ``nprobe`` nearest centroids;
     3. exact cosine only within the probed buckets.
 
-    At 100 TB: centroid count ~ sqrt(N) keeps both the assign pass
-    (N × C with C broadcast) and the per-bucket search (N/C per probe)
-    subquadratic; the bucket join is a plain equi-join on centroid_id.
-    Returns (query_id, neighbor_id, cosine, rank).
+    Scale shape: the centroid count must be BOUNDED, not proportional
+    to N — an uncapped every-mod-th sample makes the broadcast assign
+    pass N × N/mod, i.e. quadratic (measured: 1.64 scaling exponent on
+    the sf0.1→sf1 stress bench before the cap). With C capped and a
+    bounded query panel, assign is N × C and probing is
+    |Q| · nprobe · N/C — both linear in N. C is a tuning knob (raise
+    it for a real 100 TB deployment, e.g. to 2^16, to keep buckets
+    small); what it must never do is scale with N. The bucket join is
+    a plain equi-join on centroid_id. Returns (query_id, neighbor_id,
+    cosine, rank).
     """
-    centroids = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+    centroids = corpus.filter(F.col(id_col) % centroid_mod == 0)
+    if max_centroids is not None:
+        # id-range cap: deterministic, replayable, and a no-op below
+        # the cap (small SFs keep their exact historical results)
+        centroids = centroids.filter(
+            F.col(id_col) < centroid_mod * max_centroids
+        )
+    centroids = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
     )
 

@@ -168,8 +168,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 8,
     threshold: float = 0.8,
-    max_doc_freq_frac: float | None = 0.02,
-    min_doc_freq_cap: int = 10,
+    max_doc_freq: int | None = 64,
 ) -> DataFrame:
     """Jaccard similarity over DF-FILTERED char n-gram shingle sets for
     every pair sharing >= 1 surviving shingle; keeps pairs with
@@ -177,28 +176,25 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
 
-    Shingles present in more than ``max(min_doc_freq_cap,
-    max_doc_freq_frac * corpus_size)`` documents are dropped BEFORE the
-    pair join — they carry no near-dup signal (stop-shingles) and their
-    inverted-index lists join quadratically: on the synthetic corpus the
-    cap cuts candidate pairs ~100× (5.6e8 → 5.7e6 at 5 K docs), and at
-    100 TB it is the difference between feasible and not. Pass
-    ``max_doc_freq_frac=None`` for the textbook uncapped definition.
+    Shingles present in more than ``max_doc_freq`` documents are
+    dropped BEFORE the pair join — they carry no near-dup signal
+    (stop-shingles) and their inverted-index lists join quadratically.
+    The cap is ABSOLUTE, not a corpus fraction, and that is the scale
+    guarantee: per-shingle pair work is O(cap²) regardless of corpus
+    size, so total join cost stays linear in the number of surviving
+    postings. (An earlier fractional cap — 2% of corpus — let posting
+    lists grow with N and measured a 1.66 scaling exponent on the
+    sf0.1→sf1 stress bench; the absolute cap restored ~linear.) A
+    shingle shared by hundreds of documents is boilerplate at ANY
+    corpus size. Pass ``max_doc_freq=None`` for the textbook uncapped
+    definition.
     """
     sh = shingles(df, text_col, id_col, n)
-    if max_doc_freq_frac is not None:
-        n_docs = df.select(id_col).distinct().agg(F.count(F.lit(1)).alias("_n"))
+    if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")
             .count()
-            .crossJoin(F.broadcast(n_docs))
-            .filter(
-                F.col("count")
-                <= F.greatest(
-                    F.lit(min_doc_freq_cap).cast("long"),
-                    F.floor(F.lit(max_doc_freq_frac) * F.col("_n")).cast("long"),
-                )
-            )
+            .filter(F.col("count") <= F.lit(int(max_doc_freq)).cast("long"))
         )
         sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
     # The surviving shingle set feeds THREE consumers (sizes + both pair

@@ -323,3 +323,68 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, id_col="vec_id", vec_col="embedding",
         n_candidates=12, k=4,
     )
+
+
+# batch ANN index maintenance: 12 planes / 3 bands (the streaming
+# index's geometry, streaming/embeddings.stream_lsh_index)
+_IDX_PLANES, _IDX_BANDS = 12, 3
+_IDX_R = _IDX_PLANES // _IDX_BANDS
+_IDX_HASH = (
+    "(('0x' || substr(md5(concat_ws('|', '7', vec_id, band, band_sig)), 1, 15))::BIGINT)"
+)
+
+
+@query(
+    "ann_index_append",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, CAST(p AS INT) AS p,
+                        CASE WHEN {_PLANE_DOT.format(dim1=_DIM + 1)} > 0
+                             THEN 1 ELSE 0 END AS bit
+                 FROM embeddings, LATERAL unnest(range(0, {_IDX_PLANES})) AS up(p)),
+    bands AS (SELECT vec_id, CAST(p // {_IDX_R} AS INT) AS band,
+                     string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS band_sig
+              FROM sig GROUP BY vec_id, band)
+    SELECT band,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT band_sig) AS n_buckets,
+           CAST(SUM({_IDX_HASH} % 1000000007) AS BIGINT) AS sig_checksum
+    FROM bands GROUP BY band
+    """,
+)
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-ANN-index MAINTENANCE in batch form (the batch twin of
+    `stream_embedding_index`): the LSH bucket index is built from the
+    initial corpus (vec_id % 3 != 0), persisted to parquet, then a new
+    batch (vec_id % 3 == 0) is signed and APPENDED — never recomputing
+    the existing corpus — and the reloaded index is summarized per
+    band (row count, bucket count, portable content checksum).
+
+    The oracle computes the ONE-SHOT index over all embeddings:
+    matching it is the maintenance theorem — build(A) ⊎ append(B) ≡
+    build(A ∪ B), which holds because signatures are row-local
+    (stateless), so index freshness costs only the delta at any scale.
+    The checksum makes the equivalence content-exact, not just
+    count-exact."""
+    from bigdatafinalproject_spark.functions import portable_hash64
+    from bigdatafinalproject_spark.operators.ann import lsh_signatures
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = _scratch(sf_dir, "lshindex")
+    lsh_signatures(
+        base, "vec_id", "embedding", _IDX_PLANES, _IDX_BANDS, _DIM
+    ).write.mode("overwrite").parquet(idx)
+    lsh_signatures(
+        delta, "vec_id", "embedding", _IDX_PLANES, _IDX_BANDS, _DIM
+    ).write.mode("append").parquet(idx)
+    back = spark.read.parquet(idx)
+    h = portable_hash64(
+        F.col("vec_id"), F.col("band"), F.col("band_sig"), seed=7
+    )
+    return back.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("band_sig").alias("n_buckets"),
+        F.sum(h % 1000000007).alias("sig_checksum"),
+    )

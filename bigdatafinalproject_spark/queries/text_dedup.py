@@ -32,14 +32,14 @@ _SHINGLE_CTE = f"""
            FROM d, LATERAL unnest(range(1, length(t) - 6)) AS u(i))
 """
 
-# document-frequency filter: drop stop-shingles (> max(10, 2% of corpus)
-# docs) before any pair join — mirrors ngram_jaccard_pairs' cap
+# document-frequency filter: drop stop-shingles (> 64 docs) before any
+# pair join — mirrors ngram_jaccard_pairs' ABSOLUTE cap (per-shingle
+# pair work O(cap²) at any corpus size; a fractional cap scales
+# superlinearly — measured 1.66 exponent on the sf0.1→sf1 stress bench)
 _SHF_CTE = """
     shf AS (SELECT sh.doc_id, sh.shingle FROM sh
             JOIN (SELECT shingle FROM sh GROUP BY shingle
-                  HAVING COUNT(*) <= greatest(CAST(10 AS BIGINT),
-                         CAST(floor(0.02 * (SELECT COUNT(DISTINCT doc_id)
-                                            FROM documents)) AS BIGINT))) k
+                  HAVING COUNT(*) <= 64) k
             USING (shingle))
 """
 

@@ -1,0 +1,230 @@
+"""TPC-DS-shaped warehouse reports: grouping sets, deviation reports,
+rank-over-rollup, channel overlap.
+
+Net-new surface extending the warehouse story past TPC-H (the
+reference's only aggregation surface is ALS-adjacent groupBys,
+ALS_model3.py:134-144; basic rollup/cube/grouping-sets SQL already
+lives in aggregates.py / percentiles_bands.py). The four shapes here
+are the composite TPC-DS REPORT idioms a migrating user reaches for
+next:
+
+- Q27/Q36 shape: multi-level grouping sets over a 4-table star join,
+  via the DataFrame-API ``groupingSets`` (Spark 4) rather than the SQL
+  string surface ``grouping_sets_revenue`` exercises;
+- Q89 shape: monthly actuals vs the category mean (window over an
+  aggregate), reporting the months that deviate;
+- Q67 shape: top-N rows per aggregation level of a ROLLUP (rank over
+  grouping-sets output);
+- Q38 shape: entities present in ALL channels (count-distinct
+  threshold), then an exact aggregate over the survivors.
+
+Scale notes: every query aggregates BEFORE any window/rank (the window
+input is category x month / level-sized, thousands of rows at any SF);
+grouping sets are one shuffle producing all levels via partial aggs;
+the overlap query is a single per-customer agg + filter. Exactness
+discipline: every float sum goes through the decimal-cast helpers
+(functions.dsum) so window math sees bit-identical doubles on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.functions import dsum
+from bigdatafinalproject_spark.registry import query
+
+_DEC = "decimal(25,6)"
+
+
+@query(
+    "sales_grouping_sets",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(r_name, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), ())
+    """,
+)
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q27/Q36 shape: one pass over the fact-side star join
+    produces the detail level, the per-region subtotal, and the grand
+    total, each row labeled by ``grouping_id`` (same bitmask convention
+    both engines: first grouping column = MSB). Exercises the Spark 4
+    DataFrame-API ``groupingSets`` (the SQL-string form is covered by
+    ``grouping_sets_revenue``). At 100 TB this is the one-shuffle
+    alternative to three separate aggregate jobs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        j.groupingSets(
+            [["r_name", "o_orderpriority"], ["r_name"], []],
+            "r_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "brand_monthly_deviation",
+    oracle="""
+    WITH monthly AS (
+      SELECT p_brand,
+             strftime(l_shipdate, '%Y-%m') AS sale_month,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS sales
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT p_brand, sale_month, sales,
+             CAST(SUM(CAST(sales AS DECIMAL(25,6))) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM monthly)
+    SELECT p_brand, sale_month, sales, brand_avg
+    FROM stats
+    WHERE sales > brand_avg * 1.15 OR sales < brand_avg * 0.85
+    """,
+)
+def brand_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q89 shape: monthly brand sales vs the brand's mean month,
+    keeping months that deviate more than 15%. The window runs over the
+    AGGREGATED series (brands x months — bounded at any SF), never the
+    fact table, and the window sum goes through the decimal cast so the
+    mean is order-independent and bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_brand",
+            F.date_format("l_shipdate", "yyyy-MM").alias("sale_month"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sales")
+        )
+    )
+    w = W.partitionBy("p_brand")
+    stats = monthly.withColumn(
+        "brand_avg",
+        F.sum(F.col("sales").cast(_DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+    )
+    return stats.filter(
+        (F.col("sales") > F.col("brand_avg") * 1.15)
+        | (F.col("sales") < F.col("brand_avg") * 0.85)
+    ).select("p_brand", "sale_month", "sales", "brand_avg")
+
+
+@query(
+    "segment_rollup_top5",
+    oracle="""
+    WITH agg AS (
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment_name,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS gid,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderpriority)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY gid
+               ORDER BY spend DESC, segment_name, priority) AS rk
+      FROM agg)
+    SELECT segment_name, priority, gid, n_orders, spend, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def segment_rollup_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape: rank WITHIN each aggregation level of a ROLLUP
+    (detail rows compete with detail rows, subtotals with subtotals)
+    and keep the top 5 per level. The rank's input is the rollup output
+    (levels x categories, bounded), and the ordering carries full
+    tie-breaks (spend, segment, priority) so row_number is total and
+    partition-invariant."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("spend"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment_name"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "spend",
+        )
+    )
+    w = W.partitionBy("gid").orderBy(
+        F.col("spend").desc(), F.col("segment_name"), F.col("priority")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "channel_overlap_customers",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             COUNT(DISTINCT o_orderpriority) AS np,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+      FROM orders GROUP BY 1)
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(CAST(spend AS DECIMAL(25,6))) AS DOUBLE) AS total_spend
+    FROM pc WHERE np = 5
+    """,
+)
+def channel_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38 shape: customers active in ALL five priority channels
+    (count-distinct threshold instead of a 5-way INTERSECT — one
+    shuffle on the customer key vs five), then an exact spend total
+    over the survivors. The inner spend is already decimal-summed; the
+    outer re-sum goes through the same cast so the two-level float
+    aggregation stays bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("np"),
+        dsum(F.col("o_totalprice")).alias("spend"),
+    )
+    return pc.filter(F.col("np") == 5).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("spend")).alias("total_spend"),
+    )

@@ -60,6 +60,7 @@ _MODULES = (
     "formats",
     "modern_sql",
     "tpch",
+    "tpcds_shapes",
     "pruning",
 )
 
