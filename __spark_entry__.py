@@ -274,6 +274,9 @@ _R6_FRONT = (
     # persisted LSH index maintenance: build + append ≡ one-shot
     # (batch twin of stream_embedding_index)
     "ann_index_append",
+    # product quantization: trainless capped codebooks, floor-quantized
+    # integer ADC, exact rerank — the compression tier of the ANN family
+    "ann_pq_topk",
 )
 
 

@@ -589,3 +589,154 @@ def mmr_diversify(
     return sel_all.select(
         "query_id", "pick", F.col("cid").alias("vec_id"), "rel_q", "mmr_q"
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    codeword_mod: int = 13,
+    max_codewords: int = 16,
+    rerank: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization top-k (the compression tier between the
+    int8 rerank and IVF): split vectors into ``m`` subvectors, encode
+    each against a per-subspace codebook, rank by asymmetric-distance
+    (ADC) table lookups, exact-rerank the survivors.
+
+    Deterministic, trainless codebooks (sampled vectors' subvectors —
+    the same capped id-range sampling as ivf_topk, so the codebook is
+    BOUNDED and oracle-replayable: every ``codeword_mod``-th vector up
+    to ``max_codewords``). Encoding = nearest codeword per subspace by
+    L2 (sequential double fold, ties to the lowest codeword id). ADC:
+    per query the m x C table of subspace dots, FLOOR-QUANTIZED to
+    int64 so the per-candidate score is an exact integer SUM — the
+    cross-engine-order-independent discipline mmr_diversify uses —
+    approx_cosine ~ sum_s table[s, code_s] / (||q|| * ||x||) with the
+    EXACT corpus norms stored beside the codes (standard PQ practice).
+
+    100 TB shape: codes are m bytes-ish per vector (vs 4*dim float32 —
+    32x compression at m=8, dim=64); encode is N x m x C subspace
+    dots with C capped (linear in N); the ADC scan is a broadcast
+    lookup-table join + one map-side-combinable integer aggregation;
+    full-precision vectors are touched only for k*rerank rows per
+    query. Returns (query_id, neighbor_id, cosine, rank) exact-cosine
+    reranked.
+    """
+    sub = dim // m
+    assert sub * m == dim
+    spaces = F.explode(
+        F.sequence(F.lit(0), F.lit(m - 1)).cast("array<int>")
+    ).alias("s")
+    subv = F.slice(F.col("_v"), F.col("s") * sub + 1, sub).alias("_sv")
+
+    cb = (
+        corpus.filter(
+            (F.col(id_col) % codeword_mod == 0)
+            & (F.col(id_col) < codeword_mod * max_codewords)
+        )
+        .select(F.col(id_col).alias("code"), F.col(vec_col).alias("_v"))
+        .select("code", spaces, "_v")
+        .select("code", "s", subv)
+        .select("code", "s", F.col("_sv").alias("_cw"))
+    )
+
+    # encode: nearest codeword per (vector, subspace), L2, ties to the
+    # smallest codeword id — one broadcast join + one bounded window
+    l2 = F.expr(
+        "aggregate(zip_with(_sv, _cw, (x, c) -> "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cvec = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
+        "neighbor_id",
+    )
+    enc_w = W.partitionBy("neighbor_id", "s").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    codes = (
+        cvec.select("neighbor_id", spaces, "_v")
+        .select("neighbor_id", "s", subv)
+        .join(F.broadcast(cb), "s")
+        .withColumn("_d", l2)
+        .withColumn("_rn", F.row_number().over(enc_w))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "s", "code")
+    )
+
+    # ADC lookup tables: floor-quantized subspace dots per (query,
+    # subspace, codeword) — |Q| * m * C rows, broadcastable
+    pdot = F.expr(
+        "aggregate(zip_with(_sv, _cw, (x, c) -> "
+        "CAST(x AS DOUBLE) * CAST(c AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    qtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
+        .select("query_id", spaces, "_v")
+        .select("query_id", "s", subv)
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.floor(pdot * scale).cast("long").alias("_pq"),
+        )
+    )
+
+    norms = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        ).alias("_cnorm"),
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_pq").alias("_iscore"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(norms, "neighbor_id")
+        .withColumn(
+            "_ascore",
+            F.col("_iscore").cast("double") / F.col("_cnorm"),
+        )
+    )
+    cand_w = W.partitionBy("query_id").orderBy(
+        F.col("_ascore").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact rerank, same tail as quantized_topk
+    qv = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+    ).withColumnRenamed("_norm", "_qnorm")
+    cv = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm2")
+    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm2"))
+    out = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

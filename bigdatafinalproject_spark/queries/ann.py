@@ -388,3 +388,89 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("band_sig").alias("n_buckets"),
         F.sum(h % 1000000007).alias("sig_checksum"),
     )
+
+
+# product quantization: m=8 subspaces of 8 dims, codebook = every
+# 13th vector capped at 16 codewords (id range [0, 208) — the same
+# capped-sampling discipline as ivf_topk), ADC scores floor-quantized
+# at 1e6 so the candidate ranking is exact integer arithmetic
+_PQ_M, _PQ_SUB = 8, 8
+_PQ_MOD, _PQ_MAXC = 13, 16
+_PQ_SCALE = 1_000_000
+_PQ_RERANK = 40  # k * rerank
+
+_PQ_L2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+    "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_NORMS_CTE},
+    cb AS (SELECT vec_id AS code, CAST(s AS INT) AS s,
+                  embedding[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS cw
+           FROM embeddings, LATERAL unnest(range(0, {_PQ_M})) AS us(s)
+           WHERE vec_id % {_PQ_MOD} = 0 AND vec_id < {_PQ_MOD * _PQ_MAXC}),
+    enc AS (SELECT e.vec_id AS neighbor_id, c.s, c.code,
+                   {_PQ_L2.format(a=f'e.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]', b='c.cw')} AS d
+            FROM embeddings e CROSS JOIN cb c),
+    codes AS (SELECT neighbor_id, s, code FROM (
+                SELECT neighbor_id, s, code,
+                       row_number() OVER (PARTITION BY neighbor_id, s
+                                          ORDER BY d ASC, code ASC) AS rn
+                FROM enc) WHERE rn = 1),
+    qtab AS (SELECT q.vec_id AS query_id, c.s, c.code,
+                    CAST(floor({_DOT_AB.format(a=f'q.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]', b='c.cw')} * {_PQ_SCALE}) AS BIGINT) AS pq
+             FROM embeddings q CROSS JOIN cb c
+             WHERE q.vec_id % 50 = 0 AND q.vec_id < 3200),
+    adc AS (SELECT t.query_id, codes.neighbor_id,
+                   CAST(SUM(t.pq) AS BIGINT) AS iscore
+            FROM codes JOIN qtab t ON t.s = codes.s AND t.code = codes.code
+            WHERE t.query_id <> codes.neighbor_id
+            GROUP BY 1, 2),
+    cand AS (SELECT query_id, neighbor_id FROM (
+               SELECT a.query_id, a.neighbor_id,
+                      row_number() OVER (PARTITION BY a.query_id
+                                         ORDER BY CAST(a.iscore AS DOUBLE) / n.nrm DESC,
+                                                  a.neighbor_id ASC) AS crank
+               FROM adc a JOIN norms n ON n.vec_id = a.neighbor_id)
+             WHERE crank <= {_PQ_RERANK}),
+    dots AS (SELECT cand.query_id, cand.neighbor_id,
+                    {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (qa.nrm * qb.nrm) AS cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot / (qa.nrm * qb.nrm) DESC,
+                                                  neighbor_id ASC) AS rank
+               FROM dots
+               JOIN norms qa ON qa.vec_id = query_id
+               JOIN norms qb ON qb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-10 (operators/ann.pq_topk): the
+    compression tier of the ANN family — 8 subspaces, trainless capped
+    codebooks, floor-quantized ADC table-lookup ranking, exact rerank
+    of the top-40. The oracle replays codebook sampling, per-subspace
+    L2 encoding, the integer ADC sum, and both rankings end-to-end.
+    Bounded query panel + capped codebook keep every stage linear in
+    the corpus (the scale lesson BENCH_SF1 taught ivf_topk)."""
+    from bigdatafinalproject_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return pq_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=10, m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
+        max_codewords=_PQ_MAXC, rerank=4, scale=_PQ_SCALE,
+    )

@@ -485,3 +485,33 @@ def test_negative_samples_are_unseen_and_exactly_k(spark):
     assert per_user and all(v == 5 for v in per_user.values())
     again = registry.QUERIES["ratings_negative_samples"](spark, SF_DIR)
     assert sorted(map(tuple, neg.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pq_topk_exact_scores_structure_and_recall(spark):
+    """Product quantization approximates the CANDIDATE ordering only:
+    (a) returned cosines are exact (the rerank recomputes them in
+    float), (b) exactly 10 ranked rows per query with ranks 1..10,
+    (c) recall vs brute force at sf0.01 stays above the measured-floor
+    band (deterministic pipeline: measured 0.54 with 16 trainless
+    codewords x 8 subspaces and 4x rerank on the random-vector
+    corpus; pinned with slack for testdata regeneration)."""
+    from bigdatafinalproject_spark.operators.ann import pq_topk
+
+    mid = "/root/testdata/sf0.01"
+    emb = load_table(spark, mid, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200))
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    pq_rows = pq_topk(emb, queries, k=10).collect()
+    pq = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in pq_rows}
+    per_q: dict[int, list[int]] = {}
+    for r in pq_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+    shared = set(exact) & set(pq)
+    for key in shared:
+        assert exact[key] == pq[key]
+    recall = len(shared) / len(exact)
+    assert recall >= 0.4, f"pq recall@10 = {recall:.3f}"
