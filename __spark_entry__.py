@@ -277,6 +277,9 @@ _R6_FRONT = (
     # product quantization: trainless capped codebooks, floor-quantized
     # integer ADC, exact rerank — the compression tier of the ANN family
     "ann_pq_topk",
+    # right-to-be-forgotten cascade: deletion set propagates through
+    # the FK chain; audit row per table + surviving-key checksum
+    "customer_erasure_propagation",
 )
 
 

@@ -113,3 +113,102 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         seg_tokens=_SEG, max_docs=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# right-to-be-forgotten erasure propagation
+
+_ERASE_MOD = 97  # ~1% of customers file deletion requests
+_CK = 1000003  # checksum modulus (prime)
+
+
+@query(
+    "customer_erasure_propagation",
+    oracle=f"""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+    del_orders AS (SELECT o_orderkey FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM del)),
+    c AS (SELECT 'customer' AS table_name,
+                 (SELECT COUNT(*) FROM customer) AS rows_before,
+                 (SELECT COUNT(*) FROM del) AS rows_removed,
+                 CAST(SUM(c_custkey % {_CK}) AS BIGINT) AS remaining_checksum
+          FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM del)),
+    o AS (SELECT 'orders' AS table_name,
+                 (SELECT COUNT(*) FROM orders) AS rows_before,
+                 (SELECT COUNT(*) FROM del_orders) AS rows_removed,
+                 CAST(SUM(o_orderkey % {_CK}) AS BIGINT) AS remaining_checksum
+          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM del)),
+    l AS (SELECT 'lineitem' AS table_name,
+                 (SELECT COUNT(*) FROM lineitem) AS rows_before,
+                 (SELECT COUNT(*) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)) AS rows_removed,
+                 CAST(SUM((l_orderkey * 10 + l_linenumber) % {_CK}) AS BIGINT) AS remaining_checksum
+          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders))
+    SELECT table_name, rows_before, rows_removed,
+           rows_before - rows_removed AS rows_after, remaining_checksum
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+    """,
+)
+def customer_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten ERASURE CASCADE (GDPR Art. 17 shape — the
+    governance op every 100 TB personal-data store needs; absent from
+    the reference, which keeps user ids forever): a deletion request
+    set (~1% of customers) propagates through the FK chain
+    customer → orders → lineitem via anti-joins, and the audit output
+    per table carries (rows_before, rows_removed, rows_after) plus a
+    portable checksum over the SURVIVING keys — proving both that
+    every affected row is gone and that nothing else was touched.
+
+    Scale shape: the deletion key set is small relative to the corpus
+    (semi/anti joins shuffle on the FK, the standard shape); the
+    cascade derivation (deleted orders from deleted customers) is one
+    semi-join, not a driver loop. The physical rewrite tier at 100 TB
+    reuses the partition-scoped machinery proven elsewhere
+    (dynamic-partition-overwrite in events_incremental_rollup_refresh;
+    compaction in operators/layout) — this query pins the SEMANTICS:
+    exactly the cascade closure is removed, verified row-for-row by
+    the checksum."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    del_o = o.join(
+        del_c, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+
+    def audit(df: DataFrame, name: str, del_keys: DataFrame, on, key_expr):
+        kept = df.join(del_keys, on, "left_anti")
+        removed = df.join(del_keys, on, "left_semi")
+        return (
+            kept.agg(
+                F.sum(key_expr % _CK).alias("remaining_checksum"),
+                F.count(F.lit(1)).alias("rows_after"),
+            )
+            .crossJoin(
+                F.broadcast(df.agg(F.count(F.lit(1)).alias("rows_before")))
+            )
+            .crossJoin(
+                F.broadcast(
+                    removed.agg(F.count(F.lit(1)).alias("rows_removed"))
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_removed",
+                "rows_after",
+                "remaining_checksum",
+            )
+        )
+
+    out_c = audit(c, "customer", del_c, "c_custkey", F.col("c_custkey"))
+    out_o = audit(
+        o.withColumnRenamed("o_custkey", "c_custkey"), "orders", del_c,
+        "c_custkey", F.col("o_orderkey"),
+    )
+    out_l = audit(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem", del_o,
+        "o_orderkey",
+        F.col("o_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    return out_c.unionByName(out_o).unionByName(out_l)
