@@ -204,3 +204,38 @@ def stream_cdc_latest_store(
     )
     final = spark.read.parquet(f"{out}/v={versions[-1]}")
     return final, len(versions)
+
+
+def store_changes(
+    spark: SparkSession, out_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change data feed between two retained snapshots: one row per key
+    whose latest-state CHANGED in (v_from, v_to], labeled insert /
+    update (this store never deletes — latest-wins upsert semantics).
+
+    The diff is a full-outer join of two key-cardinality-bounded
+    snapshots — never a replay of the event stream — so feeding a
+    downstream consumer "what changed since v" costs O(keys), the
+    table-format CDF read pattern, with no Delta/Iceberg dependency.
+    Returns (o_custkey, change_type, s struct of the NEW state).
+    """
+    old = store_as_of(spark, out_dir, v_from).select(
+        "o_custkey", F.col("s").alias("_old")
+    )
+    new = store_as_of(spark, out_dir, v_to).select(
+        "o_custkey", F.col("s").alias("_new")
+    )
+    j = old.join(new, "o_custkey", "full_outer")
+    return (
+        j.filter(
+            F.col("_old").isNull()
+            | (F.col("_new") != F.col("_old"))
+        )
+        .select(
+            "o_custkey",
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("_new").alias("s"),
+        )
+    )

@@ -75,6 +75,32 @@ def test_as_of_mid_version_differs_from_final(spark, cdc_store):
     assert early < final
 
 
+def test_changes_feed_composes_to_final_state(spark, cdc_store):
+    """CDF correctness: applying the change feed (v0 -> latest) on top
+    of snapshot v0 reproduces the latest snapshot exactly, and every
+    change row is genuinely a change (insert keys absent from v0,
+    update keys present with a different struct). (Must run before the
+    vacuum test below — that one removes v=0 from the shared store.)"""
+    from bigdatafinalproject_spark.streaming.cdc import store_changes
+
+    out, _, n = cdc_store
+    changes = store_changes(spark, out, 0, n - 1)
+    base = {r.o_custkey: r.s for r in store_as_of(spark, out, 0).collect()}
+    final = {
+        r.o_custkey: r.s for r in store_as_of(spark, out, n - 1).collect()
+    }
+    ch = {r.o_custkey: (r.change_type, r.s) for r in changes.collect()}
+    assert ch, "expected a non-empty change feed"
+    for k, (typ, s) in ch.items():
+        if typ == "insert":
+            assert k not in base
+        else:
+            assert k in base and base[k] != s
+    rebuilt = dict(base)
+    rebuilt.update({k: s for k, (_, s) in ch.items()})
+    assert rebuilt == final
+
+
 def test_vacuum_keeps_latest_and_fails_loudly_on_vacuumed(spark, cdc_store):
     out, _, n = cdc_store
     before = _rows(store_as_of(spark, out, n - 1))
