@@ -1,0 +1,91 @@
+"""Recall-at-scale for the ANN family: does approximation quality
+hold as the corpus grows?
+
+The scale bench (BENCH_SF1.json) proves the ANN tiers stay ~linear in
+wall-clock; this artifact proves they stay USEFUL — recall@10 against
+the exact brute-force baseline at each scale point, same bounded query
+panel the registered queries use. A tier whose recall collapses as N
+grows (e.g. a capped-codebook PQ drowning in candidates) would pass
+the time bench and fail here.
+
+Usage: python scripts/ann_recall_scale.py   (after scripts/gen_scale.py)
+Writes RECALL_SCALE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdatafinalproject_spark.catalog import load_table  # noqa: E402
+from bigdatafinalproject_spark.operators.ann import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+    pq_topk,
+    quantized_topk,
+)
+from bigdatafinalproject_spark.session import get_spark  # noqa: E402
+
+
+def recalls(spark, sf_dir: str) -> dict[str, float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    qids = {a for a, _ in exact}
+    tiers = {
+        "int8_rerank": lambda: quantized_topk(emb, queries, k=10, rerank=4),
+        "lsh_multiprobe": lambda: lsh_topk(
+            emb, queries, k=10, num_planes=24, bands=4, multiprobe=1
+        ),
+        "ivf": lambda: ivf_topk(emb, queries, k=10),
+        "pq": lambda: pq_topk(emb, queries, k=10),
+    }
+    out = {}
+    for name, fn in tiers.items():
+        got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
+        out[name] = round(
+            sum(
+                len({p for p in exact if p[0] == q} & got) / 10.0
+                for q in qids
+            )
+            / len(qids),
+            3,
+        )
+    return out
+
+
+def main() -> None:
+    default_dirs = "/root/testdata/sf0.1," + ",".join(
+        str(REPO / ".scaledata" / d)
+        for d in ("sf0.3", "sf1")
+        if (REPO / ".scaledata" / d).is_dir()
+    )
+    dirs = os.environ.get("SCALE_DIRS", default_dirs).split(",")
+    spark = get_spark(app_name="bdfp-recall-scale")
+    art: dict[str, dict[str, float]] = {}
+    for d in dirs:
+        sf = re.search(r"sf([0-9.]+)", d).group(1)
+        art[f"sf{sf}"] = recalls(spark, d)
+    payload = {"metric": "ann_recall_at_scale", "recall_at_10": art}
+    (REPO / "RECALL_SCALE.json").write_text(
+        json.dumps(payload, indent=1) + "\n"
+    )
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,19 +1,24 @@
-"""Scale-stress bench: the heavy operator families at sf0.1 vs sf1.
+"""Scale-stress bench: the heavy operator families across scale factors.
 
 Turns the "survives 100x" plan arguments into measured evidence: runs
-each heavy query at both scale factors in the SAME process (one warm
-session per sf, sf0.1 first), computes the implied scaling exponent
-    alpha = log(t_sf1 / t_sf0.1) / log(10)
-and writes BENCH_SF1.json. alpha ~ 1 is linear scaling; alpha <= ~1.2
-passes (shuffle/log factors); anything above names a problem.
+each heavy query at every scale point in its own warm session
+(smallest first), fits the scaling exponent alpha by least squares on
+log t vs log sf, and writes BENCH_SF1.json. alpha ~ 1 is linear
+scaling; alpha <= ~1.2 passes (shuffle/log factors); anything above
+names a problem. With three points the artifact also reports r2, so a
+"low exponent" produced by fixed overhead at the small end is visible
+as a poor fit rather than read as evidence.
 
 Fixed per-run overhead (session, plan compile, Python pool spin-up)
 deflates small-t queries' exponents and inflates nothing, so a LOW
 alpha on a sub-second query is not evidence by itself — the table
 records raw seconds too.
 
-Usage: python scripts/bench_scale.py  (expects .scaledata/sf1 from
-scripts/gen_scale.py; writes BENCH_SF1.json at the repo root)
+Usage:
+    python scripts/bench_scale.py
+Expects .scaledata/sf1 (and optionally .scaledata/sf0.3) from
+scripts/gen_scale.py; set SCALE_DIRS to override the comma-separated
+point list. Writes BENCH_SF1.json at the repo root.
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -38,13 +44,16 @@ HEAVY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_mmr_diversified",
+    "ann_pq_topk",
+    "ann_index_append",
     # graph family
     "part_pagerank",
     "part_triangle_count",
     # similarity
     "item_cosine_similarity",
-    # layout / maintenance
+    # layout / maintenance / governance
     "lineitem_compaction_roundtrip",
+    "customer_erasure_propagation",
 ]
 
 
@@ -65,24 +74,48 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     return json.loads(line)["queries"]
 
 
+def _fit(xs: list[float], ys: list[float]) -> tuple[float, float]:
+    """Least-squares slope + r^2 of y on x."""
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    syy = sum((y - my) ** 2 for y in ys)
+    slope = sxy / sxx if sxx else float("nan")
+    r2 = (sxy * sxy) / (sxx * syy) if sxx and syy else 1.0
+    return slope, r2
+
+
 def main() -> None:
-    sf01 = os.environ.get("SCALE_BASE_DIR", "/root/testdata/sf0.1")
-    sf1 = os.environ.get("SCALE_BIG_DIR", str(REPO / ".scaledata" / "sf1"))
-    ratio = float(os.environ.get("SCALE_RATIO", "10"))
-    t_small = run_bench(sf01)
-    t_big = run_bench(sf1)
+    default_dirs = "/root/testdata/sf0.1," + ",".join(
+        str(REPO / ".scaledata" / d)
+        for d in ("sf0.3", "sf1")
+        if (REPO / ".scaledata" / d).is_dir()
+    )
+    dirs = os.environ.get("SCALE_DIRS", default_dirs).split(",")
+    points = []
+    for d in dirs:
+        m = re.search(r"sf([0-9.]+)", d)
+        points.append((float(m.group(1)), d))
+    points.sort()
+    results = {sf: run_bench(d) for sf, d in points}
+    sfs = [sf for sf, _ in points]
     rows = {}
     for q in HEAVY:
-        a, b = t_small.get(q), t_big.get(q)
-        alpha = (
-            round(math.log(b / a) / math.log(ratio), 3)
-            if a and b and a > 0
-            else None
-        )
-        rows[q] = {"sf0.1_sec": a, "sf1_sec": b, "exponent": alpha}
+        ts = [results[sf].get(q) for sf in sfs]
+        entry = {f"sf{sf}_sec": t for sf, t in zip(sfs, ts)}
+        if all(t and t > 0 for t in ts) and len(ts) >= 2:
+            alpha, r2 = _fit(
+                [math.log(sf) for sf in sfs], [math.log(t) for t in ts]
+            )
+            entry["exponent"] = round(alpha, 3)
+            entry["r2"] = round(r2, 3)
+        else:
+            entry["exponent"] = None
+        rows[q] = entry
     art = {
         "metric": "scale_stress_exponent",
-        "ratio": ratio,
+        "sf_points": sfs,
         "queries": rows,
         "max_exponent": max(
             r["exponent"] for r in rows.values() if r["exponent"] is not None
