@@ -282,6 +282,32 @@ _R6_FRONT = (
     "customer_erasure_propagation",
 )
 
+# driver-checked in r6 (CORRECTNESS_r06.json keys: the 14 fronted r6
+# queries + 36 re-confirmations) — union with r1–r5 below
+_R6_DRIVER_CHECKED = (
+    "ratings_negative_samples", "events_incremental_rollup_refresh",
+    "lineitem_compaction_roundtrip", "bloom_prune_join",
+    "stream_orders_cdc_apply", "doc_ngram_jaccard", "ann_ivf_topk",
+    "sales_grouping_sets", "brand_monthly_deviation", "segment_rollup_top5",
+    "channel_overlap_customers", "ann_index_append", "ann_pq_topk",
+    "customer_erasure_propagation", "events_session_window",
+)
+
+_R7_FRONT = (
+    # (a) changed in round 7
+    # IVF centroid + PQ codebook sampling now RELATIVE to min(id):
+    # offset-robust for non-0-based key spaces (ADVICE r6 medium);
+    # oracles updated in lockstep; bit-identical at driver SFs
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    # store_changes update detection now null-safe (eqNullSafe) so a
+    # nullable payload field can't silently drop CDF rows (ADVICE r6)
+    "stream_orders_cdc_apply",
+    # compact() raises the same ValueError for missing-path and
+    # exists-but-empty sources (ADVICE r6)
+    "lineitem_compaction_roundtrip",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(registry.QUERIES)
@@ -291,8 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R3_DRIVER_CHECKED)
         | set(_R4_DRIVER_CHECKED)
         | set(_R5_DRIVER_CHECKED)
+        | set(_R6_DRIVER_CHECKED)
     )
-    front = [n for n in _R6_FRONT if n in registry.QUERIES]
+    front = [n for n in _R7_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

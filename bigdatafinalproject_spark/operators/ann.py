@@ -171,13 +171,21 @@ def ivf_topk(
     a plain equi-join on centroid_id. Returns (query_id, neighbor_id,
     cosine, rank).
     """
-    centroids = corpus.filter(F.col(id_col) % centroid_mod == 0)
+    # sampling is RELATIVE to min(id): an absolute `id % mod == 0 AND
+    # id < mod*cap` silently yields ZERO centroids on a corpus whose
+    # ids start above mod*cap (key-space-convention bug class). The
+    # 1-row min aggregate is a column-pruned scan broadcast to every
+    # row; for 0-based dense ids (all driver SFs) the sampled set is
+    # bit-identical to the historical absolute form.
+    _minid = corpus.select(F.min(id_col).alias("_minid"))
+    _rel = F.col(id_col) - F.col("_minid")
+    centroids = corpus.crossJoin(F.broadcast(_minid)).filter(
+        _rel % centroid_mod == 0
+    )
     if max_centroids is not None:
-        # id-range cap: deterministic, replayable, and a no-op below
-        # the cap (small SFs keep their exact historical results)
-        centroids = centroids.filter(
-            F.col(id_col) < centroid_mod * max_centroids
-        )
+        # relative-id-range cap: deterministic, replayable, and a
+        # no-op below the cap (small SFs keep exact historical results)
+        centroids = centroids.filter(_rel < centroid_mod * max_centroids)
     centroids = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
     )
@@ -617,8 +625,9 @@ def pq_topk(
     per query the m x C table of subspace dots, FLOOR-QUANTIZED to
     int64 so the per-candidate score is an exact integer SUM — the
     cross-engine-order-independent discipline mmr_diversify uses —
-    approx_cosine ~ sum_s table[s, code_s] / (||q|| * ||x||) with the
-    EXACT corpus norms stored beside the codes (standard PQ practice).
+    approx_score = sum_s table[s, code_s] / ||x|| (query norm omitted:
+    constant within each query's ranking) with the EXACT corpus norms
+    stored beside the codes (standard PQ practice).
 
     100 TB shape: codes are m bytes-ish per vector (vs 4*dim float32 —
     32x compression at m=8, dim=64); encode is N x m x C subspace
@@ -635,10 +644,14 @@ def pq_topk(
     ).alias("s")
     subv = F.slice(F.col("_v"), F.col("s") * sub + 1, sub).alias("_sv")
 
+    # same offset-robust sampling discipline as ivf_topk: relative to
+    # min(id) so a non-0-based corpus still yields a full codebook
+    _minid = corpus.select(F.min(id_col).alias("_minid"))
+    _rel = F.col(id_col) - F.col("_minid")
     cb = (
-        corpus.filter(
-            (F.col(id_col) % codeword_mod == 0)
-            & (F.col(id_col) < codeword_mod * max_codewords)
+        corpus.crossJoin(F.broadcast(_minid))
+        .filter(
+            (_rel % codeword_mod == 0) & (_rel < codeword_mod * max_codewords)
         )
         .select(F.col(id_col).alias("code"), F.col(vec_col).alias("_v"))
         .select("code", spaces, "_v")

@@ -65,6 +65,15 @@ def pagerank_fixed_point(
 
     Every operation is exact int64 math — the update is associative and
     engine-portable. Undirected input means no dangling nodes.
+
+    Skew bound: the only hot-key shuffle is the groupBy(dst) sum — a
+    celebrity node receiving deg(hub) contributions is absorbed by
+    map-side partial aggregation (SUM is associative), so per-reducer
+    work is O(distinct keys per partition), not O(hub degree); the
+    integer math additionally makes results bit-identical under any
+    partitioning (both pinned by tests/test_graph_skew.py on a
+    hub-degree-2000 star).
+
     Returns (node, pr, pr_norm) where pr_norm = pr / 1e12.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -95,7 +104,9 @@ def triangle_count(edges: DataFrame, mode: str = "arrays") -> DataFrame:
     orientation is the scale story: out-degree is capped at O(sqrt(E))
     even on power-law graphs — the wedge work never explodes on a
     celebrity node, where the naive (count common neighbors per edge)
-    plan is quadratic in the hottest degree.
+    plan is quadratic in the hottest degree. (Pinned structurally by
+    tests/test_graph_skew.py: a hub of raw degree 2000 orients to
+    OUT-degree 0, every pivot's wedge work stays C(3, 2).)
 
     Two physical strategies, same count (equality pinned in tests):
 

@@ -159,8 +159,8 @@ def compact(
     to prove it.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
-    df = spark.read.parquet(src_path)
     # physical size via the binaryFile source: a DISTRIBUTED file
     # listing that exposes (path, length) without reading content —
     # works on any Hadoop filesystem (local/HDFS/S3), moves only
@@ -175,7 +175,15 @@ def compact(
         )
         return (int(row.b) if row.b is not None else 0, int(row.f))
 
-    input_bytes, input_files = _listing_bytes_files(src_path)
+    # missing path and exists-but-empty both surface as the SAME
+    # ValueError — callers see one error type for "nothing to compact"
+    try:
+        df = spark.read.parquet(src_path)
+        input_bytes, input_files = _listing_bytes_files(src_path)
+    except AnalysisException as e:
+        raise ValueError(
+            f"compact: no *.parquet files under {src_path!r}"
+        ) from e
     if input_files == 0:
         raise ValueError(f"compact: no *.parquet files under {src_path!r}")
     n = max(1, -(-input_bytes // target_bytes))

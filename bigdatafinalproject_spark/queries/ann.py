@@ -391,8 +391,9 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # product quantization: m=8 subspaces of 8 dims, codebook = every
-# 13th vector capped at 16 codewords (id range [0, 208) — the same
-# capped-sampling discipline as ivf_topk), ADC scores floor-quantized
+# 13th vector capped at 16 codewords (relative id range [min_id,
+# min_id + 208) — the same offset-robust capped-sampling discipline
+# as ivf_topk), ADC scores floor-quantized
 # at 1e6 so the candidate ranking is exact integer arithmetic
 _PQ_M, _PQ_SUB = 8, 8
 _PQ_MOD, _PQ_MAXC = 13, 16
@@ -413,7 +414,9 @@ _PQ_L2 = (
     cb AS (SELECT vec_id AS code, CAST(s AS INT) AS s,
                   embedding[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS cw
            FROM embeddings, LATERAL unnest(range(0, {_PQ_M})) AS us(s)
-           WHERE vec_id % {_PQ_MOD} = 0 AND vec_id < {_PQ_MOD * _PQ_MAXC}),
+           WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % {_PQ_MOD} = 0
+             AND (vec_id - (SELECT MIN(vec_id) FROM embeddings))
+                 < {_PQ_MOD * _PQ_MAXC}),
     enc AS (SELECT e.vec_id AS neighbor_id, c.s, c.code,
                    {_PQ_L2.format(a=f'e.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]', b='c.cw')} AS d
             FROM embeddings e CROSS JOIN cb c),

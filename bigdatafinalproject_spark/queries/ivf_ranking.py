@@ -21,7 +21,9 @@ _SEED = 42
     oracle=f"""
     WITH {_NORMS_CTE},
     cents AS (SELECT vec_id AS centroid_id, embedding AS cemb
-              FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 2368),
+              FROM embeddings
+              WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % 37 = 0
+                AND (vec_id - (SELECT MIN(vec_id) FROM embeddings)) < 2368),
     acos AS (SELECT e.vec_id, c.centroid_id,
                     {_DOT_AB.format(a='e.embedding', b='c.cemb')}
                         / (ne.nrm * nc.nrm) AS cs
@@ -64,7 +66,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ivf_topk on why centroid count must not scale with N), bounded
     64-query panel, nearest-centroid assignment, nprobe=2 bucket
     search — the inverted-file scale path alongside the hyperplane LSH
-    variant. Both id-range caps are no-ops at the driver scale factors
+    variant. Both caps are RELATIVE to min(vec_id) (offset-robust for
+    non-0-based key spaces) and no-ops at the driver scale factors
     (max vec_id 1999 < both bounds), so historical results are
     unchanged; they exist to keep the sf1+ stress bench linear."""
     emb = load_table(spark, sf_dir, "embeddings")

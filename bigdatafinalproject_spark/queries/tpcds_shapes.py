@@ -228,3 +228,160 @@ def channel_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dsum(F.col("spend")).alias("total_spend"),
     )
+
+
+@query(
+    "channel_cumulative_crossover",
+    oracle="""
+    WITH urgent AS (
+      SELECT c_mktsegment AS segment_name,
+             strftime(o_orderdate, '%Y-%m') AS sale_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2),
+    low AS (
+      SELECT c_mktsegment AS segment_name,
+             strftime(o_orderdate, '%Y-%m') AS sale_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE o_orderpriority = '5-LOW' GROUP BY 1, 2),
+    cu AS (SELECT segment_name, sale_month,
+                  CAST(SUM(CAST(rev AS DECIMAL(25,6))) OVER (
+                    PARTITION BY segment_name ORDER BY sale_month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS cum_urgent
+           FROM urgent),
+    cl AS (SELECT segment_name, sale_month,
+                  CAST(SUM(CAST(rev AS DECIMAL(25,6))) OVER (
+                    PARTITION BY segment_name ORDER BY sale_month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS cum_low
+           FROM low)
+    SELECT COALESCE(cu.segment_name, cl.segment_name) AS segment_name,
+           COALESCE(cu.sale_month, cl.sale_month) AS sale_month,
+           cum_urgent, cum_low
+    FROM cu FULL JOIN cl
+      ON cl.segment_name = cu.segment_name AND cl.sale_month = cu.sale_month
+    WHERE cum_urgent > cum_low
+    """,
+)
+def channel_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: two channels' CUMULATIVE series (urgent vs
+    low priority revenue per segment-month), full-outer-joined on the
+    series key, keeping the points where one channel's running total
+    leads the other. Both running sums are windows over ALREADY
+    AGGREGATED series (segments x months — bounded at any SF), framed
+    ROWS UNBOUNDED PRECEDING with decimal-cast sums so the cumulative
+    doubles are bit-identical on both engines; the full join compares
+    two bounded series, never facts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+
+    def cum(priority: str, out: str) -> DataFrame:
+        monthly = (
+            j.filter(F.col("o_orderpriority") == priority)
+            .groupBy(
+                F.col("c_mktsegment").alias("segment_name"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("sale_month"),
+            )
+            .agg(dsum(F.col("o_totalprice")).alias("rev"))
+        )
+        w = (
+            W.partitionBy("segment_name")
+            .orderBy("sale_month")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return monthly.select(
+            "segment_name",
+            "sale_month",
+            F.sum(F.col("rev").cast(_DEC)).over(w).cast("double").alias(out),
+        )
+
+    cu = cum("1-URGENT", "cum_urgent")
+    cl = cum("5-LOW", "cum_low")
+    joined = cu.alias("u").join(
+        cl.alias("l"),
+        (F.col("l.segment_name") == F.col("u.segment_name"))
+        & (F.col("l.sale_month") == F.col("u.sale_month")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("u.segment_name"), F.col("l.segment_name")).alias(
+            "segment_name"
+        ),
+        F.coalesce(F.col("u.sale_month"), F.col("l.sale_month")).alias(
+            "sale_month"
+        ),
+        "cum_urgent",
+        "cum_low",
+    ).filter(F.col("cum_urgent") > F.col("cum_low"))
+
+
+@query(
+    "nation_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT n_name AS nation_name, r_name AS region_name,
+             CAST(year(o_orderdate) AS INT) AS sale_year,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY 1, 2, 3)
+    SELECT y1.nation_name, y1.region_name,
+           y1.sale_year AS year_base, y1.rev AS rev_base,
+           y2.rev AS rev_next,
+           CAST(y1.n_orders AS BIGINT) AS orders_base,
+           CAST(y2.n_orders AS BIGINT) AS orders_next
+    FROM yearly y1 JOIN yearly y2
+      ON y2.nation_name = y1.nation_name
+     AND y2.sale_year = y1.sale_year + 1
+    WHERE y2.rev > y1.rev
+    """,
+)
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64 shape: the same star aggregated per year, then
+    SELF-JOINED year-over-year to report the entities that grew. The
+    multi-year comparison happens on the AGGREGATE (nations x years —
+    dozens of rows at any SF, broadcastable), so the fact table is
+    scanned once; the reference pattern of re-scanning facts per year
+    is the anti-plan this avoids at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    yearly = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.year("o_orderdate").cast("int").alias("sale_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("rev"),
+        )
+    )
+    y1, y2 = yearly.alias("y1"), yearly.alias("y2")
+    return (
+        y1.join(
+            y2,
+            (F.col("y2.nation_name") == F.col("y1.nation_name"))
+            & (F.col("y2.sale_year") == F.col("y1.sale_year") + 1),
+        )
+        .filter(F.col("y2.rev") > F.col("y1.rev"))
+        .select(
+            F.col("y1.nation_name").alias("nation_name"),
+            F.col("y1.region_name").alias("region_name"),
+            F.col("y1.sale_year").alias("year_base"),
+            F.col("y1.rev").alias("rev_base"),
+            F.col("y2.rev").alias("rev_next"),
+            F.col("y1.n_orders").alias("orders_base"),
+            F.col("y2.n_orders").alias("orders_next"),
+        )
+    )

@@ -228,8 +228,10 @@ def store_changes(
     j = old.join(new, "o_custkey", "full_outer")
     return (
         j.filter(
+            # null-safe: plain struct != returns NULL (row silently
+            # dropped) if any nested field is NULL on one side
             F.col("_old").isNull()
-            | (F.col("_new") != F.col("_old"))
+            | ~F.col("_new").eqNullSafe(F.col("_old"))
         )
         .select(
             "o_custkey",

@@ -54,6 +54,15 @@ HEAVY = [
     # layout / maintenance / governance
     "lineitem_compaction_roundtrip",
     "customer_erasure_propagation",
+    # streaming family: the chunked stagers keep batch COUNT fixed (4)
+    # while batch SIZE grows with SF, so the exponent measures
+    # per-batch cost — i.e. whether per-batch state really is bounded
+    # by key cardinality (scaling batch count instead would inflate
+    # the exponent by chain length × keys, a cost the design never
+    # claims to bound)
+    "stream_click_purchase_full_join",
+    "stream_hll_user_distinct",
+    "stream_orders_cdc_apply",
 ]
 
 

@@ -515,3 +515,31 @@ def test_pq_topk_exact_scores_structure_and_recall(spark):
         assert exact[key] == pq[key]
     recall = len(shared) / len(exact)
     assert recall >= 0.4, f"pq recall@10 = {recall:.3f}"
+
+
+def test_ann_sampling_is_offset_robust(spark):
+    """IVF centroids and PQ codebooks are sampled RELATIVE to min(id),
+    so a corpus whose ids start far above 0 (e.g. a snowflake-id key
+    space) still yields a full index — the absolute-id-range form
+    silently produced ZERO centroids/codewords and empty results (the
+    key-space-convention bug class ratings_negative_samples fixed).
+    Shifting every id by a constant must shift results by exactly that
+    constant."""
+    from bigdatafinalproject_spark.operators.ann import ivf_topk, pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    shift = 1_000_000
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + shift)
+    q0 = emb.filter(F.col("vec_id") % 50 == 0)
+    qs = shifted.filter((F.col("vec_id") - shift) % 50 == 0)
+    for op in (ivf_topk, pq_topk):
+        base = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in op(emb, q0, k=10).collect()
+        }
+        assert base, f"{op.__name__}: empty baseline"
+        got = {
+            (r.query_id - shift, r.neighbor_id - shift, r.rank)
+            for r in op(shifted, qs, k=10).collect()
+        }
+        assert got == base, f"{op.__name__}: shifted corpus diverged"
