@@ -295,9 +295,13 @@ _R6_DRIVER_CHECKED = (
 
 _R7_FRONT = (
     # (a) changed in round 7
-    # IVF centroid + PQ codebook sampling now RELATIVE to min(id):
-    # offset-robust for non-0-based key spaces (ADVICE r6 medium);
-    # oracles updated in lockstep; bit-identical at driver SFs
+    # IVF centroid + PQ codebook sampling now RELATIVE to min(id)
+    # (offset-robust, ADVICE r6 medium) AND recall-calibrated from
+    # RECALL_SCALE.json: IVF nprobe 2→8 (recall 0.22→0.45, measured
+    # scale-invariant), PQ codebook/rerank-pool scale by
+    # ceil(sqrt(N/1000)) under absolute caps 64/640 (recall was
+    # COLLAPSING 0.29→0.13 over 10× corpus growth; now ~0.56 flat);
+    # oracles updated in lockstep
     "ann_ivf_topk",
     "ann_pq_topk",
     # store_changes update detection now null-safe (eqNullSafe) so a

@@ -147,7 +147,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     centroid_mod: int = 37,
-    nprobe: int = 2,
+    nprobe: int = 8,
     max_centroids: int | None = 64,
 ) -> DataFrame:
     """IVF-flat approximate top-k: an inverted-file index with sampled
@@ -170,6 +170,14 @@ def ivf_topk(
     small); what it must never do is scale with N. The bucket join is
     a plain equi-join on centroid_id. Returns (query_id, neighbor_id,
     cosine, rank).
+
+    Recall is SCALE-INVARIANT at fixed nprobe (RECALL_SCALE.json:
+    recall@10 tracks the probed corpus fraction nprobe/C, measured
+    flat from N=2k to N=20k), so nprobe is the recall dial and costs
+    only a constant factor of the linear probe stage — default 8
+    (~0.45 recall@10 on the unstructured synthetic corpus; 2 gave
+    ~0.22). At production C (2^16) the same nprobe probes a far
+    smaller fraction; raise nprobe with C, never with N.
     """
     # sampling is RELATIVE to min(id): an absolute `id % mod == 0 AND
     # id < mod*cap` silently yields ZERO centroids on a corpus whose
@@ -611,6 +619,9 @@ def pq_topk(
     max_codewords: int = 16,
     rerank: int = 4,
     scale: int = 1_000_000,
+    codebook_cap: int = 64,
+    pool_cap: int = 640,
+    scale_ref: int = 1000,
 ) -> DataFrame:
     """Product-quantization top-k (the compression tier between the
     int8 rerank and IVF): split vectors into ``m`` subvectors, encode
@@ -618,9 +629,22 @@ def pq_topk(
     (ADC) table lookups, exact-rerank the survivors.
 
     Deterministic, trainless codebooks (sampled vectors' subvectors —
-    the same capped id-range sampling as ivf_topk, so the codebook is
-    BOUNDED and oracle-replayable: every ``codeword_mod``-th vector up
-    to ``max_codewords``). Encoding = nearest codeword per subspace by
+    the same offset-robust capped sampling as ivf_topk, so the
+    codebook is BOUNDED and oracle-replayable). A FIXED-resolution
+    quantizer drowns as N grows (RECALL_SCALE.json first run:
+    recall@10 0.29 → 0.13 from N=2k to N=20k at 16 codewords / 40
+    candidates), so both budgets scale by ``s = ceil(sqrt(N /
+    scale_ref))`` — derived in-plan from a broadcast 1-row aggregate,
+    never a driver action — under ABSOLUTE caps: codewords =
+    min(codebook_cap, max_codewords*s), rerank pool = min(pool_cap,
+    k*rerank*s). sqrt growth halves the recall-density loss per
+    decade at sublinear extra cost; the caps keep every stage
+    asymptotically linear in N (the BENCH_SF1 discipline: a budget
+    may grow as a bounded function of N, never proportionally).
+    Beyond the caps — production corpus sizes — constant recall needs
+    a TRAINED codebook (k-means, more bits per subspace), which is a
+    quality upgrade, not a plan-shape change. Encoding = nearest
+    codeword per subspace by
     L2 (sequential double fold, ties to the lowest codeword id). ADC:
     per query the m x C table of subspace dots, FLOOR-QUANTIZED to
     int64 so the per-candidate score is an exact integer SUM — the
@@ -633,9 +657,9 @@ def pq_topk(
     32x compression at m=8, dim=64); encode is N x m x C subspace
     dots with C capped (linear in N); the ADC scan is a broadcast
     lookup-table join + one map-side-combinable integer aggregation;
-    full-precision vectors are touched only for k*rerank rows per
-    query. Returns (query_id, neighbor_id, cosine, rank) exact-cosine
-    reranked.
+    full-precision vectors are touched only for the (capped) rerank
+    pool per query. Returns (query_id, neighbor_id, cosine, rank)
+    exact-cosine reranked.
     """
     sub = dim // m
     assert sub * m == dim
@@ -644,15 +668,19 @@ def pq_topk(
     ).alias("s")
     subv = F.slice(F.col("_v"), F.col("s") * sub + 1, sub).alias("_sv")
 
-    # same offset-robust sampling discipline as ivf_topk: relative to
-    # min(id) so a non-0-based corpus still yields a full codebook
-    _minid = corpus.select(F.min(id_col).alias("_minid"))
+    # same offset-robust sampling discipline as ivf_topk (relative to
+    # min(id)), with the codebook size scaled by s = ceil(sqrt(N /
+    # scale_ref)) up to the absolute codebook_cap — one 1-row
+    # aggregate supplies both min(id) and N, broadcast to every row
+    _stats = corpus.select(
+        F.min(id_col).alias("_minid"), F.count(F.lit(1)).alias("_n")
+    )
+    _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
+    _ceff = F.least(F.lit(codebook_cap), F.lit(max_codewords) * _s)
     _rel = F.col(id_col) - F.col("_minid")
     cb = (
-        corpus.crossJoin(F.broadcast(_minid))
-        .filter(
-            (_rel % codeword_mod == 0) & (_rel < codeword_mod * max_codewords)
-        )
+        corpus.crossJoin(F.broadcast(_stats))
+        .filter((_rel % codeword_mod == 0) & (_rel < codeword_mod * _ceff))
         .select(F.col(id_col).alias("code"), F.col(vec_col).alias("_v"))
         .select("code", spaces, "_v")
         .select("code", "s", subv)
@@ -726,9 +754,13 @@ def pq_topk(
     cand_w = W.partitionBy("query_id").orderBy(
         F.col("_ascore").desc(), F.col("neighbor_id").asc()
     )
+    # rerank pool scales with the same s as the codebook, capped at
+    # pool_cap: the exact-rerank stage touches |Q| * pool rows total
+    _pool = F.least(F.lit(pool_cap), F.lit(k * rerank) * _s)
     cand = (
-        adc.withColumn("_crank", F.row_number().over(cand_w))
-        .filter(F.col("_crank") <= k * rerank)
+        adc.crossJoin(F.broadcast(_stats))
+        .withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= _pool)
         .select("query_id", "neighbor_id")
     )
 

@@ -189,13 +189,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle() -> str:
-    """Compose the exact and LSH oracles as subqueries: recall@10 per
-    query id (sets are small and deterministic in both engines)."""
+def _recall_oracle(approx_name: str = "ann_lsh_topk") -> str:
+    """Compose the exact and an approximate tier's oracles as
+    subqueries: recall@10 per query id (sets are small and
+    deterministic in both engines). Called at registration time, so
+    the approximate tier's oracle must already be registered."""
     from bigdatafinalproject_spark.registry import ORACLES
 
     exact = ORACLES["ann_cosine_topk"]
-    approx = ORACLES["ann_lsh_topk"]
+    approx = ORACLES[approx_name]
     return f"""
     WITH exact AS (SELECT query_id, neighbor_id FROM ({exact}) x),
     approx AS (SELECT query_id, neighbor_id FROM ({approx}) y),
@@ -233,6 +235,13 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, num_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_DIM,
         multiprobe=1,
     ).select("query_id", "neighbor_id")
+    return recall_frame(ex, ap)
+
+
+def recall_frame(ex: DataFrame, ap: DataFrame) -> DataFrame:
+    """Per-query recall of ``ap`` against ``ex`` (both (query_id,
+    neighbor_id) frames): n_hit, n_exact, recall — the shared tail of
+    every ANN recall query."""
     base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     hits = ex.join(ap, ["query_id", "neighbor_id"], "left_semi").groupBy(
         "query_id"
@@ -390,15 +399,20 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# product quantization: m=8 subspaces of 8 dims, codebook = every
-# 13th vector capped at 16 codewords (relative id range [min_id,
-# min_id + 208) — the same offset-robust capped-sampling discipline
-# as ivf_topk), ADC scores floor-quantized
+# product quantization: m=8 subspaces of 8 dims; codebook and rerank
+# pool both scale by s = ceil(sqrt(N/1000)) under absolute caps
+# (codewords = min(64, 16*s) sampled every 13th vector relative to
+# min(vec_id); pool = min(640, 40*s)) — the RECALL_SCALE.json fix for
+# fixed-resolution quantizer drowning; ADC scores floor-quantized
 # at 1e6 so the candidate ranking is exact integer arithmetic
 _PQ_M, _PQ_SUB = 8, 8
 _PQ_MOD, _PQ_MAXC = 13, 16
 _PQ_SCALE = 1_000_000
-_PQ_RERANK = 40  # k * rerank
+_PQ_RERANK = 40  # k * rerank (base pool, scaled by s)
+_PQ_CCAP, _PQ_POOLCAP, _PQ_SREF = 64, 640, 1000
+_PQ_S = (
+    f"(SELECT CAST(CEIL(SQRT(COUNT(*) / {_PQ_SREF}.0)) AS INT) FROM embeddings)"
+)
 
 _PQ_L2 = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
@@ -416,7 +430,7 @@ _PQ_L2 = (
            FROM embeddings, LATERAL unnest(range(0, {_PQ_M})) AS us(s)
            WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % {_PQ_MOD} = 0
              AND (vec_id - (SELECT MIN(vec_id) FROM embeddings))
-                 < {_PQ_MOD * _PQ_MAXC}),
+                 < {_PQ_MOD} * LEAST({_PQ_CCAP}, {_PQ_MAXC} * {_PQ_S})),
     enc AS (SELECT e.vec_id AS neighbor_id, c.s, c.code,
                    {_PQ_L2.format(a=f'e.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]', b='c.cw')} AS d
             FROM embeddings e CROSS JOIN cb c),
@@ -440,7 +454,7 @@ _PQ_L2 = (
                                          ORDER BY CAST(a.iscore AS DOUBLE) / n.nrm DESC,
                                                   a.neighbor_id ASC) AS crank
                FROM adc a JOIN norms n ON n.vec_id = a.neighbor_id)
-             WHERE crank <= {_PQ_RERANK}),
+             WHERE crank <= LEAST({_PQ_POOLCAP}, {_PQ_RERANK} * {_PQ_S})),
     dots AS (SELECT cand.query_id, cand.neighbor_id,
                     {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
              FROM cand
@@ -460,11 +474,15 @@ _PQ_L2 = (
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-10 (operators/ann.pq_topk): the
-    compression tier of the ANN family — 8 subspaces, trainless capped
-    codebooks, floor-quantized ADC table-lookup ranking, exact rerank
-    of the top-40. The oracle replays codebook sampling, per-subspace
-    L2 encoding, the integer ADC sum, and both rankings end-to-end.
-    Bounded query panel + capped codebook keep every stage linear in
+    compression tier of the ANN family — 8 subspaces, trainless
+    codebooks, floor-quantized ADC table-lookup ranking, exact rerank.
+    Codebook and rerank pool scale by ceil(sqrt(N/1000)) under
+    absolute caps (64 codewords / 640 pool) — the RECALL_SCALE.json
+    fix: a fixed-resolution quantizer's recall fell 0.29→0.13 over a
+    10× corpus; with sqrt budgets it holds ~0.5 flat. The oracle
+    replays the budget formula, codebook sampling, per-subspace L2
+    encoding, the integer ADC sum, and both rankings end-to-end.
+    Bounded query panel + capped budgets keep every stage linear in
     the corpus (the scale lesson BENCH_SF1 taught ivf_topk)."""
     from bigdatafinalproject_spark.operators.ann import pq_topk
 

@@ -122,6 +122,60 @@ def store_as_of(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def store_as_of_timestamp(
+    spark: SparkSession, out_dir: str, ts
+) -> tuple[DataFrame, int]:
+    """Event-time time-travel (the TIMESTAMP AS OF half of the API,
+    completing :func:`store_as_of`'s VERSION AS OF): the latest
+    retained snapshot containing no event newer than ``ts``.
+
+    Version ``v`` qualifies iff its event-time high-water mark — the
+    max ordering key (``s.o_orderdate``) in the snapshot, which equals
+    the max event time applied through batch ``v`` because the
+    latest-wins argmax preserves the global max — is ``<= ts``. The
+    high-water mark is monotone non-decreasing across versions (the
+    store only accumulates), so the scan walks the manifest-scale
+    version list and stops at the first version that overshoots; each
+    probe is a 1-row max aggregate over a key-bounded snapshot, never
+    an event replay. Ties (a later batch adding nothing newer) resolve
+    to the LATEST qualifying version, matching table-format semantics.
+
+    ``ts`` compares against the stored event-time column (a timestamp
+    for this store); a bare ``datetime.date`` is coerced to the END of
+    that day, so "as of 1997-03-05" includes the whole day. Raises
+    ``ValueError`` if every retained snapshot already contains newer
+    data — i.e. the requested point was vacuumed away or predates the
+    stream.
+
+    Returns (snapshot DataFrame, resolved version).
+    """
+    import datetime as _dt
+
+    if isinstance(ts, _dt.date) and not isinstance(ts, _dt.datetime):
+        ts = _dt.datetime.combine(ts, _dt.time.max)
+    versions = store_versions(out_dir)
+    if not versions:
+        raise ValueError(f"no snapshots retained under {out_dir!r}")
+    best: int | None = None
+    for v in versions:
+        hwm = (
+            spark.read.parquet(f"{out_dir}/v={v}")
+            .agg(F.max("s.o_orderdate").alias("h"))
+            .first()[0]
+        )
+        if hwm is not None and hwm <= ts:
+            best = v
+        else:
+            break  # monotone high-water mark: later versions overshoot too
+    if best is None:
+        raise ValueError(
+            f"no retained snapshot under {out_dir!r} has event-time "
+            f"high-water mark <= {ts!r}; earliest retained is "
+            f"v={versions[0]} (vacuumed or pre-stream timestamp)"
+        )
+    return store_as_of(spark, out_dir, best), best
+
+
 def vacuum_snapshots(out_dir: str, keep: int = 1) -> list[int]:
     """Retention: drop all but the newest ``keep`` snapshots (and their
     batch manifests), returning the removed versions. The queryable

@@ -24,6 +24,7 @@ from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.streaming.cdc import (
     _argmax,
     store_as_of,
+    store_as_of_timestamp,
     store_versions,
     stream_cdc_latest_store,
     vacuum_snapshots,
@@ -99,6 +100,44 @@ def test_changes_feed_composes_to_final_state(spark, cdc_store):
     rebuilt = dict(base)
     rebuilt.update({k: s for k, (_, s) in ch.items()})
     assert rebuilt == final
+
+
+def test_as_of_timestamp_resolves_to_latest_qualifying_version(spark, cdc_store):
+    """TIMESTAMP AS OF semantics: for each version's own event-time
+    high-water mark, the timestamp read returns the LATEST version not
+    exceeding it (ties to the later version, table-format style), and
+    its rows equal the VERSION AS OF read. (Must run before the vacuum
+    test below — that one removes v=0 from the shared store.)"""
+    out, _, n = cdc_store
+    hwms = []
+    for v in range(n):
+        hwm = (
+            store_as_of(spark, out, v)
+            .agg(F.max("s.o_orderdate"))
+            .first()[0]
+        )
+        hwms.append(hwm)
+    assert hwms == sorted(hwms), "high-water mark must be monotone"
+    for v, hwm in enumerate(hwms):
+        df, resolved = store_as_of_timestamp(spark, out, hwm)
+        expect = max(i for i, h in enumerate(hwms) if h <= hwm)
+        assert resolved == expect
+        assert _rows(df) == _rows(store_as_of(spark, out, resolved))
+
+
+def test_as_of_timestamp_edges(spark, cdc_store):
+    """Far-future timestamps resolve to the latest version; timestamps
+    before the stream's first data fail loudly (same contract as a
+    vacuumed VERSION AS OF read)."""
+    import datetime
+
+    out, _, n = cdc_store
+    df, resolved = store_as_of_timestamp(
+        spark, out, datetime.date(2999, 1, 1)
+    )
+    assert resolved == n - 1
+    with pytest.raises(ValueError, match="high-water mark"):
+        store_as_of_timestamp(spark, out, datetime.date(1970, 1, 1))
 
 
 def test_vacuum_keeps_latest_and_fails_loudly_on_vacuumed(spark, cdc_store):
