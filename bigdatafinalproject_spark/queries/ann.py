@@ -495,3 +495,29 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
         max_codewords=_PQ_MAXC, rerank=4, scale=_PQ_SCALE,
     )
+
+
+@query("ann_pq_recall", oracle=_recall_oracle("ann_pq_topk"))
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ tier against the exact tier, per query —
+    the driver-checkable twin of RECALL_SCALE.json's PQ row (the
+    artifact proved ~0.56 flat recall across 10× corpus growth after
+    the sqrt-budget fix; this query pins the level at the driver SFs
+    every round, same bounded-panel evaluation as ann_lsh_recall /
+    ann_ivf_recall)."""
+    from bigdatafinalproject_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_panel = emb.filter(F.col("vec_id") % 50 == 0)
+    pq_panel = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    ex = cosine_topk(
+        emb, exact_panel, id_col="vec_id", vec_col="embedding", k=10
+    ).select("query_id", "neighbor_id")
+    ap = pq_topk(
+        emb, pq_panel, id_col="vec_id", vec_col="embedding",
+        k=10, m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
+        max_codewords=_PQ_MAXC, rerank=4, scale=_PQ_SCALE,
+    ).select("query_id", "neighbor_id")
+    return recall_frame(ex, ap)

@@ -84,17 +84,41 @@ def _chunked_orders_dir(sf_dir: str) -> str:
     return d
 
 
-def _latest_struct() -> F.Column:
-    # ordering keys FIRST (lexicographic struct max), payload after;
-    # (o_orderdate, o_orderkey) is unique per customer row set, so the
-    # argmax is total and deterministic
+_ORDER_COLS = ("o_orderdate", "o_orderkey")
+
+
+def _latest_struct(cols) -> F.Column:
+    # ordering keys FIRST (lexicographic struct max), payload after in
+    # sorted-name order; (o_orderdate, o_orderkey) is unique per
+    # customer row set, so the argmax is total and deterministic —
+    # payload fields (which may be NULL after schema evolution) never
+    # drive the comparison
+    payload = sorted(c for c in cols if c not in ("o_custkey",) + _ORDER_COLS)
     return F.struct(
-        F.col("o_orderdate"), F.col("o_orderkey"), F.col("o_totalprice")
+        *[F.col(c) for c in _ORDER_COLS], *[F.col(c) for c in payload]
     ).alias("s")
 
 
 def _argmax(df: DataFrame) -> DataFrame:
-    return df.groupBy("o_custkey").agg(F.max(_latest_struct()).alias("s"))
+    return df.groupBy("o_custkey").agg(
+        F.max(_latest_struct(df.columns)).alias("s")
+    )
+
+
+def merge_snapshots(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Latest-wins merge of two keyed (o_custkey, s struct) snapshots,
+    SCHEMA-EVOLVING: the union aligns payload columns by NAME and a
+    column present on only one side reads as NULL on the other (a
+    mid-stream ADD COLUMN never breaks the chain — the table-format
+    evolution contract, hand-rolled). The merged struct carries the
+    union of fields, ordering keys first, so old snapshots stay
+    readable and the argmax ordering is unchanged (payload never
+    participates in the comparison)."""
+    return _argmax(
+        prev.select("o_custkey", "s.*").unionByName(
+            delta.select("o_custkey", "s.*"), allowMissingColumns=True
+        )
+    )
 
 
 def store_versions(out_dir: str) -> list[int]:
@@ -237,12 +261,7 @@ def stream_cdc_latest_store(
         delta = _argmax(bdf)
         prev_path = f"{out}/v={bid - 1}"
         if bid > 0 and os.path.exists(prev_path):
-            prev = spark.read.parquet(prev_path)
-            merged = _argmax(
-                prev.select("o_custkey", "s.*").unionByName(
-                    delta.select("o_custkey", "s.*")
-                )
-            )
+            merged = merge_snapshots(spark.read.parquet(prev_path), delta)
         else:
             merged = delta
         merged.write.mode("overwrite").parquet(f"{out}/v={bid}")
@@ -271,14 +290,46 @@ def store_changes(
     snapshots — never a replay of the event stream — so feeding a
     downstream consumer "what changed since v" costs O(keys), the
     table-format CDF read pattern, with no Delta/Iceberg dependency.
+
+    Schema-evolution-safe: if the store gained a column between the
+    two versions (see :func:`merge_snapshots`), both sides are aligned
+    to the UNION of payload fields before comparing — the old side
+    reads NULL for the new column, and the null-safe struct compare
+    means a key whose only difference is NULL→value correctly counts
+    as an update (while NULL vs NULL compares equal).
     Returns (o_custkey, change_type, s struct of the NEW state).
     """
-    old = store_as_of(spark, out_dir, v_from).select(
-        "o_custkey", F.col("s").alias("_old")
+    old_raw = store_as_of(spark, out_dir, v_from)
+    new_raw = store_as_of(spark, out_dir, v_to)
+    # union of struct fields across the two versions, ordering keys
+    # first then sorted payload (the merge_snapshots field order)
+    types = {
+        f.name: f.dataType
+        for df in (old_raw, new_raw)
+        for f in df.schema["s"].dataType.fields
+    }
+    names = list(_ORDER_COLS) + sorted(
+        n for n in types if n not in _ORDER_COLS
     )
-    new = store_as_of(spark, out_dir, v_to).select(
-        "o_custkey", F.col("s").alias("_new")
-    )
+
+    def aligned(df: DataFrame, out: str) -> DataFrame:
+        flat = df.select("o_custkey", "s.*")
+        return flat.select(
+            "o_custkey",
+            F.struct(
+                *[
+                    (
+                        F.col(n)
+                        if n in flat.columns
+                        else F.lit(None).cast(types[n])
+                    ).alias(n)
+                    for n in names
+                ]
+            ).alias(out),
+        )
+
+    old = aligned(old_raw, "_old")
+    new = aligned(new_raw, "_new")
     j = old.join(new, "o_custkey", "full_outer")
     return (
         j.filter(

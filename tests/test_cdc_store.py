@@ -154,3 +154,53 @@ def test_vacuum_keeps_latest_and_fails_loudly_on_vacuumed(spark, cdc_store):
     # keep=0 is nonsense: the latest snapshot IS the store
     with pytest.raises(ValueError, match="keep"):
         vacuum_snapshots(out, keep=0)
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """A column added mid-stream (ADD COLUMN evolution) must not break
+    the snapshot chain: the merge aligns payload fields by name (old
+    rows read NULL for the new column), old snapshots stay readable,
+    and the change feed across the evolution boundary treats
+    NULL→value on the new column as a genuine update while NULL vs
+    NULL compares equal (the null-safe compare is load-bearing here).
+    """
+    from bigdatafinalproject_spark.streaming.cdc import merge_snapshots
+
+    out = str(tmp_path / "evostore")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    batch0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    # batch 1 arrives with a NEW payload column
+    batch1 = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel", F.lit("web")
+    )
+    _argmax(batch0).write.mode("overwrite").parquet(f"{out}/v=0")
+    merge_snapshots(
+        spark.read.parquet(f"{out}/v=0"), _argmax(batch1)
+    ).write.mode("overwrite").parquet(f"{out}/v=1")
+
+    v0 = store_as_of(spark, out, 0)
+    v1 = store_as_of(spark, out, 1)
+    assert "o_channel" not in v0.schema["s"].dataType.fieldNames()
+    assert "o_channel" in v1.schema["s"].dataType.fieldNames()
+    # keys whose latest order came from batch0 carry NULL; batch1 keys
+    # carry the value — and both populations exist
+    chan = {
+        r.o_custkey: r.s.o_channel for r in v1.collect()
+    }
+    assert set(chan.values()) == {None, "web"}
+
+    # CDF across the evolution boundary: every batch1-latest key is a
+    # change (insert if new, update otherwise — including keys whose
+    # ONLY change is the evolved column), batch0-only keys are silent
+    from bigdatafinalproject_spark.streaming.cdc import store_changes
+
+    ch = {r.o_custkey: r.change_type for r in
+          store_changes(spark, out, 0, 1).collect()}
+    b1_latest = {k for k, v in chan.items() if v == "web"}
+    assert set(ch) == b1_latest
+    v0_keys = {r.o_custkey for r in v0.collect()}
+    assert all(
+        (t == "update") == (k in v0_keys) for k, t in ch.items()
+    )
