@@ -221,3 +221,125 @@ def orders_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, updates, keys=["o_orderkey"], version_col="version",
         tiebreak=["o_orderstatus"],
     )
+
+
+_DRIFT_SPLIT = "1998-01-01"
+_DRIFT_QS = "0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9"
+_DRIFT_QSCALE = 10**12
+
+
+@query(
+    "orders_price_drift",
+    oracle=f"""
+    WITH e AS (SELECT quantile_cont(o_totalprice, [{_DRIFT_QS}]) AS edges
+               FROM orders
+               WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'),
+    binned AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+                           THEN 1 ELSE 0 END AS in_a,
+                      1 + len(list_filter((SELECT edges FROM e),
+                                          x -> o_totalprice > x)) AS bin
+               FROM orders),
+    counts AS (SELECT bin,
+                      SUM(in_a) AS n_a,
+                      SUM(1 - in_a) AS n_b
+               FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts),
+    s AS (SELECT bin, n_a, n_b,
+                 CAST(n_a AS DOUBLE) / (SELECT ta FROM tot) AS share_a,
+                 CAST(n_b AS DOUBLE) / (SELECT tb FROM tot) AS share_b
+          FROM counts),
+    t AS (SELECT bin, n_a, n_b, share_a, share_b,
+                 abs(share_b - share_a) AS abs_shift,
+                 (share_b - share_a) * (share_b - share_a) / share_a
+                     AS chi2_term
+          FROM s)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           share_a, share_b, abs_shift, chi2_term,
+           (SELECT CAST(SUM(CAST(floor(chi2_term * {_DRIFT_QSCALE})
+                                 AS BIGINT)) AS BIGINT)
+            FROM t) AS chi2_total_q
+    FROM t
+    """,
+)
+def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two time periods (the
+    data-quality monitor an ML pipeline runs before retraining): bin
+    edges = EXACT deciles of the reference period (one ``percentile``
+    aggregate — no global sort window; swap approx_percentile at
+    100 TB, the documented exact_percentiles trade), both periods
+    binned by one broadcast 9-edge row (ties at an edge go to the
+    lower bin in both engines), per-bin population shares compared.
+
+    Drift statistic: per-bin chi-square terms (share_b − share_a)² /
+    share_a — chosen over PSI because it needs only +,−,×,÷, which
+    are IEEE-correctly-rounded and therefore bit-identical across
+    engines, where ln() carries last-ulp libm risk. The 10-term total
+    is FLOOR-QUANTIZED to int64 before summing (the mmr/ADC
+    discipline) so the cross-engine sum is order-independent exact
+    integer arithmetic. Scale shape: two aggregates over the fact
+    table + arithmetic on 10 rows; the 1-row totals broadcast back."""
+    o = load_table(spark, sf_dir, "orders")
+    in_a = (
+        (F.col("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("timestamp"))
+        .cast("int")
+        .alias("in_a")
+    )
+    edges = o.filter(
+        F.col("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("timestamp")
+    ).agg(
+        F.expr(f"percentile(o_totalprice, array({_DRIFT_QS}))").alias("edges")
+    )
+    binned = (
+        o.select(in_a, "o_totalprice")
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "in_a",
+            F.expr(
+                "1 + aggregate(edges, 0, (acc, e) -> "
+                "acc + (CASE WHEN o_totalprice > e THEN 1 ELSE 0 END))"
+            ).alias("bin"),
+        )
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum(1 - F.col("in_a")).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    t = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            (F.col("n_a").cast("double") / F.col("ta")).alias("share_a"),
+            (F.col("n_b").cast("double") / F.col("tb")).alias("share_b"),
+        )
+        .withColumn("abs_shift", F.abs(F.col("share_b") - F.col("share_a")))
+        .withColumn(
+            "chi2_term",
+            (F.col("share_b") - F.col("share_a"))
+            * (F.col("share_b") - F.col("share_a"))
+            / F.col("share_a"),
+        )
+    )
+    total_q = t.agg(
+        F.sum(
+            F.floor(F.col("chi2_term") * _DRIFT_QSCALE).cast("long")
+        ).alias("chi2_total_q")
+    )
+    return (
+        t.crossJoin(F.broadcast(total_q))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "share_a",
+            "share_b",
+            "abs_shift",
+            "chi2_term",
+            "chi2_total_q",
+        )
+    )
