@@ -385,3 +385,91 @@ def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y2.n_orders").alias("orders_next"),
         )
     )
+
+
+@query(
+    "brand_moving_avg_outliers",
+    oracle="""
+    WITH monthly AS (
+      SELECT p_brand,
+             strftime(l_shipdate, '%Y-%m') AS sale_month,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS sales
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2),
+    ma AS (
+      SELECT p_brand, sale_month, sales,
+             CAST(SUM(CAST(sales AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS moving_avg,
+             CAST(COUNT(*) OVER w AS INT) AS n_window
+      FROM monthly
+      WINDOW w AS (PARTITION BY p_brand ORDER BY sale_month
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+    dev AS (
+      SELECT p_brand, sale_month, sales, moving_avg, n_window,
+             abs(sales - moving_avg) / moving_avg AS deviation
+      FROM ma WHERE n_window = 3)
+    SELECT p_brand, sale_month, sales, moving_avg, deviation,
+           CAST(row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY deviation DESC, sale_month) AS INT)
+               AS dev_rank
+    FROM dev WHERE deviation > 0.2
+    """,
+)
+def brand_moving_avg_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 shape: monthly brand sales vs a CENTERED MOVING
+    AVERAGE (rows 1 preceding..1 following), keeping full-window
+    months that deviate >20% and ranking each brand's worst months.
+    Complements brand_monthly_deviation (deviation from the brand's
+    GLOBAL mean) with the frame-based seasonal variant. Both windows
+    run over the aggregated series (brands x months), never facts;
+    the frame sum is decimal-cast so the moving average is
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_brand",
+            F.date_format("l_shipdate", "yyyy-MM").alias("sale_month"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sales")
+        )
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("sale_month")
+        .rowsBetween(-1, 1)
+    )
+    ma = monthly.select(
+        "p_brand",
+        "sale_month",
+        "sales",
+        (
+            F.sum(F.col("sales").cast(_DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_window"),
+    )
+    dev = (
+        ma.filter(F.col("n_window") == 3)
+        .withColumn(
+            "deviation",
+            F.abs(F.col("sales") - F.col("moving_avg")) / F.col("moving_avg"),
+        )
+        .filter(F.col("deviation") > 0.2)
+    )
+    rw = W.partitionBy("p_brand").orderBy(
+        F.col("deviation").desc(), F.col("sale_month")
+    )
+    return dev.select(
+        "p_brand",
+        "sale_month",
+        "sales",
+        "moving_avg",
+        "deviation",
+        F.row_number().over(rw).cast("int").alias("dev_rank"),
+    )
