@@ -335,3 +335,65 @@ def events_incremental_rollup_refresh(
         F.col("n").alias("n_events"),
         (F.col("cents") / 100.0).alias("total_value"),
     )
+
+
+@query(
+    "orders_incremental_join_view",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def orders_incremental_join_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (the
+    delta-join algebra the rollup refresh does for aggregates): the
+    stored view V = C ⋈ O is built from base partitions of both
+    inputs, then insert deltas ΔC and ΔO arrive and the view is
+    brought current by APPENDING the three delta terms
+
+        C₁⋈ΔO  ∪  ΔC⋈O₁  ∪  ΔC⋈ΔO
+
+    — never recomputing C₁⋈O₁. The oracle is the one-shot join over
+    the full inputs: matching it is the IVM theorem
+    (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ A⋈ΔB ∪ ΔA⋈B ∪ ΔA⋈ΔB for disjoint
+    insert-only deltas (updates/deletes need retraction rows — the
+    CDC store's territory, not this operator's).
+
+    100 TB shape: each delta term is delta-proportional — ΔO joins a
+    broadcast/pruned customer side, ΔC (dimension-delta, small)
+    broadcasts against the base orders scan, and ΔC⋈ΔO is tiny; with
+    the stored view and O₁ bucketed on the join key the base-side
+    scans are co-located and shuffle-free. Refresh cost tracks the
+    delta, never the history."""
+    store = _scratch(sf_dir, "joinview")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c1 = c.filter(F.col("c_custkey") % 11 != 0)
+    dc = c.filter(F.col("c_custkey") % 11 == 0)
+    o1 = o.filter(F.col("o_orderkey") % 7 != 0)
+    do = o.filter(F.col("o_orderkey") % 7 == 0)
+
+    def v(cust: DataFrame, orders: DataFrame) -> DataFrame:
+        return orders.join(
+            cust, F.col("c_custkey") == F.col("o_custkey")
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+
+    v(c1, o1).write.mode("overwrite").parquet(store)
+    # three delta terms appended; base view untouched
+    v(c1, do).write.mode("append").parquet(store)
+    v(F.broadcast(dc), o1).write.mode("append").parquet(store)
+    v(F.broadcast(dc), do).write.mode("append").parquet(store)
+    return spark.read.parquet(store)

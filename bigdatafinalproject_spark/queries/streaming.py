@@ -291,3 +291,37 @@ def stream_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("s.o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
         F.col("s.o_totalprice").alias("last_totalprice"),
     )
+
+
+@query(
+    "stream_jdbc_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(25,6))), 0) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger-gated exactly-once streaming JDBC sink
+    (streaming/jdbc_sink.py): each micro-batch appends its partial
+    aggregate + a batch_id ledger marker to embedded Derby; replayed
+    batch ids are skipped at the gate. The stream runs to completion,
+    batch 0 is then REDELIVERED through the same apply path (the
+    at-least-once failure mode) and must be skipped — if the gate
+    failed, batch 0's rows would double and the oracle (the one-shot
+    batch aggregate over all events) would catch it. State
+    discipline: partials carry exact integer cents, so the readback
+    roll-up is batching-independent."""
+    from bigdatafinalproject_spark.streaming.jdbc_sink import (
+        stream_events_jdbc_exactly_once,
+    )
+
+    back, applied, skipped = stream_events_jdbc_exactly_once(spark, sf_dir)
+    assert sorted(applied) == sorted(set(applied)), "duplicate batch apply"
+    assert 0 in skipped, "replayed batch must be ledger-skipped"
+    return back.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+    )

@@ -1,0 +1,144 @@
+"""Exactly-once streaming JDBC sink: ledger-gated foreachBatch into an
+embedded Derby database (the container's only JDBC engine — same
+rationale as queries/jdbc.py: Spark's JDBC path is database-agnostic,
+so the recipe transfers verbatim to a real warehouse sink).
+
+Protocol (exactly-once OUTPUT from at-least-once delivery):
+
+- each micro-batch aggregates INSIDE the batch (stateless stream) and
+  appends its partial rows tagged with ``batch_id`` to the data table;
+- a one-row ``batch_id`` marker is then appended to a LEDGER table;
+- before writing, the batch checks the ledger — a REPLAYED batch id
+  (Structured Streaming redelivers batches after failures) is skipped
+  entirely, so redelivery never duplicates output rows.
+
+Honesty note on the crash window: the data append and the ledger
+append are two JDBC statements, not one transaction — a crash BETWEEN
+them would duplicate that one batch on retry. Production closes the
+window with a transactional MERGE keyed on batch_id (or staging +
+atomic rename); Spark's generic JDBC writer has no multi-statement
+transaction surface to express that here. What this sink DOES prove —
+and the registered query's oracle checks end-to-end — is the ledger
+contract: redelivered batches (the common at-least-once failure mode)
+are exactly-once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import table_path
+from bigdatafinalproject_spark.sources.readers import read_jdbc
+from bigdatafinalproject_spark.sources.writers import write_jdbc
+from bigdatafinalproject_spark.streaming.schema import footer_read_schema
+from bigdatafinalproject_spark.streaming.sketches import _chunked_events_dir
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+_SINK_TABLE = "events_sink_partials"
+_LEDGER_TABLE = "events_sink_ledger"
+
+
+def _sink_url(sf_dir: str) -> str:
+    """Per-(sf_dir, process) Derby db, distinct from queries/jdbc.py's
+    database (embedded Derby allows one booting JVM per directory, and
+    a separate path also avoids cross-feature table collisions)."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    db = os.path.join(
+        tempfile.gettempdir(), f"bdfp_derbysink_{tag}_{os.getpid()}"
+    )
+    return f"jdbc:derby:{db};create=true"
+
+
+def _partial(bdf: DataFrame, bid: int) -> DataFrame:
+    # exact integer cents (the repo-wide float-sum discipline) so the
+    # readback aggregate is order/batching-independent
+    return bdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ).select(F.lit(bid).cast("long").alias("batch_id"), "*")
+
+
+def stream_events_jdbc_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int], list[int]]:
+    """Run the chunked event stream into the ledger-gated Derby sink,
+    then REPLAY batch 0 through the same apply path (simulating
+    at-least-once redelivery) and prove it is skipped.
+
+    Returns (readback partials DataFrame, applied batch ids, skipped
+    batch ids) — ``0 in skipped`` and ``applied`` containing each id
+    exactly once is the exactly-once evidence; the registered query's
+    oracle (one-shot aggregate over all events) is the content proof.
+    """
+    d = _chunked_events_dir(
+        sf_dir,
+        columns=("event_id", "event_type", "value"),
+        prefix="bdfp_evsink",
+    )
+    url = _sink_url(sf_dir)
+    empty_rows: list = []
+    # overwrite-create both tables so the per-batch gate can always read
+    write_jdbc(
+        spark.createDataFrame(
+            empty_rows, "batch_id long, event_type string, n long, cents long"
+        ),
+        url,
+        _SINK_TABLE,
+        driver=DERBY_DRIVER,
+        mode="overwrite",
+    )
+    write_jdbc(
+        spark.createDataFrame(empty_rows, "batch_id long"),
+        url,
+        _LEDGER_TABLE,
+        driver=DERBY_DRIVER,
+        mode="overwrite",
+    )
+    applied: list[int] = []
+    skipped: list[int] = []
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        committed = (
+            read_jdbc(spark, url, _LEDGER_TABLE, driver=DERBY_DRIVER)
+            .filter(F.col("batch_id") == bid)
+            .count()
+        )
+        if committed > 0:
+            skipped.append(bid)
+            return
+        write_jdbc(
+            _partial(bdf, bid), url, _SINK_TABLE,
+            driver=DERBY_DRIVER, mode="append",
+        )
+        write_jdbc(
+            spark.createDataFrame([(bid,)], "batch_id long"),
+            url,
+            _LEDGER_TABLE,
+            driver=DERBY_DRIVER,
+            mode="append",
+        )
+        applied.append(bid)
+
+    raw = (
+        spark.readStream.schema(
+            footer_read_schema(os.path.join(d, "chunk0.parquet"))
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # at-least-once redelivery simulation: batch 0's exact content again
+    replay = spark.read.parquet(os.path.join(d, "chunk0.parquet"))
+    apply_batch(replay, 0)
+    back = read_jdbc(spark, url, _SINK_TABLE, driver=DERBY_DRIVER)
+    return back, applied, skipped

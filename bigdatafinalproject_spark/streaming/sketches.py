@@ -37,23 +37,30 @@ from bigdatafinalproject_spark.streaming.schema import footer_read_schema
 _N_CHUNKS = 4
 
 
-def _chunked_events_dir(sf_dir: str) -> str:
+def _chunked_events_dir(
+    sf_dir: str,
+    columns: tuple[str, ...] = ("event_id", "user_id"),
+    prefix: str = "bdfp_evchunks",
+) -> str:
     """Stage events split into several parquet files so the file source
     (maxFilesPerTrigger=1) produces MULTIPLE micro-batches — the merge
     path is only exercised with >1 partial sketch. Staged once per
-    (source path, mtime); concurrent processes share it safely because
-    content is deterministic and writes go through a tmp+rename."""
+    (source path, mtime, column set); concurrent processes share it
+    safely because content is deterministic and writes go through a
+    tmp+rename. Callers needing other columns pass their own
+    ``columns`` + a distinct ``prefix`` (so projections never collide
+    in the shared cache)."""
     import pyarrow.parquet as pq
 
     src = os.path.abspath(table_path(sf_dir, "events"))
     tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}".encode()
+        f"{src}:{os.path.getmtime(src)}:{','.join(columns)}".encode()
     ).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"bdfp_evchunks_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     done = os.path.join(d, "_STAGED")
     if os.path.exists(done):
         return d
-    t = pq.read_table(src, columns=["event_id", "user_id"])
+    t = pq.read_table(src, columns=list(columns))
     n = t.num_rows
     step = (n + _N_CHUNKS - 1) // _N_CHUNKS
     tmp = d + f".tmp{os.getpid()}"
@@ -74,7 +81,7 @@ def _chunked_events_dir(sf_dir: str) -> str:
     # different tag = an mtime that no longer exists; other sources'
     # dirs are left alone (may be live in a concurrent process)
     for p in glob.glob(
-        os.path.join(tempfile.gettempdir(), "bdfp_evchunks_*")
+        os.path.join(tempfile.gettempdir(), f"{prefix}_*")
     ):
         if p == d or p.endswith(f".tmp{os.getpid()}"):
             continue
