@@ -212,3 +212,96 @@ def customer_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") * 10 + F.col("l_linenumber"),
     )
     return out_c.unionByName(out_o).unionByName(out_l)
+
+
+_KANON_K = 8
+
+
+@query(
+    "customer_k_anonymity",
+    oracle=f"""
+    WITH g0 AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2),
+    pass0 AS (
+      SELECT c_mktsegment AS segment_name,
+             CAST(c_nationkey AS VARCHAR) AS nation_key,
+             n, 0 AS level
+      FROM g0 WHERE n >= {_KANON_K}),
+    g1 AS (
+      SELECT c_mktsegment, SUM(n) AS n
+      FROM g0 WHERE n < {_KANON_K} GROUP BY 1),
+    pass1 AS (
+      SELECT c_mktsegment AS segment_name, '*' AS nation_key, n, 1 AS level
+      FROM g1 WHERE n >= {_KANON_K}),
+    g2 AS (
+      SELECT SUM(n) AS n FROM g1 WHERE n < {_KANON_K}),
+    pass2 AS (
+      SELECT '*' AS segment_name, '*' AS nation_key, n, 2 AS level
+      FROM g2 WHERE n > 0),
+    allp AS (
+      SELECT * FROM pass0 UNION ALL
+      SELECT * FROM pass1 UNION ALL
+      SELECT * FROM pass2)
+    SELECT segment_name, nation_key,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(level AS INT) AS level,
+           CAST(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END AS INT)
+               AS still_small
+    FROM allp
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity generalization over the quasi-identifier pair
+    (market segment, nation): every published group must hold >= k
+    individuals or its quasi-identifiers are GENERALIZED up a fixed
+    hierarchy — (segment, nation) → (segment, *) → (*, *) — until the
+    group is large enough (the Samarati/Sweeney release discipline;
+    complements the erasure cascade and PII scrub in the governance
+    family). Deterministic set algebra: three aggregate levels, each
+    over the under-k remainder of the previous one; the final
+    catch-all is emitted regardless and flagged ``still_small`` if
+    even full suppression failed to reach k (publish/withhold is then
+    the caller's policy decision).
+
+    Scale shape: level 0 is one groupBy over the table; levels 1-2
+    aggregate the under-k GROUP LIST (quasi-identifier cardinality,
+    not rows) — generalization cost never touches the fact table
+    again."""
+    k = _KANON_K
+    c = load_table(spark, sf_dir, "customer")
+    g0 = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pass0 = g0.filter(F.col("n") >= k).select(
+        F.col("c_mktsegment").alias("segment_name"),
+        F.col("c_nationkey").cast("string").alias("nation_key"),
+        "n",
+        F.lit(0).alias("level"),
+    )
+    g1 = (
+        g0.filter(F.col("n") < k)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n").alias("n"))
+    )
+    pass1 = g1.filter(F.col("n") >= k).select(
+        F.col("c_mktsegment").alias("segment_name"),
+        F.lit("*").alias("nation_key"),
+        "n",
+        F.lit(1).alias("level"),
+    )
+    g2 = g1.filter(F.col("n") < k).agg(F.sum("n").alias("n"))
+    pass2 = g2.filter(F.col("n") > 0).select(
+        F.lit("*").alias("segment_name"),
+        F.lit("*").alias("nation_key"),
+        "n",
+        F.lit(2).alias("level"),
+    )
+    allp = pass0.unionByName(pass1).unionByName(pass2)
+    return allp.select(
+        "segment_name",
+        "nation_key",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("level").cast("int").alias("level"),
+        (F.col("n") < k).cast("int").alias("still_small"),
+    )
