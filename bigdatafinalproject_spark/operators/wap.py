@@ -1,0 +1,65 @@
+"""Write-Audit-Publish: stage a table write, audit the STAGED copy,
+publish atomically only if every audit passes.
+
+The pattern behind Iceberg's WAP / dbt's build-then-swap: consumers
+never observe a half-written or invalid table, because the publish
+step is a filesystem rename (atomic on a POSIX dir / object-store
+pointer swap) that only happens after the audits ran against the
+exact bytes being published — not against the input DataFrame, whose
+re-computation could differ.
+
+At 100 TB the staged write is the same distributed write the direct
+path would do (no extra data pass); audits are aggregate scans of the
+staged copy (count-shaped, cheap relative to the write); publish is
+metadata-only. A failed audit leaves the staged directory in place
+for debugging and raises with the per-audit violation counts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    dest: str,
+    audits: dict[str, Callable[[DataFrame], int]],
+    staging_suffix: str = "_staging",
+) -> str:
+    """Write ``df`` to ``dest`` via stage → audit → atomic publish.
+
+    ``audits`` maps audit name → function(staged DataFrame) returning
+    the VIOLATION COUNT (0 = pass). All audits run against the staged
+    parquet readback. On any violation: raises ``ValueError`` naming
+    every failing audit and its count; the staged directory is KEPT
+    for inspection and ``dest`` is untouched (old version, if any,
+    still serves). On success: the previous version is swapped out
+    and the staged directory renamed into place (same parent dir, so
+    the rename is atomic on one filesystem).
+
+    Returns ``dest``.
+    """
+    staged = dest.rstrip("/") + staging_suffix
+    shutil.rmtree(staged, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staged)
+    staged_df = spark.read.parquet(staged)
+    failures = {
+        name: n for name, fn in audits.items() if (n := int(fn(staged_df))) > 0
+    }
+    if failures:
+        raise ValueError(
+            f"write_audit_publish: audits failed for {dest!r}: {failures}; "
+            f"staged copy kept at {staged!r}"
+        )
+    old = dest.rstrip("/") + "_prev"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dest):
+        os.rename(dest, old)
+    os.rename(staged, dest)
+    shutil.rmtree(old, ignore_errors=True)
+    return dest

@@ -91,3 +91,51 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("fk_orphans"))
     )
     return checks.crossJoin(orphans)
+
+
+@query(
+    "orders_write_audit_publish",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (operators/wap.py): the orders projection is
+    STAGED, three audits run against the staged parquet readback (null
+    keys, non-positive prices, FK orphans vs customer), and only a
+    clean audit atomically publishes — consumers can never observe a
+    half-written or invalid table. The query aggregates the PUBLISHED
+    copy; matching the oracle (the same aggregate over the source)
+    proves the stage→audit→swap pipeline is lossless. The
+    failed-audit path (staged copy kept, destination untouched,
+    ValueError with per-audit counts) is pinned by
+    tests/test_wap.py with an injected violation."""
+    from bigdatafinalproject_spark.operators.wap import write_audit_publish
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+    dest = _scratch(sf_dir, "wap_orders")
+    audits = {
+        "null_keys": lambda df: df.filter(
+            F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()
+        ).count(),
+        "nonpositive_price": lambda df: df.filter(
+            F.col("o_totalprice") <= 0
+        ).count(),
+        "fk_orphans": lambda df: df.join(
+            cust_keys, df["o_custkey"] == cust_keys["c_custkey"], "left_anti"
+        ).count(),
+    }
+    write_audit_publish(spark, o, dest, audits)
+    published = spark.read.parquet(dest)
+    return published.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
