@@ -54,6 +54,9 @@ HEAVY = [
     # layout / maintenance / governance
     "lineitem_compaction_roundtrip",
     "customer_erasure_propagation",
+    "orders_incremental_join_view",
+    "orders_write_audit_publish",
+    "orders_price_drift",
     # streaming family: the chunked stagers keep batch COUNT fixed (4)
     # while batch SIZE grows with SF, so the exponent measures
     # per-batch cost — i.e. whether per-batch state really is bounded
