@@ -343,3 +343,86 @@ def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_total_q",
         )
     )
+
+
+@query(
+    "events_type_drift",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-25' THEN 0 ELSE 1 END) AS n_b
+      FROM events GROUP BY event_type),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts),
+    s AS (SELECT event_type, n_a, n_b,
+                 CAST(n_a AS DOUBLE) / (SELECT ta FROM tot) AS share_a,
+                 CAST(n_b AS DOUBLE) / (SELECT tb FROM tot) AS share_b
+          FROM counts),
+    t AS (SELECT event_type, n_a, n_b, share_a, share_b,
+                 abs(share_b - share_a) AS abs_shift,
+                 CASE WHEN share_a > 0
+                      THEN (share_b - share_a) * (share_b - share_a) / share_a
+                      ELSE NULL END AS chi2_term
+          FROM s)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           share_a, share_b, abs_shift, chi2_term,
+           (SELECT CAST(SUM(CAST(floor(chi2_term * {_DRIFT_QSCALE})
+                                 AS BIGINT)) AS BIGINT)
+            FROM t WHERE chi2_term IS NOT NULL) AS chi2_total_q
+    FROM t
+    """,
+)
+def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL drift — the binning-free twin of
+    ``orders_price_drift``: event-type population shares compared
+    between two periods directly on the category labels (no decile
+    edges needed), same chi-square/abs-shift statistics with the same
+    int64-quantized order-independent total. Categories absent from
+    the reference period surface with a NULL chi2_term (a NEW
+    category is a schema-drift signal, not a division by zero) and
+    are excluded from the quantized total in both engines. One
+    aggregate over the fact table; everything after is
+    category-cardinality-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-25").cast("timestamp")
+    counts = ev.groupBy("event_type").agg(
+        F.sum((F.col("ts") < split).cast("long")).alias("n_a"),
+        F.sum((F.col("ts") >= split).cast("long")).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    t = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            (F.col("n_a").cast("double") / F.col("ta")).alias("share_a"),
+            (F.col("n_b").cast("double") / F.col("tb")).alias("share_b"),
+        )
+        .withColumn("abs_shift", F.abs(F.col("share_b") - F.col("share_a")))
+        .withColumn(
+            "chi2_term",
+            F.when(
+                F.col("share_a") > 0,
+                (F.col("share_b") - F.col("share_a"))
+                * (F.col("share_b") - F.col("share_a"))
+                / F.col("share_a"),
+            ),
+        )
+    )
+    total_q = t.filter(F.col("chi2_term").isNotNull()).agg(
+        F.sum(
+            F.floor(F.col("chi2_term") * _DRIFT_QSCALE).cast("long")
+        ).alias("chi2_total_q")
+    )
+    return t.crossJoin(F.broadcast(total_q)).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "share_a",
+        "share_b",
+        "abs_shift",
+        "chi2_term",
+        "chi2_total_q",
+    )

@@ -204,3 +204,33 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     assert all(
         (t == "update") == (k in v0_keys) for k, t in ch.items()
     )
+
+
+def test_as_of_timestamp_after_vacuum_fails_for_reclaimed_range(
+    spark, cdc_store
+):
+    """Vacuum × TIMESTAMP AS OF interplay: after retention dropped the
+    early snapshots (the vacuum test above keeps only the last two),
+    an event-time read that would have resolved to a reclaimed version
+    fails loudly, while timestamps at/after the oldest RETAINED
+    high-water mark still resolve. (Runs after the vacuum test by file
+    order — it depends on that state.)"""
+    out, _, n = cdc_store
+    versions = store_versions(out)
+    assert versions == [n - 2, n - 1], "expects the vacuumed store"
+    oldest_hwm = (
+        store_as_of(spark, out, versions[0])
+        .agg(F.max("s.o_orderdate"))
+        .first()[0]
+    )
+    # resolvable: the oldest retained snapshot's own high-water mark
+    df, resolved = store_as_of_timestamp(spark, out, oldest_hwm)
+    assert resolved in versions
+    # NOT resolvable: any instant strictly before the first retained
+    # snapshot's content — that history was reclaimed
+    import datetime
+
+    with pytest.raises(ValueError, match="high-water mark"):
+        store_as_of_timestamp(
+            spark, out, oldest_hwm - datetime.timedelta(days=36500)
+        )
