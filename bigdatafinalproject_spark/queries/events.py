@@ -445,3 +445,106 @@ def events_orders_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orderkey_sum bigint",
         )
     )
+
+
+@query(
+    "events_linear_attribution",
+    oracle="""
+    WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id,
+                      CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                          AS cents
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts,
+                 CAST(json_extract_string(props, '$.k') AS INT) % 10
+                     AS channel
+          FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.p_id, p.cents, c.channel
+          FROM p JOIN c ON c.user_id = p.user_id
+           AND c.ts >= p.p_ts - INTERVAL '60 minutes' AND c.ts <= p.p_ts),
+    t AS (SELECT p_id, cents, channel,
+                 COUNT(*) OVER (PARTITION BY p_id) AS n_touch
+          FROM j),
+    per AS (SELECT channel, COUNT(*) AS n_touches,
+                   COUNT(DISTINCT p_id) AS n_purchases,
+                   SUM((cents * 10000) // n_touch) AS credit_micro
+            FROM t GROUP BY channel),
+    un AS (SELECT -1 AS channel, 0 AS n_touches, COUNT(*) AS n_purchases,
+                  COALESCE(SUM(cents * 10000), 0) AS credit_micro
+           FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM j)),
+    allr AS (SELECT * FROM per
+             UNION ALL SELECT * FROM un WHERE n_purchases > 0)
+    SELECT CAST(channel AS INT) AS channel,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(credit_micro AS BIGINT) AS credit_micro,
+           CAST(credit_micro AS DOUBLE) / 1000000.0 AS credit_value
+    FROM allr
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase's value is split
+    equally across the same user's clicks in the preceding 60 minutes
+    (clicks bucketed into pseudo-channels by their payload key), and
+    purchases with no qualifying touch land in an explicit
+    ``channel = -1`` unattributed bucket — so credit is conserved and
+    auditable, not silently dropped.
+
+    Exactness discipline: credit per touch is integer micro-dollars
+    ``(cents * 10000) DIV n_touch`` — integer division both engines,
+    order-independent sums, remainders discarded deterministically
+    (a penny-allocation variant would assign them by rank; out of
+    scope here). The window join reuses operators/rangejoin
+    (bin-bucketed equi-join — never a BroadcastNestedLoopJoin), and
+    the per-purchase touch count is a window over the purchase key
+    (bounded by touches-per-purchase)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    iv = p.withColumn(
+        "w_start", F.col("p_ts") - F.expr("INTERVAL 60 MINUTES")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("channel"),
+    )
+    j = interval_join(
+        clicks, iv, "ts", "w_start", "p_ts", keys=("user_id",), bin_width_s=3600
+    )
+    t = j.withColumn(
+        "n_touch", F.count(F.lit(1)).over(W.partitionBy("p_id"))
+    ).withColumn("credit_u", F.expr("(cents * 10000) DIV n_touch"))
+    per = t.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.sum("credit_u").alias("credit_micro"),
+    )
+    un = (
+        p.join(j.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(F.sum(F.col("cents") * 10000), F.lit(0)).alias(
+                "credit_micro"
+            ),
+        )
+        .select(
+            F.lit(-1).alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_purchases",
+            "credit_micro",
+        )
+        .filter(F.col("n_purchases") > 0)
+    )
+    return per.unionByName(un).select(
+        F.col("channel").cast("int").alias("channel"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        F.col("credit_micro").cast("long").alias("credit_micro"),
+        (F.col("credit_micro").cast("double") / 1000000.0).alias(
+            "credit_value"
+        ),
+    )
