@@ -146,6 +146,34 @@ def store_as_of(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def store_history(spark: SparkSession, out_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the snapshot store: one row per RETAINED
+    version — key count, event-time high-water mark, and the number of
+    source files its batch manifest recorded — the audit surface a
+    table format's history call provides, assembled from the
+    snapshots and ``m=<b>`` manifests already on disk.
+
+    Cost: one key-bounded snapshot aggregate + one manifest listing
+    per retained version (version count is retention-bounded, so this
+    is metadata-scale, never an event replay). Returns (version,
+    n_keys, hwm, n_manifest_files), ascending by version.
+    """
+    rows = []
+    for v in store_versions(out_dir):
+        snap = spark.read.parquet(f"{out_dir}/v={v}")
+        agg = snap.agg(
+            F.count(F.lit(1)).alias("n"), F.max("s.o_orderdate").alias("h")
+        ).first()
+        mpath = f"{out_dir}/m={v}"
+        nm = (
+            spark.read.parquet(mpath).count() if os.path.isdir(mpath) else 0
+        )
+        rows.append((v, int(agg.n), agg.h, int(nm)))
+    return spark.createDataFrame(
+        rows, "version int, n_keys long, hwm timestamp, n_manifest_files long"
+    )
+
+
 def store_as_of_timestamp(
     spark: SparkSession, out_dir: str, ts
 ) -> tuple[DataFrame, int]:

@@ -234,3 +234,23 @@ def test_as_of_timestamp_after_vacuum_fails_for_reclaimed_range(
         store_as_of_timestamp(
             spark, out, oldest_hwm - datetime.timedelta(days=36500)
         )
+
+
+def test_store_history_describes_retained_versions(spark, cdc_store):
+    """DESCRIBE HISTORY surface: one row per retained version, key
+    counts monotone (the store only accumulates), high-water marks
+    monotone, manifests non-empty. (Runs after the vacuum test — only
+    the last two versions remain, which is exactly what history must
+    report.)"""
+    from bigdatafinalproject_spark.streaming.cdc import store_history
+
+    out, _, n = cdc_store
+    hist = store_history(spark, out).orderBy("version").collect()
+    assert [r.version for r in hist] == store_versions(out)
+    keys = [r.n_keys for r in hist]
+    hwms = [r.hwm for r in hist]
+    assert keys == sorted(keys) and hwms == sorted(hwms)
+    assert all(r.n_manifest_files >= 1 for r in hist)
+    # the latest history row must describe the queryable store exactly
+    latest = hist[-1]
+    assert latest.n_keys == store_as_of(spark, out, n - 1).count()
