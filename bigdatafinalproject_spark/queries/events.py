@@ -454,19 +454,23 @@ def events_orders_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
                           AS cents
                FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT user_id, ts,
+    c AS (SELECT user_id, ts, event_id AS c_id,
                  CAST(json_extract_string(props, '$.k') AS INT) % 10
                      AS channel
           FROM events WHERE event_type = 'click'),
-    j AS (SELECT p.p_id, p.cents, c.channel
+    j AS (SELECT p.p_id, p.cents, c.channel, c.ts, c.c_id
           FROM p JOIN c ON c.user_id = p.user_id
            AND c.ts >= p.p_ts - INTERVAL '60 minutes' AND c.ts <= p.p_ts),
     t AS (SELECT p_id, cents, channel,
-                 COUNT(*) OVER (PARTITION BY p_id) AS n_touch
+                 COUNT(*) OVER (PARTITION BY p_id) AS n_touch,
+                 row_number() OVER (PARTITION BY p_id
+                                    ORDER BY ts, c_id) AS touch_rank
           FROM j),
     per AS (SELECT channel, COUNT(*) AS n_touches,
                    COUNT(DISTINCT p_id) AS n_purchases,
-                   SUM((cents * 10000) // n_touch) AS credit_micro
+                   SUM((cents * 10000) // n_touch
+                       + CASE WHEN touch_rank <= (cents * 10000) % n_touch
+                              THEN 1 ELSE 0 END) AS credit_micro
             FROM t GROUP BY channel),
     un AS (SELECT -1 AS channel, 0 AS n_touches, COUNT(*) AS n_purchases,
                   COALESCE(SUM(cents * 10000), 0) AS credit_micro
@@ -490,10 +494,14 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditable, not silently dropped.
 
     Exactness discipline: credit per touch is integer micro-dollars
-    ``(cents * 10000) DIV n_touch`` — integer division both engines,
-    order-independent sums, remainders discarded deterministically
-    (a penny-allocation variant would assign them by rank; out of
-    scope here). The window join reuses operators/rangejoin
+    ``(cents * 10000) DIV n_touch`` plus a largest-remainder
+    micro-unit to the earliest ``(cents * 10000) % n_touch`` touches
+    (rank by (ts, event_id) — total order, engine-portable), so
+    credit is CONSERVED TO THE MICRO-DOLLAR: attributed + unattributed
+    equals the purchase total exactly (pinned by
+    tests/test_properties.py). Integer division and integer sums both
+    engines, order-independent. The window join reuses
+    operators/rangejoin
     (bin-bucketed equi-join — never a BroadcastNestedLoopJoin), and
     the per-purchase touch count is a window over the purchase key
     (bounded by touches-per-purchase)."""
@@ -510,14 +518,27 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
+        F.col("event_id").alias("c_id"),
         (F.get_json_object("props", "$.k").cast("int") % 10).alias("channel"),
     )
     j = interval_join(
         clicks, iv, "ts", "w_start", "p_ts", keys=("user_id",), bin_width_s=3600
     )
-    t = j.withColumn(
-        "n_touch", F.count(F.lit(1)).over(W.partitionBy("p_id"))
-    ).withColumn("credit_u", F.expr("(cents * 10000) DIV n_touch"))
+    pw = W.partitionBy("p_id")
+    t = (
+        j.withColumn("n_touch", F.count(F.lit(1)).over(pw))
+        .withColumn(
+            "touch_rank",
+            F.row_number().over(pw.orderBy("ts", "c_id")),
+        )
+        .withColumn(
+            "credit_u",
+            F.expr(
+                "(cents * 10000) DIV n_touch + CASE WHEN touch_rank <= "
+                "(cents * 10000) % n_touch THEN 1 ELSE 0 END"
+            ),
+        )
+    )
     per = t.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_touches"),
         F.countDistinct("p_id").alias("n_purchases"),

@@ -543,3 +543,23 @@ def test_ann_sampling_is_offset_robust(spark):
             for r in op(shifted, qs, k=10).collect()
         }
         assert got == base, f"{op.__name__}: shifted corpus diverged"
+
+
+def test_attribution_credit_is_conserved_to_the_micro_dollar(spark):
+    """Largest-remainder allocation: attributed + unattributed credit
+    must equal total purchase value EXACTLY in integer micro-dollars —
+    no pennies created or destroyed by the per-touch split."""
+    from bigdatafinalproject_spark import registry
+
+    mid = "/root/testdata/sf0.01"
+    out = registry.QUERIES["events_linear_attribution"](spark, mid)
+    total_credit = out.agg(F.sum("credit_micro")).first()[0]
+    e = load_table(spark, mid, "events")
+    total_purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long") * 10000)
+        )
+        .first()[0]
+    )
+    assert total_credit == total_purchases
