@@ -101,7 +101,7 @@ def _fit(xs: list[float], ys: list[float]) -> tuple[float, float]:
 def main() -> None:
     default_dirs = "/root/testdata/sf0.1," + ",".join(
         str(REPO / ".scaledata" / d)
-        for d in ("sf0.3", "sf1")
+        for d in ("sf0.3", "sf1", "sf3")
         if (REPO / ".scaledata" / d).is_dir()
     )
     dirs = os.environ.get("SCALE_DIRS", default_dirs).split(",")
