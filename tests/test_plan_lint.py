@@ -104,3 +104,20 @@ def test_no_unbounded_single_partition_window_or_cartesian(spark, name):
             "boundedness justification."
         )
     assert not cartesians, f"{name}: CartesianProduct in plan"
+    # Rule 3 — driver-contract schema guard: the correctness
+    # canonicalizer sorts pandas rows, and array/map/struct output
+    # columns crash it ("unhashable type: numpy.ndarray" — the r4
+    # embedding_pca_project red row). Every registered query must
+    # return only atomic columns; unpack arrays into per-element
+    # columns or format to a string before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-atomic output columns {bad} would crash the "
+        "driver's result canonicalizer"
+    )
