@@ -500,8 +500,11 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit is CONSERVED TO THE MICRO-DOLLAR: attributed + unattributed
     equals the purchase total exactly (pinned by
     tests/test_properties.py). Integer division and integer sums both
-    engines, order-independent. The window join reuses
-    operators/rangejoin
+    engines, order-independent. Assumes non-negative purchase values
+    (this corpus's contract): Spark's DIV truncates toward zero while
+    DuckDB's // floors, so negative refund amounts would need
+    floor-division alignment before the remainder step. The window
+    join reuses operators/rangejoin
     (bin-bucketed equi-join — never a BroadcastNestedLoopJoin), and
     the per-purchase touch count is a window over the purchase key
     (bounded by touches-per-purchase)."""

@@ -203,6 +203,8 @@ def store_as_of_timestamp(
     """
     import datetime as _dt
 
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
     if isinstance(ts, _dt.date) and not isinstance(ts, _dt.datetime):
         ts = _dt.datetime.combine(ts, _dt.time.max)
     versions = store_versions(out_dir)

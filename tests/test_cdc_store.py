@@ -136,6 +136,9 @@ def test_as_of_timestamp_edges(spark, cdc_store):
         spark, out, datetime.date(2999, 1, 1)
     )
     assert resolved == n - 1
+    # ISO-string timestamps coerce too
+    _, r2 = store_as_of_timestamp(spark, out, "2999-01-01T00:00:00")
+    assert r2 == n - 1
     with pytest.raises(ValueError, match="high-water mark"):
         store_as_of_timestamp(spark, out, datetime.date(1970, 1, 1))
 
