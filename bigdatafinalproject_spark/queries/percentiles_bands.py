@@ -426,3 +426,115 @@ def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_term",
         "chi2_total_q",
     )
+
+
+_WM_BIN = 65536  # cents per bin: ~160 bins over the TPC-H price range
+
+
+@query(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH b AS (SELECT l_returnflag AS flag,
+                      CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                           AS BIGINT) AS cents,
+                      CAST(l_quantity AS BIGINT) AS w,
+                      l_orderkey AS ok, l_linenumber AS ln
+               FROM lineitem),
+    t AS (SELECT flag, SUM(w) AS tw FROM b GROUP BY flag),
+    r AS (SELECT b.flag, cents, t.tw,
+                 SUM(w) OVER (PARTITION BY b.flag
+                              ORDER BY cents, ok, ln
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run
+          FROM b JOIN t ON t.flag = b.flag)
+    SELECT flag,
+           CAST(tw AS BIGINT) AS total_weight,
+           CAST((tw + 1) // 2 AS BIGINT) AS target,
+           CAST(MIN(CASE WHEN run >= (tw + 1) // 2 THEN cents END)
+                AS BIGINT) AS median_cents,
+           CAST(MIN(CASE WHEN run >= (tw + 1) // 2 THEN cents END)
+                AS DOUBLE) / 100.0 AS weighted_median
+    FROM r GROUP BY flag, tw
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (quantity-weighted price per return flag)
+    via the scalable two-pass bin-then-refine algorithm — the oracle
+    states the direct definition (smallest value whose running weight
+    reaches ceil(W/2) under a total order), so the hash match proves
+    the two-pass algorithm EQUALS the definition:
+
+    1. pass A aggregates weights into ~160 fixed-width price bins and
+       walks the per-group cumulative over the BIN table (bounded by
+       price-range/bin-width — a constant, never data-sized) to locate
+       each group's target bin and the weight accumulated before it;
+    2. pass B scans ONLY the target bin's rows (~1/160 of the data),
+       resumes the running weight from the carried prefix, and picks
+       the crossing row.
+
+    The naive form — one running-weight window over every row per
+    group — sorts the whole table through 3 fat partitions; the
+    two-pass form's only data-sized work is two scans and a bin-sized
+    shuffle. All arithmetic is integer (cents, integer weights,
+    ceil-half target), so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    ).withColumn("bin", F.expr(f"cents DIV {_WM_BIN}"))
+    ga = base.groupBy("flag", "bin").agg(F.sum("w").alias("bw"))
+    tot = ga.groupBy("flag").agg(F.sum("bw").alias("tw"))
+    cw = (
+        W.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ga2 = (
+        ga.join(F.broadcast(tot), "flag")
+        .withColumn("cum", F.sum("bw").over(cw))
+        .withColumn("target", F.expr("(tw + 1) DIV 2"))
+    )
+    tb = (
+        ga2.filter(F.col("cum") >= F.col("target"))
+        .groupBy("flag", "tw", "target")
+        .agg(F.min(F.struct("bin", "cum", "bw")).alias("s"))
+        .select(
+            "flag",
+            "tw",
+            "target",
+            F.col("s.bin").alias("mbin"),
+            (F.col("s.cum") - F.col("s.bw")).alias("cum_before"),
+        )
+    )
+    rw = (
+        W.partitionBy("flag")
+        .orderBy("cents", "ok", "ln")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    passb = (
+        base.join(
+            F.broadcast(tb),
+            (base["flag"] == tb["flag"]) & (base["bin"] == tb["mbin"]),
+        )
+        .drop(tb["flag"])
+        .withColumn("run", F.col("cum_before") + F.sum("w").over(rw))
+    )
+    return (
+        passb.filter(F.col("run") >= F.col("target"))
+        .groupBy("flag", "tw", "target")
+        .agg(F.min("cents").alias("median_cents"))
+        .select(
+            "flag",
+            F.col("tw").cast("long").alias("total_weight"),
+            F.col("target").cast("long").alias("target"),
+            F.col("median_cents").cast("long").alias("median_cents"),
+            (F.col("median_cents").cast("double") / 100.0).alias(
+                "weighted_median"
+            ),
+        )
+    )
