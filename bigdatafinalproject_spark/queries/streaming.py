@@ -325,3 +325,30 @@ def stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         (F.sum("cents") / F.lit(100.0)).alias("total_value"),
     )
+
+
+@query(
+    "stream_dlq_routing",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN event_type = 'error' OR value IS NULL OR value < 0
+                  THEN 'dlq' ELSE 'ok' END AS disposition,
+             event_type, value
+      FROM events)
+    SELECT disposition, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(25,6))), 0) AS DOUBLE)
+               AS total_value
+    FROM tagged GROUP BY disposition, event_type
+    """,
+)
+def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue streaming sink (streaming/events.
+    dlq_routed_totals): per micro-batch, poison rows quarantine
+    VERBATIM to a DLQ sink while valid rows aggregate into the main
+    sink, both on idempotent per-batch paths. The oracle partitions
+    the whole table by the same validity predicate: a hash match
+    proves routing is LOSSLESS and EXCLUSIVE — every input row lands
+    in exactly one sink, with exact integer-cent totals on both
+    sides."""
+    return S.dlq_routed_totals(spark, sf_dir)

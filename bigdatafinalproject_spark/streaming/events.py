@@ -461,3 +461,90 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete", "bdfp_mem_sliding")
+
+
+def dlq_routed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing: each micro-batch SPLITS into valid
+    rows (aggregated into the main sink) and quarantined rows
+    (event_type='error' or null/negative value — written VERBATIM to
+    the DLQ sink so they stay replayable after a fix), the standard
+    poison-row pattern that keeps one bad record from failing the
+    whole stream. Both sinks write per-batch paths idempotently
+    (overwrite of batch=<id> — replays rewrite identical content).
+
+    Returns one frame with a ``disposition`` column ('ok' rows carry
+    the per-type aggregate; 'dlq' rows carry the quarantine counts) —
+    together they account for EVERY input row, which is what the
+    oracle checks: routing loses nothing and double-counts nothing.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"bdfp_dlq_{tag}_{os.getpid()}"
+    )
+    main, dlq = f"{base}/main", f"{base}/dlq"
+    shutil.rmtree(base, ignore_errors=True)
+    import atexit
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    bad_pred = (
+        (F.col("event_type") == "error")
+        | F.col("value").isNull()
+        | (F.col("value") < 0)
+    )
+
+    def route(bdf: DataFrame, bid: int) -> None:
+        bdf.filter(bad_pred).write.mode("overwrite").parquet(
+            f"{dlq}/batch={bid}"
+        )
+        (
+            bdf.filter(~bad_pred)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{main}/batch={bid}")
+        )
+
+    q = (
+        read_event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ok = (
+        spark.read.parquet(main)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .select(
+            F.lit("ok").alias("disposition"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("cents") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+    quarantined = (
+        spark.read.parquet(dlq)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            F.lit("dlq").alias("disposition"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("cents") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+    return ok.unionByName(quarantined)
