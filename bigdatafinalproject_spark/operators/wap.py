@@ -39,12 +39,27 @@ def write_audit_publish(
     every failing audit and its count; the staged directory is KEPT
     for inspection and ``dest`` is untouched (old version, if any,
     still serves). On success: the previous version is swapped out
-    and the staged directory renamed into place (same parent dir, so
-    the rename is atomic on one filesystem).
+    and the staged directory renamed into place.
+
+    Atomicity honesty: a FIRST publish is one rename (atomic). A
+    RE-publish over an existing version is two renames (dest→_prev,
+    staged→dest) — plain POSIX directories have no atomic exchange,
+    so there is a microscopic window where ``dest`` is absent; table
+    formats close it with a metadata pointer swap, which is the
+    production answer. What this implementation does guarantee: the
+    window never loses data — on entry it SELF-HEALS a crash inside
+    the window (dest missing but ``_prev`` present → ``_prev`` is
+    restored before anything else), so the previous version always
+    survives a mid-swap failure.
 
     Returns ``dest``.
     """
-    staged = dest.rstrip("/") + staging_suffix
+    dest = dest.rstrip("/")
+    old = dest + "_prev"
+    # crash recovery: a previous publish died between the two renames
+    if not os.path.exists(dest) and os.path.exists(old):
+        os.rename(old, dest)
+    staged = dest + staging_suffix
     shutil.rmtree(staged, ignore_errors=True)
     df.write.mode("overwrite").parquet(staged)
     staged_df = spark.read.parquet(staged)
@@ -56,7 +71,6 @@ def write_audit_publish(
             f"write_audit_publish: audits failed for {dest!r}: {failures}; "
             f"staged copy kept at {staged!r}"
         )
-    old = dest.rstrip("/") + "_prev"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(dest):
         os.rename(dest, old)

@@ -228,6 +228,52 @@ _DRIFT_QS = "0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9"
 _DRIFT_QSCALE = 10**12
 
 
+def _drift_stats(counts: DataFrame, key_col: str) -> DataFrame:
+    """Shared drift-statistics tail (orders_price_drift /
+    events_type_drift): per-key (n_a, n_b) counts → population shares
+    → abs shift + chi-square terms (NULL when the reference share is
+    0 — a new-category signal, never a divide-by-zero) → int64
+    floor-quantized order-independent total broadcast back onto the
+    key rows. One place to fix the quantization for both queries and
+    both engines' semantics."""
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    t = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            "n_a",
+            "n_b",
+            (F.col("n_a").cast("double") / F.col("ta")).alias("share_a"),
+            (F.col("n_b").cast("double") / F.col("tb")).alias("share_b"),
+        )
+        .withColumn("abs_shift", F.abs(F.col("share_b") - F.col("share_a")))
+        .withColumn(
+            "chi2_term",
+            F.when(
+                F.col("share_a") > 0,
+                (F.col("share_b") - F.col("share_a"))
+                * (F.col("share_b") - F.col("share_a"))
+                / F.col("share_a"),
+            ),
+        )
+    )
+    total_q = t.filter(F.col("chi2_term").isNotNull()).agg(
+        F.sum(
+            F.floor(F.col("chi2_term") * _DRIFT_QSCALE).cast("long")
+        ).alias("chi2_total_q")
+    )
+    return t.crossJoin(F.broadcast(total_q)).select(
+        key_col,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "share_a",
+        "share_b",
+        "abs_shift",
+        "chi2_term",
+        "chi2_total_q",
+    )
+
+
 @query(
     "orders_price_drift",
     oracle=f"""
@@ -305,44 +351,11 @@ def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").alias("n_a"),
         F.sum(1 - F.col("in_a")).alias("n_b"),
     )
-    tot = counts.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
-    )
-    t = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n_a",
-            "n_b",
-            (F.col("n_a").cast("double") / F.col("ta")).alias("share_a"),
-            (F.col("n_b").cast("double") / F.col("tb")).alias("share_b"),
-        )
-        .withColumn("abs_shift", F.abs(F.col("share_b") - F.col("share_a")))
-        .withColumn(
-            "chi2_term",
-            (F.col("share_b") - F.col("share_a"))
-            * (F.col("share_b") - F.col("share_a"))
-            / F.col("share_a"),
-        )
-    )
-    total_q = t.agg(
-        F.sum(
-            F.floor(F.col("chi2_term") * _DRIFT_QSCALE).cast("long")
-        ).alias("chi2_total_q")
-    )
-    return (
-        t.crossJoin(F.broadcast(total_q))
-        .select(
-            F.col("bin").cast("int").alias("bin"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            "share_a",
-            "share_b",
-            "abs_shift",
-            "chi2_term",
-            "chi2_total_q",
-        )
-    )
+    # shared tail: every bin has share_a > 0 by construction (bins ARE
+    # period-A deciles), so the helper's zero-guard never fires here
+    # and the unguarded oracle stays bit-identical
+    out = _drift_stats(counts, "bin")
+    return out.withColumn("bin", F.col("bin").cast("int"))
 
 
 @query(
@@ -390,42 +403,7 @@ def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("ts") < split).cast("long")).alias("n_a"),
         F.sum((F.col("ts") >= split).cast("long")).alias("n_b"),
     )
-    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
-    t = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "n_a",
-            "n_b",
-            (F.col("n_a").cast("double") / F.col("ta")).alias("share_a"),
-            (F.col("n_b").cast("double") / F.col("tb")).alias("share_b"),
-        )
-        .withColumn("abs_shift", F.abs(F.col("share_b") - F.col("share_a")))
-        .withColumn(
-            "chi2_term",
-            F.when(
-                F.col("share_a") > 0,
-                (F.col("share_b") - F.col("share_a"))
-                * (F.col("share_b") - F.col("share_a"))
-                / F.col("share_a"),
-            ),
-        )
-    )
-    total_q = t.filter(F.col("chi2_term").isNotNull()).agg(
-        F.sum(
-            F.floor(F.col("chi2_term") * _DRIFT_QSCALE).cast("long")
-        ).alias("chi2_total_q")
-    )
-    return t.crossJoin(F.broadcast(total_q)).select(
-        "event_type",
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        "share_a",
-        "share_b",
-        "abs_shift",
-        "chi2_term",
-        "chi2_total_q",
-    )
+    return _drift_stats(counts, "event_type")
 
 
 _WM_BIN = 65536  # cents per bin: ~160 bins over the TPC-H price range

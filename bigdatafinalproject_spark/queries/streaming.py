@@ -323,7 +323,11 @@ def stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert 0 in skipped, "replayed batch must be ledger-skipped"
     return back.groupBy("event_type").agg(
         F.sum("n").alias("n_events"),
-        (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+        # coalesce mirrors the oracle's COALESCE(SUM(...), 0) for a
+        # type whose rows all carry NULL value
+        (F.coalesce(F.sum("cents"), F.lit(0)) / F.lit(100.0)).alias(
+            "total_value"
+        ),
     )
 
 

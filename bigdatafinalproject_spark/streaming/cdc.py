@@ -204,7 +204,13 @@ def store_as_of_timestamp(
     import datetime as _dt
 
     if isinstance(ts, str):
-        ts = _dt.datetime.fromisoformat(ts)
+        # a date-only string follows the same whole-day contract as a
+        # bare datetime.date (end-of-day), not midnight
+        ts = (
+            _dt.date.fromisoformat(ts)
+            if len(ts) <= 10
+            else _dt.datetime.fromisoformat(ts)
+        )
     if isinstance(ts, _dt.date) and not isinstance(ts, _dt.datetime):
         ts = _dt.datetime.combine(ts, _dt.time.max)
     versions = store_versions(out_dir)
@@ -217,7 +223,10 @@ def store_as_of_timestamp(
             .agg(F.max("s.o_orderdate").alias("h"))
             .first()[0]
         )
-        if hwm is not None and hwm <= ts:
+        if hwm is None or hwm <= ts:
+            # an EMPTY retained snapshot (hwm None) contains nothing
+            # newer than any ts — it qualifies trivially and must not
+            # mask later qualifying versions
             best = v
         else:
             break  # monotone high-water mark: later versions overshoot too

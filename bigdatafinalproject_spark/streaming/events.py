@@ -525,7 +525,13 @@ def dlq_routed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = (
         spark.read.parquet(main)
         .groupBy("event_type")
-        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .agg(
+            F.sum("n").alias("n"),
+            # coalesce mirrors the oracle's COALESCE(SUM(...), 0): a
+            # type whose rows all carry NULL value must read 0.0, not
+            # NULL (per-batch partials can hold NULL cents)
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+        )
         .select(
             F.lit("ok").alias("disposition"),
             "event_type",
@@ -538,7 +544,11 @@ def dlq_routed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            # null-safe for the same reason: quarantined rows may be
+            # exactly the NULL-value ones
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+            ).alias("cents"),
         )
         .select(
             F.lit("dlq").alias("disposition"),

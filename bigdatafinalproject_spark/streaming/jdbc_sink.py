@@ -46,11 +46,18 @@ _LEDGER_TABLE = "events_sink_ledger"
 def _sink_url(sf_dir: str) -> str:
     """Per-(sf_dir, process) Derby db, distinct from queries/jdbc.py's
     database (embedded Derby allows one booting JVM per directory, and
-    a separate path also avoids cross-feature table collisions)."""
+    a separate path also avoids cross-feature table collisions). The
+    per-pid directory is removed at interpreter exit — same /tmp
+    hygiene as the scratch dirs (removal must wait for exit: the
+    returned readback frame reads the db lazily)."""
+    import atexit
+    import shutil
+
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     db = os.path.join(
         tempfile.gettempdir(), f"bdfp_derbysink_{tag}_{os.getpid()}"
     )
+    atexit.register(shutil.rmtree, db, ignore_errors=True)
     return f"jdbc:derby:{db};create=true"
 
 

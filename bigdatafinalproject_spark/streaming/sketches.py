@@ -70,16 +70,24 @@ def _chunked_events_dir(
         pq.write_table(
             t.slice(i * step, step), os.path.join(tmp, f"chunk{i}.parquet")
         )
-    # _STAGED records the source path so stale same-source chunk dirs
-    # (older mtime tags after a testdata regeneration) are identifiable
-    open(os.path.join(tmp, "_STAGED"), "w").write(src)
+    # _STAGED records the FULL cache identity (source path + column
+    # set — matching what the tag hashes) so pruning can distinguish
+    # "stale mtime of MY projection" from "another caller's live
+    # projection of the same source": matching on src alone would let
+    # two same-prefix callers with different columns delete each
+    # other's live cache forever
+    identity = f"{src}|{','.join(columns)}"
+    open(os.path.join(tmp, "_STAGED"), "w").write(identity)
     try:
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # another process won
-    # prune stale chunk dirs for the SAME source file (ADVICE r3):
-    # different tag = an mtime that no longer exists; other sources'
-    # dirs are left alone (may be live in a concurrent process)
+    # prune stale chunk dirs for the SAME (source, columns) identity
+    # (ADVICE r3): different tag = an mtime that no longer exists;
+    # other identities' dirs are left alone (may be live elsewhere).
+    # Legacy dirs whose _STAGED holds only the bare src were written
+    # before the identity format and can never be read again (their
+    # tag formula predates the column component) — prune those too.
     for p in glob.glob(
         os.path.join(tempfile.gettempdir(), f"{prefix}_*")
     ):
@@ -87,8 +95,9 @@ def _chunked_events_dir(
             continue
         try:
             with open(os.path.join(p, "_STAGED")) as fh:
-                if fh.read() == src:
-                    shutil.rmtree(p, ignore_errors=True)
+                recorded = fh.read()
+            if recorded in (identity, src):
+                shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
     return d

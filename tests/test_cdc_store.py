@@ -257,3 +257,48 @@ def test_store_history_describes_retained_versions(spark, cdc_store):
     # the latest history row must describe the queryable store exactly
     latest = hist[-1]
     assert latest.n_keys == store_as_of(spark, out, n - 1).count()
+
+
+def test_as_of_timestamp_string_date_is_whole_day(spark, cdc_store):
+    """A date-only STRING follows the same end-of-day contract as a
+    bare datetime.date: both must resolve to the same version as the
+    full-day datetime, never to midnight."""
+    import datetime
+
+    out, _, n = cdc_store
+    versions = store_versions(out)
+    hwm = (
+        store_as_of(spark, out, versions[0])
+        .agg(F.max("s.o_orderdate"))
+        .first()[0]
+    )
+    day = hwm.date()
+    _, by_date = store_as_of_timestamp(spark, out, day)
+    _, by_str = store_as_of_timestamp(spark, out, day.isoformat())
+    _, by_dt = store_as_of_timestamp(
+        spark, out, datetime.datetime.combine(day, datetime.time.max)
+    )
+    assert by_str == by_date == by_dt
+
+
+def test_as_of_timestamp_skips_empty_snapshot(spark, cdc_store, tmp_path):
+    """An EMPTY retained snapshot (crash artifact) has no high-water
+    mark; the monotone walk must treat it as trivially qualifying and
+    keep walking — not mask later qualifying versions."""
+    import shutil
+
+    out, _, n = cdc_store
+    probe = str(tmp_path / "probe_store")
+    shutil.copytree(out, probe)
+    versions = store_versions(probe)
+    lo = versions[0]
+    # inject an empty snapshot BELOW the retained range
+    empty = store_as_of(spark, probe, lo).filter(F.lit(False))
+    empty.write.mode("overwrite").parquet(f"{probe}/v={lo - 1}")
+    hwm = (
+        store_as_of(spark, probe, versions[-1])
+        .agg(F.max("s.o_orderdate"))
+        .first()[0]
+    )
+    _, resolved = store_as_of_timestamp(spark, probe, hwm)
+    assert resolved == versions[-1], "empty snapshot masked later versions"

@@ -57,3 +57,26 @@ def test_failed_audit_keeps_old_version_and_staged_copy(spark, tmp_path):
     write_audit_publish(spark, o, dest, _audits())
     assert spark.read.parquet(dest).count() == v1
     assert not os.path.isdir(staged)
+
+
+def test_publish_self_heals_a_mid_swap_crash(spark, tmp_path):
+    """A crash between the two publish renames leaves the table only
+    at dest_prev; the next write_audit_publish call must restore it
+    BEFORE doing anything else, so the previous version is never
+    lost (the documented self-healing contract)."""
+    dest = str(tmp_path / "wap_heal")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_audit_publish(spark, o, dest, _audits())
+    n = spark.read.parquet(dest).count()
+    # simulate the crash window: dest renamed away, staged never landed
+    os.rename(dest, dest + "_prev")
+    assert not os.path.exists(dest)
+    # even a FAILING publish attempt must first heal the old version
+    bad = o.withColumn("o_totalprice", F.lit(-1.0))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_audit_publish(spark, bad, dest, _audits())
+    assert spark.read.parquet(dest).count() == n, "old version not healed"
