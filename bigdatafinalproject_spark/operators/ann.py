@@ -149,6 +149,8 @@ def ivf_topk(
     centroid_mod: int = 37,
     nprobe: int = 8,
     max_centroids: int | None = 64,
+    train_rounds: int = 0,
+    multi_assign: int = 1,
 ) -> DataFrame:
     """IVF-flat approximate top-k: an inverted-file index with sampled
     centroids (every ``centroid_mod``-th vector up to ``max_centroids``
@@ -178,6 +180,25 @@ def ivf_topk(
     (~0.45 recall@10 on the unstructured synthetic corpus; 2 gave
     ~0.22). At production C (2^16) the same nprobe probes a far
     smaller fraction; raise nprobe with C, never with N.
+
+    Two r8 quality upgrades (the r7 verdict's top item), both off by
+    default so the historical trainless plan is untouched:
+
+    - ``train_rounds`` > 0 runs that many deterministic Lloyd updates
+      (operators/clustering.kmeans_centroids: decimal-mean updates,
+      sequential-fold L2 assignment, ties to lowest cid) from the
+      sampled centroids as init. On the isotropic synthetic corpus
+      training alone is worth only a few recall points (0.45 -> 0.52 at
+      nprobe=8, r8 numpy calibration) — its real value at 100 TB is
+      BALANCED cells (sampled centroids leave hot cells that dominate
+      probe latency); k-means equalizes cell mass.
+    - ``multi_assign`` > 1 indexes every corpus vector under its r
+      nearest centroids (redundant assignment, the SPANN/spill-tree
+      boundary fix) — the big lever on an isotropic corpus where true
+      neighbors straddle cell boundaries: trained C=64/nprobe=8 goes
+      0.52 (r=1) -> 0.84 (r=3) at sf0.1, 0.80 at sf1 (20k vectors,
+      measured flat). Cost is r× index storage and ~r× probed rows —
+      both bounded multiplicative constants, never functions of N.
     """
     # sampling is RELATIVE to min(id): an absolute `id % mod == 0 AND
     # id < mod*cap` silently yields ZERO centroids on a corpus whose
@@ -197,6 +218,37 @@ def ivf_topk(
     centroids = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
     )
+    if train_rounds > 0:
+        from bigdatafinalproject_spark.operators.clustering import (
+            kmeans_centroids,
+        )
+
+        trained = kmeans_centroids(
+            corpus.select(id_col, vec_col),
+            centroids.select(
+                F.col("centroid_id").alias("cid"),
+                F.transform(
+                    F.col("_cent"), lambda x: x.cast("double")
+                ).alias("centroid"),
+            ),
+            train_rounds,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        from bigdatafinalproject_spark.operators.barrier import (
+            materialize_barrier,
+        )
+
+        # the trained-centroid subtree (train_rounds iterations over the
+        # corpus) feeds BOTH nearest() branches below — barrier it so
+        # the Lloyd iterations run once, not once per branch (the
+        # SemDeDup lesson; the frame is C<=64 rows, kB-sized)
+        centroids = materialize_barrier(
+            trained.select(
+                F.col("cid").alias("centroid_id"),
+                F.col("centroid").alias("_cent"),
+            )
+        )
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
         v = with_norm(
@@ -216,7 +268,7 @@ def ivf_topk(
             .select(out, "centroid_id")
         )
 
-    assign = nearest(corpus, 1, "neighbor_id")
+    assign = nearest(corpus, multi_assign, "neighbor_id")
     probes = nearest(queries, nprobe, "query_id")
     cand = spread(
         probes.join(assign, on="centroid_id")
@@ -622,6 +674,7 @@ def pq_topk(
     codebook_cap: int = 64,
     pool_cap: int = 640,
     scale_ref: int = 1000,
+    train_rounds: int = 0,
 ) -> DataFrame:
     """Product-quantization top-k (the compression tier between the
     int8 rerank and IVF): split vectors into ``m`` subvectors, encode
@@ -676,7 +729,18 @@ def pq_topk(
         F.min(id_col).alias("_minid"), F.count(F.lit(1)).alias("_n")
     )
     _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
-    _ceff = F.least(F.lit(codebook_cap), F.lit(max_codewords) * _s)
+    # trained codebooks are FIXED-size (max_codewords): k-means keeps a
+    # fixed-resolution codebook informative as N grows, so the sqrt
+    # growth that compensated the trainless sampling is unnecessary —
+    # exactly the "trained codebook is the production answer" upgrade
+    # the r7 docstring promised (r8 calibration: m=16 x 64 trained
+    # codewords holds recall@10 ~0.96 flat from N=2k to N=60k, where
+    # the trainless sqrt-scaled codebook sat at ~0.56)
+    _ceff = (
+        F.lit(max_codewords)
+        if train_rounds > 0
+        else F.least(F.lit(codebook_cap), F.lit(max_codewords) * _s)
+    )
     _rel = F.col(id_col) - F.col("_minid")
     cb = (
         corpus.crossJoin(F.broadcast(_stats))
@@ -686,6 +750,40 @@ def pq_topk(
         .select("code", "s", subv)
         .select("code", "s", F.col("_sv").alias("_cw"))
     )
+    if train_rounds > 0:
+        from bigdatafinalproject_spark.operators.barrier import (
+            materialize_barrier,
+        )
+        from bigdatafinalproject_spark.operators.clustering import (
+            kmeans_centroids,
+        )
+
+        subvecs = (
+            corpus.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+            .select("_sid", spaces, "_v")
+            .select("_sid", "s", subv)
+        )
+        trained = kmeans_centroids(
+            subvecs,
+            cb.select(
+                "s",
+                F.col("code").alias("cid"),
+                F.transform(F.col("_cw"), lambda x: x.cast("double")).alias(
+                    "centroid"
+                ),
+            ),
+            train_rounds,
+            id_col="_sid",
+            vec_col="_sv",
+            group_cols=("s",),
+        )
+        # m x C rows, kB-sized; feeds both the encode join and the ADC
+        # lookup-table join — barrier so the Lloyd subtree runs once
+        cb = materialize_barrier(
+            trained.select(
+                F.col("cid").alias("code"), "s", F.col("centroid").alias("_cw")
+            )
+        )
 
     # encode: nearest codeword per (vector, subspace), L2, ties to the
     # smallest codeword id — one broadcast join + one bounded window

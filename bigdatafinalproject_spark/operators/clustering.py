@@ -30,27 +30,96 @@ from bigdatafinalproject_spark.functions import davg
 
 
 def _sq_dist(vec: Column, cent: Column) -> Column:
-    """Sequential-fold squared L2 distance (bit-portable, see module)."""
+    """Sequential-fold squared L2 distance (bit-portable, see module).
+    Element casts to double BEFORE the subtract so float inputs and
+    double (trained-mean) inputs fold identically in both engines."""
     return F.aggregate(
-        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+        F.zip_with(
+            vec,
+            cent,
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def _assign(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Nearest centroid per vector: broadcast the k centroids, struct-min
     (dist, cid) per vector. k is small by construction, so the cross
-    join is k-fan-out map-side work, never a shuffle of the big side."""
-    d = emb.crossJoin(F.broadcast(cents)).select(
+    join is k-fan-out map-side work, never a shuffle of the big side.
+    With ``group_cols`` (e.g. a PQ subspace index) the centroid join and
+    the argmin are scoped per group — one plan trains every group."""
+    joined = (
+        emb.join(F.broadcast(cents), on=list(group_cols))
+        if group_cols
+        else emb.crossJoin(F.broadcast(cents))
+    )
+    d = joined.select(
         F.col(id_col),
+        *[F.col(g) for g in group_cols],
         F.col("cid"),
         _sq_dist(F.col(vec_col), F.col("centroid")).alias("dist"),
     )
-    best = d.groupBy(id_col).agg(F.min(F.struct("dist", "cid")).alias("b"))
-    return best.select(
-        F.col(id_col), F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist")
+    best = d.groupBy(id_col, *group_cols).agg(
+        F.min(F.struct("dist", "cid")).alias("b")
     )
+    return best.select(
+        F.col(id_col),
+        *[F.col(g) for g in group_cols],
+        F.col("b.cid").alias("cid"),
+        F.col("b.dist").alias("dist"),
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    init: DataFrame,
+    rounds: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Train centroids with ``rounds`` deterministic Lloyd updates from
+    an explicit ``init`` frame of (group_cols..., cid, centroid) — the
+    coarse-quantizer / PQ-codebook trainer for operators/ann (the r7
+    verdict's top item: replace trainless sampled quantizers with
+    trained ones while keeping every arithmetic step oracle-portable).
+
+    Each round: broadcast-assign (sequential-fold L2, ties to lowest
+    cid) then decimal-mean update per (group, cid, dim) — one
+    map-side-combinable groupBy, order-independent sums, one final
+    double division. A cid that loses all members simply drops out of
+    the next round (both engines GROUP BY only non-empty cells).
+    Returns (group_cols..., cid, centroid<array<double>>)."""
+    cents = init
+    for _ in range(rounds):
+        assigned = _assign(emb, cents, id_col, vec_col, group_cols)
+        long = emb.join(
+            assigned.select(id_col, *group_cols, "cid"),
+            on=[id_col, *group_cols],
+        ).select(
+            *[F.col(g) for g in group_cols],
+            F.col("cid"),
+            F.posexplode(vec_col).alias("dim", "val"),
+        )
+        means = long.groupBy(*group_cols, "cid", "dim").agg(
+            davg(F.col("val").cast("double")).alias("avg")
+        )
+        cents = means.groupBy(*group_cols, "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "avg"))),
+                lambda s: s["avg"],
+            ).alias("centroid")
+        )
+    return cents
 
 
 def kmeans_assign(
@@ -66,23 +135,9 @@ def kmeans_assign(
     from bigdatafinalproject_spark.operators.layout import spread
 
     emb = spread(emb, id_col)
-    cents = emb.filter(F.col(id_col) < k).select(
+    init = emb.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
     )
-    for _ in range(update_rounds):
-        assigned = _assign(emb, cents, id_col, vec_col)
-        long = (
-            emb.join(assigned.select(id_col, "cid"), id_col)
-            .select(F.col("cid"), F.posexplode(vec_col).alias("dim", "val"))
-        )
-        means = long.groupBy("cid", "dim").agg(
-            davg(F.col("val").cast("double")).alias("avg")
-        )
-        cents = means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "avg"))),
-                lambda s: s["avg"],
-            ).alias("centroid")
-        )
+    cents = kmeans_centroids(emb, init, update_rounds, id_col, vec_col)
     return _assign(emb, cents, id_col, vec_col)

@@ -20,32 +20,82 @@ from bigdatafinalproject_spark.registry import query
 
 _SEED = 42
 
+# --- deterministic k-means training CTEs (oracle twin of
+# operators/clustering.kmeans_centroids: sequential-fold L2 assignment
+# with ties to the lowest cid, decimal-mean centroid updates) ---
+
+_SQDIST_AB = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) "
+    "* (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+_IVF_MOD, _IVF_C, _IVF_ROUNDS = 37, 64, 2
+_IVF_NPROBE, _IVF_MULTI = 8, 3
+
+
+def _kmeans_ctes(rounds: int) -> str:
+    """CTE chain kc0 -> kc{rounds}: Lloyd updates over the embeddings
+    table from the sampled-centroid init (one assign + one decimal-mean
+    update per round, both bit-portable)."""
+    out = [
+        f"""
+    kc0 AS (SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+            FROM embeddings
+            WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % {_IVF_MOD} = 0
+              AND (vec_id - (SELECT MIN(vec_id) FROM embeddings))
+                  < {_IVF_MOD} * {_IVF_C})"""
+    ]
+    for r in range(1, rounds + 1):
+        out.append(
+            f"""
+    kd{r} AS (SELECT e.vec_id, c.cid,
+                     {_SQDIST_AB.format(a='e.embedding', b='c.centroid')} AS dist
+              FROM embeddings e, kc{r - 1} c),
+    ka{r} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM kd{r}) WHERE rn = 1),
+    kl{r} AS (SELECT a.cid, CAST(u.i - 1 AS INT) AS dim,
+                     CAST(e.embedding[u.i] AS DOUBLE) AS val
+              FROM embeddings e JOIN ka{r} a ON a.vec_id = e.vec_id,
+                   LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)),
+    km{r} AS (SELECT cid, dim,
+                     CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(val) AS avg
+              FROM kl{r} GROUP BY cid, dim),
+    kc{r} AS (SELECT cid, list(avg ORDER BY dim) AS centroid
+              FROM km{r} GROUP BY cid)"""
+        )
+    return ",".join(out)
+
 
 @query(
     "ann_ivf_topk",
     oracle=f"""
     WITH {_NORMS_CTE},
-    cents AS (SELECT vec_id AS centroid_id, embedding AS cemb
-              FROM embeddings
-              WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % 37 = 0
-                AND (vec_id - (SELECT MIN(vec_id) FROM embeddings)) < 2368),
+    {_kmeans_ctes(_IVF_ROUNDS)},
+    cents AS (SELECT cid AS centroid_id, centroid AS cemb,
+                     sqrt({_DOT_AB.format(a='centroid', b='centroid')}) AS cnrm
+              FROM kc{_IVF_ROUNDS}),
     acos AS (SELECT e.vec_id, c.centroid_id,
                     {_DOT_AB.format(a='e.embedding', b='c.cemb')}
-                        / (ne.nrm * nc.nrm) AS cs
+                        / (ne.nrm * c.cnrm) AS cs
              FROM embeddings e CROSS JOIN cents c
-             JOIN norms ne ON ne.vec_id = e.vec_id
-             JOIN norms nc ON nc.vec_id = c.centroid_id),
+             JOIN norms ne ON ne.vec_id = e.vec_id),
     assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
                  SELECT vec_id, centroid_id,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY cs DESC, centroid_id) AS rn
-                 FROM acos) WHERE rn = 1),
+                 FROM acos) WHERE rn <= {_IVF_MULTI}),
     probes AS (SELECT vec_id AS query_id, centroid_id FROM (
                  SELECT vec_id, centroid_id,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY cs DESC, centroid_id) AS rn
                  FROM acos WHERE vec_id % 50 = 0 AND vec_id < 3200)
-               WHERE rn <= 8),
+               WHERE rn <= {_IVF_NPROBE}),
     cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
              FROM probes p JOIN assign a USING (centroid_id)
              WHERE p.query_id <> a.neighbor_id),
@@ -67,20 +117,29 @@ _SEED = 42
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-10: sampled centroids (capped at 64 —
-    see ivf_topk on why centroid count must not scale with N), bounded
-    64-query panel, nearest-centroid assignment, nprobe=8 bucket
-    search — the inverted-file scale path alongside the hyperplane LSH
-    variant. Both caps are RELATIVE to min(vec_id) (offset-robust for
-    non-0-based key spaces). nprobe=8 is the RECALL_SCALE.json
-    calibration: recall@10 ~0.45, measured scale-invariant (it tracks
-    the probed fraction nprobe/C, which N never enters); the old
-    nprobe=2 sat at ~0.22 at every scale."""
+    """IVF-flat approximate top-10, TRAINED + redundantly assigned
+    (the r7 verdict's top item): sampled init centroids (capped at 64,
+    offset-robust relative to min(vec_id)) refined by 2 deterministic
+    Lloyd rounds (decimal-mean updates — the whole training loop
+    hash-matches DuckDB), every corpus vector indexed under its 3
+    nearest cells (multi-assignment, the SPANN-style boundary fix),
+    nprobe=8 bucket search over the standing 64-query panel.
+
+    Recall@10 at nprobe=8: 0.45 trainless/single-assign (r7) -> 0.84
+    at sf0.1 / 0.80 at sf1, measured flat across 30x corpus growth
+    (RECALL_SCALE.json r8). On this isotropic corpus training alone
+    contributes ~+0.07 and redundant assignment ~+0.32; at 100 TB
+    training additionally balances cell mass (tail-latency control).
+    Costs are bounded constants: 2 extra assign passes (training), 3x
+    index rows, ~3x probed candidates — never functions of N."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
-    return ivf_topk(emb, queries, k=10, centroid_mod=37, nprobe=8)
+    return ivf_topk(
+        emb, queries, k=10, centroid_mod=37, nprobe=_IVF_NPROBE,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+    )
 
 
 @query("ann_ivf_recall", oracle=_recall_oracle("ann_ivf_topk"))
@@ -101,9 +160,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = cosine_topk(
         emb, exact_panel, id_col="vec_id", vec_col="embedding", k=10
     ).select("query_id", "neighbor_id")
-    ap = ivf_topk(emb, ivf_panel, k=10, centroid_mod=37, nprobe=8).select(
-        "query_id", "neighbor_id"
-    )
+    ap = ivf_topk(
+        emb, ivf_panel, k=10, centroid_mod=37, nprobe=_IVF_NPROBE,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+    ).select("query_id", "neighbor_id")
     return recall_frame(ex, ap)
 
 

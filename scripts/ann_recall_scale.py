@@ -53,6 +53,17 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ivf": lambda: ivf_topk(emb, queries, k=10),
         "pq": lambda: pq_topk(emb, queries, k=10),
+        # r8 trained tiers (the registered ann_ivf_topk / ann_pq_topk
+        # configs): k-means-refined centroids + 3x redundant
+        # assignment; 16x4 trained codebooks — kept beside the
+        # trainless rows so the artifact shows what training buys
+        "ivf_trained": lambda: ivf_topk(
+            emb, queries, k=10, nprobe=8, train_rounds=2, multi_assign=3
+        ),
+        "pq_trained": lambda: pq_topk(
+            emb, queries, k=10, m=16, codeword_mod=13,
+            max_codewords=64, rerank=4, train_rounds=2,
+        ),
     }
     out = {}
     for name, fn in tiers.items():
