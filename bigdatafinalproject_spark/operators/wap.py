@@ -77,3 +77,28 @@ def write_audit_publish(
     os.rename(staged, dest)
     shutil.rmtree(old, ignore_errors=True)
     return dest
+
+
+def read_published(spark: SparkSession, dest: str) -> DataFrame:
+    """Read a WAP-published table, healing the mid-swap crash window on
+    the READ side (ADVICE r7): if ``dest`` is momentarily absent but
+    ``dest_prev`` holds the full previous version (a publisher crashed
+    between the two renames), restore it and serve — so the documented
+    "the window never loses data" guarantee extends to readers, not
+    just to the next writer. A concurrent reader that loses the rename
+    race (both paths absent at its probe instant) retries once off the
+    healed state before giving up."""
+    dest = dest.rstrip("/")
+    old = dest + "_prev"
+    for _ in range(2):
+        if os.path.exists(dest):
+            return spark.read.parquet(dest)
+        if os.path.exists(old):
+            try:
+                os.rename(old, dest)
+            except OSError:
+                pass  # another reader/writer healed first — re-probe
+    raise FileNotFoundError(
+        f"read_published: neither {dest!r} nor its _prev exists "
+        f"(table never published, or both halves removed)"
+    )

@@ -114,7 +114,10 @@ def orders_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     failed-audit path (staged copy kept, destination untouched,
     ValueError with per-audit counts) is pinned by
     tests/test_wap.py with an injected violation."""
-    from bigdatafinalproject_spark.operators.wap import write_audit_publish
+    from bigdatafinalproject_spark.operators.wap import (
+        read_published,
+        write_audit_publish,
+    )
     from bigdatafinalproject_spark.queries.layout import _scratch
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -134,7 +137,9 @@ def orders_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count(),
     }
     write_audit_publish(spark, o, dest, audits)
-    published = spark.read.parquet(dest)
+    # read through the healing reader: extends the never-loses-data
+    # guarantee across the POSIX two-rename window to READERS too
+    published = read_published(spark, dest)
     return published.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),

@@ -296,15 +296,16 @@ def _drift_stats(counts: DataFrame, key_col: str) -> DataFrame:
           FROM counts),
     t AS (SELECT bin, n_a, n_b, share_a, share_b,
                  abs(share_b - share_a) AS abs_shift,
-                 (share_b - share_a) * (share_b - share_a) / share_a
-                     AS chi2_term
+                 CASE WHEN share_a > 0
+                      THEN (share_b - share_a) * (share_b - share_a) / share_a
+                      ELSE NULL END AS chi2_term
           FROM s)
     SELECT CAST(bin AS INT) AS bin,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            share_a, share_b, abs_shift, chi2_term,
            (SELECT CAST(SUM(CAST(floor(chi2_term * {_DRIFT_QSCALE})
                                  AS BIGINT)) AS BIGINT)
-            FROM t) AS chi2_total_q
+            FROM t WHERE chi2_term IS NOT NULL) AS chi2_total_q
     FROM t
     """,
 )
@@ -351,9 +352,11 @@ def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").alias("n_a"),
         F.sum(1 - F.col("in_a")).alias("n_b"),
     )
-    # shared tail: every bin has share_a > 0 by construction (bins ARE
-    # period-A deciles), so the helper's zero-guard never fires here
-    # and the unguarded oracle stays bit-identical
+    # shared tail: on this corpus every bin has share_a > 0 (bins ARE
+    # period-A deciles), but under heavy ties equal adjacent deciles
+    # CAN leave a bin that only period-B rows land in — so the oracle
+    # now carries the same share_a > 0 CASE guard the helper applies
+    # (NULL chi2_term, excluded from the quantized total; ADVICE r7)
     out = _drift_stats(counts, "bin")
     return out.withColumn("bin", F.col("bin").cast("int"))
 

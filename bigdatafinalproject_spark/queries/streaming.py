@@ -319,8 +319,16 @@ def stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     back, applied, skipped = stream_events_jdbc_exactly_once(spark, sf_dir)
-    assert sorted(applied) == sorted(set(applied)), "duplicate batch apply"
-    assert 0 in skipped, "replayed batch must be ledger-skipped"
+    # explicit raises, not `assert`: under `python -O` asserts are
+    # stripped and the exactly-once protocol evidence would silently
+    # disappear — the content oracle alone cannot distinguish a
+    # skipped replay from a never-replayed run (ADVICE r7)
+    if sorted(applied) != sorted(set(applied)):
+        raise RuntimeError(f"duplicate batch apply: {applied}")
+    if 0 not in skipped:
+        raise RuntimeError(
+            f"replayed batch must be ledger-skipped, got skipped={skipped}"
+        )
     return back.groupBy("event_type").agg(
         F.sum("n").alias("n_events"),
         # coalesce mirrors the oracle's COALESCE(SUM(...), 0) for a

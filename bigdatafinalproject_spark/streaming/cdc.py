@@ -217,17 +217,27 @@ def store_as_of_timestamp(
     if not versions:
         raise ValueError(f"no snapshots retained under {out_dir!r}")
     best: int | None = None
+    seen_nonempty = False
     for v in versions:
         hwm = (
             spark.read.parquet(f"{out_dir}/v={v}")
             .agg(F.max("s.o_orderdate").alias("h"))
             .first()[0]
         )
-        if hwm is None or hwm <= ts:
+        if hwm is None:
             # an EMPTY retained snapshot (hwm None) contains nothing
             # newer than any ts — it qualifies trivially and must not
-            # mask later qualifying versions
+            # mask later qualifying versions. But the store only
+            # ACCUMULATES, so an empty snapshot ABOVE a non-empty one
+            # is necessarily a crash artifact: selecting it would
+            # silently return an empty frame for a timestamp a real
+            # earlier version satisfies (ADVICE r7). It may only
+            # become `best` while no non-empty version has qualified.
+            if not seen_nonempty:
+                best = v
+        elif hwm <= ts:
             best = v
+            seen_nonempty = True
         else:
             break  # monotone high-water mark: later versions overshoot too
     if best is None:

@@ -14,7 +14,7 @@ custom state scales with key cardinality, not event volume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -463,6 +463,23 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete", "bdfp_mem_sliding")
 
 
+def dlq_disposition() -> Column:
+    """Single routing column for the DLQ sink: 'dlq' for poison rows
+    (error type, NULL or negative value), 'ok' otherwise. One
+    ``when().otherwise()`` rather than a filter pair: under
+    three-valued logic a row with NULL event_type and a healthy value
+    makes the poison predicate NULL, so ``filter(pred)`` /
+    ``filter(~pred)`` would drop it from BOTH sinks — violating the
+    lossless/exclusive contract the oracle checks. The CASE routes
+    NULL-predicate rows to 'ok', matching the oracle (ADVICE r7)."""
+    bad_pred = (
+        (F.col("event_type") == "error")
+        | F.col("value").isNull()
+        | (F.col("value") < 0)
+    )
+    return F.when(bad_pred, F.lit("dlq")).otherwise(F.lit("ok"))
+
+
 def dlq_routed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter-queue routing: each micro-batch SPLITS into valid
     rows (aggregated into the main sink) and quarantined rows
@@ -492,18 +509,16 @@ def dlq_routed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
 
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    bad_pred = (
-        (F.col("event_type") == "error")
-        | F.col("value").isNull()
-        | (F.col("value") < 0)
-    )
+    disp = dlq_disposition()
 
     def route(bdf: DataFrame, bid: int) -> None:
-        bdf.filter(bad_pred).write.mode("overwrite").parquet(
-            f"{dlq}/batch={bid}"
-        )
+        routed = bdf.withColumn("_disp", disp)
+        routed.filter(F.col("_disp") == "dlq").drop("_disp").write.mode(
+            "overwrite"
+        ).parquet(f"{dlq}/batch={bid}")
         (
-            bdf.filter(~bad_pred)
+            routed.filter(F.col("_disp") == "ok")
+            .drop("_disp")
             .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),

@@ -302,3 +302,28 @@ def test_as_of_timestamp_skips_empty_snapshot(spark, cdc_store, tmp_path):
     )
     _, resolved = store_as_of_timestamp(spark, probe, hwm)
     assert resolved == versions[-1], "empty snapshot masked later versions"
+
+
+def test_as_of_timestamp_prefers_nonempty_over_empty_above(
+    spark, cdc_store, tmp_path
+):
+    """An empty snapshot ABOVE non-empty qualifying versions is a
+    crash artifact (the store only accumulates): it must NOT be
+    selected as the latest qualifying version — that would silently
+    return an empty frame for a timestamp a real earlier version
+    satisfies (ADVICE r7)."""
+    import shutil
+
+    out, _, n = cdc_store
+    probe = str(tmp_path / "probe_store_hi")
+    shutil.copytree(out, probe)
+    versions = store_versions(probe)
+    hi = versions[-1]
+    empty = store_as_of(spark, probe, hi).filter(F.lit(False))
+    empty.write.mode("overwrite").parquet(f"{probe}/v={hi + 1}")
+    hwm = (
+        store_as_of(spark, probe, hi).agg(F.max("s.o_orderdate")).first()[0]
+    )
+    snap, resolved = store_as_of_timestamp(spark, probe, hwm)
+    assert resolved == hi, "empty crash-artifact snapshot won the walk"
+    assert snap.count() > 0

@@ -210,3 +210,44 @@ def test_session_stream_provider_independent_rocksdb(spark):
     finally:
         spark.conf.set(key, default)
     assert rocks == baseline
+
+
+def test_dlq_disposition_routes_null_type_to_exactly_one_sink(spark):
+    """Three-valued-logic regression (ADVICE r7): a row with NULL
+    event_type and a healthy value made the old filter-pair predicate
+    NULL, dropping the row from BOTH sinks. The disposition column
+    must route every row to exactly one side, NULLs to 'ok' (matching
+    the oracle's CASE)."""
+    from bigdatafinalproject_spark.streaming.events import dlq_disposition
+
+    rows = [
+        (None, 5.0, "ok"),      # NULL type, healthy value -> ok
+        (None, -1.0, "dlq"),    # NULL type, poison value -> dlq
+        (None, None, "dlq"),
+        ("error", 5.0, "dlq"),
+        ("click", None, "dlq"),
+        ("click", -0.5, "dlq"),
+        ("click", 5.0, "ok"),
+    ]
+    df = spark.createDataFrame(
+        [(t, v) for t, v, _ in rows], "event_type string, value double"
+    ).withColumn("disp", dlq_disposition())
+    got = [
+        r.disp
+        for r in df.orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("value").asc_nulls_first(),
+        ).collect()
+    ]
+    want = [
+        e
+        for _, _, e in sorted(
+            rows, key=lambda r: (r[0] is not None, r[0] or "", r[1] is not None, r[1] or 0.0)
+        )
+    ]
+    assert got == want
+    # lossless + exclusive: the two sides partition the frame
+    n = df.count()
+    assert df.filter(F.col("disp") == "ok").count() + df.filter(
+        F.col("disp") == "dlq"
+    ).count() == n

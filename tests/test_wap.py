@@ -80,3 +80,27 @@ def test_publish_self_heals_a_mid_swap_crash(spark, tmp_path):
     with _pytest.raises(ValueError):
         write_audit_publish(spark, bad, dest, _audits())
     assert spark.read.parquet(dest).count() == n, "old version not healed"
+
+
+def test_read_published_heals_mid_swap_crash(spark, tmp_path):
+    """The read-side twin of the publish self-heal (ADVICE r7): a
+    reader arriving inside the two-rename window (dest absent, _prev
+    complete) must restore and serve the previous version rather than
+    erroring — and must raise FileNotFoundError only when neither half
+    exists."""
+    from bigdatafinalproject_spark.operators.wap import read_published
+
+    dest = str(tmp_path / "wap_read_heal")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_audit_publish(spark, o, dest, _audits())
+    n = spark.read.parquet(dest).count()
+    os.rename(dest, dest + "_prev")
+    assert not os.path.exists(dest)
+    assert read_published(spark, dest).count() == n
+    # healed on disk, not just served
+    assert os.path.exists(dest) and not os.path.exists(dest + "_prev")
+
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, str(tmp_path / "never_published"))
