@@ -85,15 +85,44 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reruns: dict[str, list[float]] = {}
+    runs_by_name: dict[str, list[float]] = {}
     for name in names:
         fn = registry.QUERIES[name]
         t = _run_once(fn)
+        runs_by_name[name] = [t]
         ref = steady_ref.get(name)
         if ref and t > 2.5 * ref and len(reruns) < _MAX_RERUNS:
             t2 = _run_once(fn)
             reruns[name] = [t, t2]
+            runs_by_name[name].append(t2)
             t = min(t, t2)
         timings[name] = t
+
+    # Median-of-3 for the top-10 (VERDICT r7 #2): single-run timings
+    # made round-over-round regressions undecidable — r7's
+    # part_triangle_count read +29% vs r6 and nothing in the artifact
+    # could say whether that was a plan regression or scheduler noise.
+    # The 10 most expensive queries get two extra runs; the recorded
+    # timing is the MEDIAN and the raw runs ship in a `spread` field,
+    # so the next verdict can compare medians and judge significance
+    # against the observed within-run spread. Subset runs skip this
+    # (scale tooling wants one timing per invocation).
+    spread: dict[str, dict[str, float | list[float]]] = {}
+    if not subset:
+        heavy = sorted(timings, key=lambda n: timings[n], reverse=True)[:10]
+        for name in heavy:
+            fn = registry.QUERIES[name]
+            runs_by_name[name].extend(_run_once(fn) for _ in range(2))
+            runs = sorted(runs_by_name[name])
+            med = runs[len(runs) // 2] if len(runs) % 2 else round(
+                (runs[len(runs) // 2 - 1] + runs[len(runs) // 2]) / 2, 3
+            )
+            timings[name] = med
+            spread[name] = {
+                "runs": runs_by_name[name],
+                "median": med,
+                "spread": round(runs[-1] - runs[0], 3),
+            }
 
     total = round(sum(timings.values()), 3)
     # Noise self-description (VERDICT r4): popular_parts is the host
@@ -114,6 +143,7 @@ def main() -> None:
         "canary_steady_sec": steady,
         "hot_host": hot_host,
         "reruns": reruns,
+        "spread": spread,
     }
     # The driver captures a bounded tail of stdout: the ONE contract
     # JSON line must stay compact (r1's full 114-query map overflowed
