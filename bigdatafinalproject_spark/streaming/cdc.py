@@ -266,7 +266,11 @@ def vacuum_snapshots(out_dir: str, keep: int = 1) -> list[int]:
 
 
 def stream_cdc_latest_store(
-    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    raw: DataFrame | None = None,
+    max_batches: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Run the chunked order stream to completion, maintaining the
     latest-order-per-customer store through versioned snapshots.
@@ -281,14 +285,17 @@ def stream_cdc_latest_store(
     commit-log-style record of what each batch contained."""
     import atexit
 
-    d = _chunked_orders_dir(sf_dir)
-    raw = (
-        spark.readStream.schema(
-            footer_read_schema(os.path.join(d, "chunk0.parquet"))
+    if raw is None:
+        d = _chunked_orders_dir(sf_dir)
+        raw = (
+            spark.readStream.schema(
+                footer_read_schema(os.path.join(d, "chunk0.parquet"))
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
+    elif out_dir is None:
+        raise ValueError("an injected source requires an explicit out_dir")
     if out_dir is None:
         src = os.path.abspath(table_path(sf_dir, "orders"))
         tag = hashlib.md5(src.encode()).hexdigest()[:10]
@@ -315,17 +322,42 @@ def stream_cdc_latest_store(
             merged = delta
         merged.write.mode("overwrite").parquet(f"{out}/v={bid}")
 
-    q = (
-        raw.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    if max_batches is None:
+        q = (
+            raw.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    else:
+        # unbounded source (e.g. rate-micro-batch in the
+        # source-agnosticism tests): availableNow never terminates, so
+        # run until max_batches micro-batches have committed, then stop
+        import time as _time
+
+        q = raw.writeStream.foreachBatch(apply_batch).start()
+        try:
+            deadline = _time.monotonic() + 300
+            while _time.monotonic() < deadline:
+                p = q.lastProgress
+                if p is not None and p["batchId"] >= max_batches - 1:
+                    break
+                _time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"cdc rate stream did not reach {max_batches} batches"
+                )
+        finally:
+            q.stop()
     versions = sorted(
         int(p.split("=")[1]) for p in os.listdir(out) if p.startswith("v=")
     )
-    final = spark.read.parquet(f"{out}/v={versions[-1]}")
-    return final, len(versions)
+    # bounded-run mode: stop() may have interrupted batch max_batches
+    # mid-write, leaving a partial v= dir above the last COMMITTED one —
+    # read the version the loop actually waited for, never a partial
+    target = versions[-1] if max_batches is None else max_batches - 1
+    final = spark.read.parquet(f"{out}/v={target}")
+    return final, len([v for v in versions if v <= target])
 
 
 def store_changes(

@@ -254,12 +254,15 @@ def _run_to_memory(df: DataFrame, mode: str, name: str) -> DataFrame:
     return spark.table(name)
 
 
-def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling 1-hour aggregation, complete mode (the
-    streaming twin of queries/events.events_tumbling — same oracle)."""
-    agg = (
-        read_event_stream(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
+def tumbling_plan(events: DataFrame) -> DataFrame:
+    """The tumbling-aggregation PLAN, source-agnostic: any
+    canonical-schema events frame (file-source stream, rate-source
+    stream, or a batch frame — withWatermark is a no-op on batch) gets
+    the identical watermark + 1-hour window + decimal-sum aggregation.
+    tests/test_rate_source.py proves file-source and rate-source runs
+    produce byte-identical results on the same logical input."""
+    return (
+        events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
         .select(
@@ -269,6 +272,12 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour aggregation, complete mode (the
+    streaming twin of queries/events.events_tumbling — same oracle)."""
+    agg = tumbling_plan(read_event_stream(spark, sf_dir))
     return _run_to_memory(agg, "complete", "bdfp_mem_tumbling")
 
 

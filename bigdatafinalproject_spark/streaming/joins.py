@@ -14,17 +14,13 @@ from bigdatafinalproject_spark.streaming.events import (
 )
 
 
-def click_purchase_join(
-    spark: SparkSession, sf_dir: str, within_minutes: int = 60
-) -> DataFrame:
-    """Inner stream-stream join: (click, purchase) pairs for the same
-    user where the purchase lands in (click_ts, click_ts + within].
-
-    Both sides carry watermarks so the join state is bounded: clicks
-    can be evicted once the purchase-side watermark passes
-    click_ts + within.
-    """
-    ev = read_event_stream(spark, sf_dir)
+def click_purchase_plan(ev: DataFrame, within_minutes: int = 60) -> DataFrame:
+    """The inner interval-join PLAN, source-agnostic (see
+    streaming/events.tumbling_plan): (click, purchase) pairs for the
+    same user where the purchase lands in (click_ts, click_ts +
+    within]. Both sides carry watermarks so streaming join state is
+    bounded; on a batch frame the watermarks are no-ops and the same
+    expression is a plain interval join."""
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -44,7 +40,7 @@ def click_purchase_join(
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         on=F.expr(
             f"""
@@ -59,6 +55,21 @@ def click_purchase_join(
         "click_id",
         "purchase_id",
         F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+
+
+def click_purchase_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 60
+) -> DataFrame:
+    """Inner stream-stream join: (click, purchase) pairs for the same
+    user where the purchase lands in (click_ts, click_ts + within].
+
+    Both sides carry watermarks so the join state is bounded: clicks
+    can be evicted once the purchase-side watermark passes
+    click_ts + within.
+    """
+    joined = click_purchase_plan(
+        read_event_stream(spark, sf_dir), within_minutes
     )
     return _run_to_memory(joined, "append", "bdfp_mem_cpjoin")
 
