@@ -52,14 +52,42 @@ def write_audit_publish(
     restored before anything else), so the previous version always
     survives a mid-swap failure.
 
+    Concurrency (r8): publishers serialize through an exclusive-create
+    commit log (``dest_log/v<N>.json``, operators/txlog.py — the
+    Delta-style put-if-absent CAS). Each writer stages to a
+    writer-unique directory, audits, then claims version
+    ``latest + 1``; exactly one claim can succeed, the loser raises
+    :class:`~bigdatafinalproject_spark.operators.txlog.ConcurrentWriteError`
+    with its staged copy kept and the serving copy untouched — two
+    concurrent publishers can no longer interleave their rename pairs.
+
     Returns ``dest``.
     """
+    from bigdatafinalproject_spark.operators.txlog import (
+        commit_exclusive,
+        latest_version,
+    )
+
     dest = dest.rstrip("/")
     old = dest + "_prev"
     # crash recovery: a previous publish died between the two renames
     if not os.path.exists(dest) and os.path.exists(old):
         os.rename(old, dest)
-    staged = dest + staging_suffix
+    # OCC read snapshot (Delta-style): the target version is fixed at
+    # TRANSACTION START — any writer that commits while we stage/audit
+    # makes our own commit a conflict, so the CAS below fails exactly
+    # when someone else published concurrently
+    log = dest + "_log"
+    version = (latest_version(log) or 0) + 1
+    # writer-unique staging: two concurrent publishers must not
+    # overwrite each other's staged bytes (pid + thread id covers both
+    # cross-process and threaded writers; a repeat attempt by the same
+    # writer reuses — and first clears — its own dir)
+    import threading as _threading
+
+    staged = (
+        f"{dest}{staging_suffix}_{os.getpid()}_{_threading.get_ident()}"
+    )
     shutil.rmtree(staged, ignore_errors=True)
     df.write.mode("overwrite").parquet(staged)
     staged_df = spark.read.parquet(staged)
@@ -71,6 +99,12 @@ def write_audit_publish(
             f"write_audit_publish: audits failed for {dest!r}: {failures}; "
             f"staged copy kept at {staged!r}"
         )
+    # CAS: claim the version fixed at txn start, before touching the
+    # serving copy; the loser aborts here with dest untouched and its
+    # staged copy kept
+    commit_exclusive(
+        log, version, {"writer_pid": os.getpid(), "staged": staged}
+    )
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(dest):
         os.rename(dest, old)

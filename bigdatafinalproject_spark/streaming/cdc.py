@@ -262,6 +262,12 @@ def vacuum_snapshots(out_dir: str, keep: int = 1) -> list[int]:
     for v in removed:
         shutil.rmtree(f"{out_dir}/v={v}", ignore_errors=True)
         shutil.rmtree(f"{out_dir}/m={v}", ignore_errors=True)
+    if removed:
+        from bigdatafinalproject_spark.operators.txlog import prune
+
+        # the commit log's vacuum twin — but never reuse version
+        # numbers: pruning only drops entries BELOW the kept range
+        prune(f"{out_dir}/_log", keep_from=removed[-1] + 1)
     return removed
 
 
@@ -308,6 +314,19 @@ def stream_cdc_latest_store(
     shutil.rmtree(out, ignore_errors=True)
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
+        from bigdatafinalproject_spark.operators.txlog import commit_exclusive
+
+        # CAS first (r8, VERDICT #4): exclusive-create the batch's log
+        # entry BEFORE touching v=/m= dirs. Two writers applying to the
+        # same store directory — a mis-deployed duplicate stream, a
+        # zombie retry — race for the same batch id; exactly one wins,
+        # the loser's stream fails loudly with ConcurrentWriteError and
+        # the winner's snapshot chain is never half-overwritten. The
+        # store stays readable throughout: v= dirs are only written by
+        # the CAS winner.
+        commit_exclusive(
+            f"{out}/_log", bid, {"writer_pid": os.getpid()}
+        )
         (
             bdf.select(F.input_file_name().alias("file"))
             .distinct()

@@ -327,3 +327,30 @@ def test_as_of_timestamp_prefers_nonempty_over_empty_above(
     snap, resolved = store_as_of_timestamp(spark, probe, hwm)
     assert resolved == hi, "empty crash-artifact snapshot won the walk"
     assert snap.count() > 0
+
+
+def test_cdc_batch_commit_cas_rejects_duplicate_writer(
+    spark, cdc_store
+):
+    """VERDICT r7 #4, CDC half: every applied batch holds an
+    exclusive-create log entry; a second writer (zombie retry,
+    duplicate deployment) racing for an already-committed batch id
+    fails loudly and the winner's snapshot chain stays intact and
+    readable."""
+    from bigdatafinalproject_spark.operators.txlog import (
+        ConcurrentWriteError,
+        commit_exclusive,
+        latest_version,
+    )
+
+    out, final, n = cdc_store
+    versions = store_versions(out)
+    # one log entry per committed snapshot version
+    assert latest_version(f"{out}/_log") == versions[-1]
+    before = store_as_of(spark, out, versions[-1]).count()
+    with pytest.raises(ConcurrentWriteError):
+        commit_exclusive(f"{out}/_log", versions[-1], {"writer_pid": -1})
+    # a fresh (uncommitted) batch id is claimable
+    commit_exclusive(f"{out}/_log", versions[-1] + 1, {"writer_pid": -1})
+    # store readable throughout
+    assert store_as_of(spark, out, versions[-1]).count() == before
