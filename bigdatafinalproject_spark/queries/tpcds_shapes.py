@@ -473,3 +473,148 @@ def brand_moving_avg_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deviation",
         F.row_number().over(rw).cast("int").alias("dev_rank"),
     )
+
+
+@query(
+    "brand_week_lag_chain",
+    oracle="""
+    WITH d1 AS (SELECT DISTINCT o_orderdate AS d1_d FROM orders),
+    d2 AS (SELECT DISTINCT l_shipdate AS d2_d FROM lineitem),
+    w AS (SELECT DISTINCT date_trunc('week', l_shipdate) AS w_start
+          FROM lineitem
+          WHERE year(date_trunc('week', l_shipdate)) = 1996),
+    f AS (SELECT p_brand, o_orderdate, l_shipdate
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN part ON p_partkey = l_partkey)
+    SELECT * FROM (
+      SELECT p_brand,
+             strftime(date_trunc('week', d1_d), '%Y-%m-%d') AS sold_week,
+             COUNT(*) AS n_late
+      FROM f
+      JOIN d1 ON o_orderdate = d1_d
+      JOIN d2 ON l_shipdate = d2_d AND d2_d > d1_d + INTERVAL 30 DAY
+      JOIN w ON date_trunc('week', d2_d) = w_start
+      GROUP BY 1, 2)
+    ORDER BY n_late DESC, p_brand, sold_week
+    LIMIT 100
+    """,
+)
+def brand_week_lag_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q72 shape (VERDICT r7 #6): one fact joined through a
+    CHAIN of date dimensions with an inequality linking them — sold
+    date dim, ship date dim constrained to lag the sold date by > 30
+    days (the inventory-shortfall lag of the original), and a third
+    filtered week dim that keeps only 1996 ship weeks. The planner
+    must order three dim joins around one fact scan and propagate the
+    selective week filter — the multi-dim-join-ordering stress the
+    original is famous for; tests/test_dpp.py proves the same shape
+    dynamic-partition-prunes a week-partitioned fact copy.
+
+    Scale notes: all three date dims are tiny (distinct dates/weeks) —
+    broadcast; the fact side is scanned once; the aggregate is
+    map-side-combinable (brand x week groups). Top-100 via
+    TakeOrderedAndProject, never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d1 = o.select(F.col("o_orderdate").alias("d1_d")).distinct()
+    d2 = li.select(F.col("l_shipdate").alias("d2_d")).distinct()
+    w = (
+        li.select(F.date_trunc("week", "l_shipdate").alias("w_start"))
+        .distinct()
+        .filter(F.year("w_start") == 1996)
+    )
+    f = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        p, F.col("p_partkey") == F.col("l_partkey")
+    )
+    j = (
+        f.join(F.broadcast(d1), F.col("o_orderdate") == F.col("d1_d"))
+        .join(
+            F.broadcast(d2),
+            (F.col("l_shipdate") == F.col("d2_d"))
+            & (F.col("d2_d") > F.col("d1_d") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .join(
+            F.broadcast(w),
+            F.date_trunc("week", F.col("d2_d")) == F.col("w_start"),
+        )
+    )
+    agg = j.groupBy(
+        "p_brand",
+        F.date_format(F.date_trunc("week", "d1_d"), "yyyy-MM-dd").alias(
+            "sold_week"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_late"))
+    return agg.orderBy(
+        F.col("n_late").desc(), "p_brand", "sold_week"
+    ).limit(100)
+
+
+@query(
+    "repeat_supplier_no_return_orders",
+    oracle="""
+    WITH band AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate < TIMESTAMP '1997-01-01'),
+    qualified AS (
+      SELECT o_orderkey, o_totalprice FROM band b
+      WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                      ON l2.l_orderkey = l1.l_orderkey
+                     AND l2.l_suppkey <> l1.l_suppkey
+                    WHERE l1.l_orderkey = b.o_orderkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                        WHERE lr.l_orderkey = b.o_orderkey
+                          AND lr.l_returnflag = 'R'))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_price
+    FROM qualified
+    """,
+)
+def repeat_supplier_no_return_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q95 shape (VERDICT r7 #6): a semi-join CHAIN over the
+    fact relation — orders in a one-year band that (a) have lines from
+    at least two distinct suppliers (EXISTS self-join of the fact on
+    itself: same order, different supplier — the repeat-channel
+    predicate) and (b) have no returned line (NOT EXISTS). One-row
+    rollup of qualifying order count + decimal-exact total.
+
+    Plan shape: the multi-supplier set is a fact self-join reduced to
+    DISTINCT keys, then two key-only joins against the banded orders —
+    leftsemi then leftanti, neither widening the row. At 100 TB the
+    self-join shuffles on l_orderkey once (both sides co-partitioned)
+    and the semi/anti probes carry keys only."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    band = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice")
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("s1")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    multi = (
+        l1.join(
+            l2,
+            (F.col("k1") == F.col("k2")) & (F.col("s1") != F.col("s2")),
+            "leftsemi",
+        )
+        .select(F.col("k1").alias("o_orderkey"))
+        .distinct()
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    qualified = band.join(multi, "o_orderkey", "leftsemi").join(
+        returned, "o_orderkey", "leftanti"
+    )
+    return qualified.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
