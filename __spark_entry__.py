@@ -293,6 +293,55 @@ _R6_DRIVER_CHECKED = (
     "customer_erasure_propagation", "events_session_window",
 )
 
+# driver-checked in r7 (CORRECTNESS_r07.json keys) — union below
+_R7_DRIVER_CHECKED = (
+    "ann_ivf_topk", "ann_pq_topk", "stream_orders_cdc_apply",
+    "lineitem_compaction_roundtrip", "ann_pq_recall",
+    "events_linear_attribution", "stream_jdbc_exactly_once",
+    "stream_dlq_routing", "ann_ivf_recall", "orders_price_drift",
+    "events_type_drift", "lineitem_weighted_median",
+    "orders_write_audit_publish", "orders_incremental_join_view",
+    "customer_k_anonymity", "channel_cumulative_crossover",
+    "nation_yoy_growth", "brand_moving_avg_outliers",
+)
+
+_R8_FRONT = (
+    # (a) changed in round 8
+    # TRAINED quantizers (the r7 verdict's top item): IVF centroids
+    # k-means-refined + 3x redundant assignment (recall 0.45 -> ~0.80
+    # flat); PQ moves to 16x4 subspaces with 64 trained codewords
+    # (recall 0.56 -> ~0.96 flat). Oracles replay the full Lloyd loop.
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    # kmeans_assign refactored onto the shared kmeans_centroids
+    # trainer (results bit-identical; plan re-verified)
+    "embedding_kmeans",
+    "doc_semantic_dedup",
+    # oracle gains the share_a > 0 chi2 guard (ADVICE r7)
+    "orders_price_drift",
+    # single-disposition routing: NULL event_type rows land in exactly
+    # one sink (ADVICE r7)
+    "stream_dlq_routing",
+    # ledger+data now ONE Derby transaction (crash window closed);
+    # protocol evidence raises instead of assert
+    "stream_jdbc_exactly_once",
+    # empty-snapshot-above fix in store_as_of_timestamp + batch-commit
+    # CAS in the apply loop
+    "stream_orders_cdc_apply",
+    # read-side heal (read_published) + OCC commit-log CAS +
+    # writer-unique staging
+    "orders_write_audit_publish",
+    # plan extraction for source-agnosticism (same plan, new fronting
+    # proves no drift)
+    "stream_tumbling",
+    "stream_click_purchase_join",
+    # (b) new in round 8
+    "brand_week_lag_chain",
+    "repeat_supplier_no_return_orders",
+)
+
 _R7_FRONT = (
     # (a) changed in round 7
     # IVF centroid + PQ codebook sampling now RELATIVE to min(id)
@@ -322,8 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R4_DRIVER_CHECKED)
         | set(_R5_DRIVER_CHECKED)
         | set(_R6_DRIVER_CHECKED)
+        | set(_R7_DRIVER_CHECKED)
     )
-    front = [n for n in _R7_FRONT if n in registry.QUERIES]
+    front = [n for n in _R8_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green
