@@ -786,7 +786,11 @@ def pq_topk(
         )
 
     # encode: nearest codeword per (vector, subspace), L2, ties to the
-    # smallest codeword id — one broadcast join + one bounded window
+    # smallest codeword id — one broadcast join + one struct-min
+    # aggregation (map-side combinable: the N*m*C encode relation is
+    # the largest in the plan, and min(struct(d, code)) partial-aggs
+    # it per input partition instead of sort-shuffling it the way the
+    # historical row_number window did; same argmin by construction)
     l2 = F.expr(
         "aggregate(zip_with(_sv, _cw, (x, c) -> "
         "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
@@ -797,17 +801,14 @@ def pq_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
         "neighbor_id",
     )
-    enc_w = W.partitionBy("neighbor_id", "s").orderBy(
-        F.col("_d").asc(), F.col("code").asc()
-    )
     codes = (
         cvec.select("neighbor_id", spaces, "_v")
         .select("neighbor_id", "s", subv)
         .join(F.broadcast(cb), "s")
         .withColumn("_d", l2)
-        .withColumn("_rn", F.row_number().over(enc_w))
-        .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "s", "code")
+        .groupBy("neighbor_id", "s")
+        .agg(F.min(F.struct("_d", "code")).alias("_b"))
+        .select("neighbor_id", "s", F.col("_b.code").alias("code"))
     )
 
     # ADC lookup tables: floor-quantized subspace dots per (query,
