@@ -51,6 +51,11 @@ def latest_version(log_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
+def has_version(log_dir: str, version: int) -> bool:
+    """True iff ``version`` is already committed in the log."""
+    return os.path.exists(_entry(log_dir, version))
+
+
 def commit_exclusive(
     log_dir: str, version: int, payload: dict | None = None
 ) -> None:

@@ -2,26 +2,49 @@
 publish atomically only if every audit passes.
 
 The pattern behind Iceberg's WAP / dbt's build-then-swap: consumers
-never observe a half-written or invalid table, because the publish
-step is a filesystem rename (atomic on a POSIX dir / object-store
-pointer swap) that only happens after the audits ran against the
-exact bytes being published — not against the input DataFrame, whose
-re-computation could differ.
+never observe a half-written or invalid table, because publish is an
+ATOMIC METADATA POINTER SWAP — the destination path is a symlink to an
+immutable version directory, and ``os.replace`` of a symlink is one
+atomic rename. There is NO window where the destination is absent
+(the r7 design's two-rename window, and the reader/writer heal races
+it forced, are gone — r8 adversarial-review findings #1/#2).
+
+Writers serialize through an exclusive-create commit log
+(operators/txlog.py, the Delta-style put-if-absent CAS): the target
+version is fixed at transaction start (OCC read snapshot), staged
+bytes are written to a writer-unique directory, audits run against
+the staged readback, and only the CAS winner renames its staging into
+the immutable ``<dest>_v<N>`` slot and swaps the pointer. A loser
+aborts with ``ConcurrentWriteError`` — serving copy untouched, staged
+copy kept for inspection until the next successful publish sweeps
+abandoned staging siblings.
 
 At 100 TB the staged write is the same distributed write the direct
 path would do (no extra data pass); audits are aggregate scans of the
-staged copy (count-shaped, cheap relative to the write); publish is
-metadata-only. A failed audit leaves the staged directory in place
-for debugging and raises with the per-audit violation counts.
+staged copy; publish is metadata-only. On an object store the symlink
+swap maps to the same atomic pointer update table formats use.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from bigdatafinalproject_spark.operators.txlog import (
+    commit_exclusive,
+    latest_version,
+)
+
+_KEEP_VERSIONS = 2  # current + previous (readers mid-scan keep handles)
+_STAGING_GRACE_S = 3600.0  # abandoned-staging sweep grace window
+
+
+def _vdir(dest: str, version: int) -> str:
+    return f"{dest}_v{version}"
 
 
 def write_audit_publish(
@@ -38,51 +61,43 @@ def write_audit_publish(
     parquet readback. On any violation: raises ``ValueError`` naming
     every failing audit and its count; the staged directory is KEPT
     for inspection and ``dest`` is untouched (old version, if any,
-    still serves). On success: the previous version is swapped out
-    and the staged directory renamed into place.
+    still serves). On success: the staged directory becomes the
+    immutable version ``<dest>_v<N>`` and ``dest`` (a symlink) is
+    atomically repointed — readers see the old version until the
+    instant of the swap, then the new one; never neither.
 
-    Atomicity honesty: a FIRST publish is one rename (atomic). A
-    RE-publish over an existing version is two renames (dest→_prev,
-    staged→dest) — plain POSIX directories have no atomic exchange,
-    so there is a microscopic window where ``dest`` is absent; table
-    formats close it with a metadata pointer swap, which is the
-    production answer. What this implementation does guarantee: the
-    window never loses data — on entry it SELF-HEALS a crash inside
-    the window (dest missing but ``_prev`` present → ``_prev`` is
-    restored before anything else), so the previous version always
-    survives a mid-swap failure.
+    Concurrency: publishers are OCC transactions against the commit
+    log (``dest_log``). The version is read at transaction start and
+    claimed (exclusive create) after audits pass; a concurrent commit
+    in between makes the claim fail with ``ConcurrentWriteError`` and
+    this publisher aborts without touching the serving copy. Version
+    directories are immutable and writer-unique by construction, so
+    two winners of DIFFERENT versions can never interleave into the
+    same directory; the pointer always lands on a complete version.
 
-    Concurrency (r8): publishers serialize through an exclusive-create
-    commit log (``dest_log/v<N>.json``, operators/txlog.py — the
-    Delta-style put-if-absent CAS). Each writer stages to a
-    writer-unique directory, audits, then claims version
-    ``latest + 1``; exactly one claim can succeed, the loser raises
-    :class:`~bigdatafinalproject_spark.operators.txlog.ConcurrentWriteError`
-    with its staged copy kept and the serving copy untouched — two
-    concurrent publishers can no longer interleave their rename pairs.
+    Crash honesty: a crash after the CAS but before the pointer swap
+    leaves a committed log entry whose content never served — the next
+    publisher simply supersedes it (the log serializes writers; the
+    pointer, not the log, names the served version). A crash before
+    the CAS leaves only an abandoned staging directory, swept by the
+    next successful publish.
 
     Returns ``dest``.
     """
-    from bigdatafinalproject_spark.operators.txlog import (
-        commit_exclusive,
-        latest_version,
-    )
-
     dest = dest.rstrip("/")
-    old = dest + "_prev"
-    # crash recovery: a previous publish died between the two renames
-    if not os.path.exists(dest) and os.path.exists(old):
-        os.rename(old, dest)
-    # OCC read snapshot (Delta-style): the target version is fixed at
-    # TRANSACTION START — any writer that commits while we stage/audit
-    # makes our own commit a conflict, so the CAS below fails exactly
-    # when someone else published concurrently
     log = dest + "_log"
+    # OCC read snapshot: target version fixed at transaction start
     version = (latest_version(log) or 0) + 1
-    # writer-unique staging: two concurrent publishers must not
-    # overwrite each other's staged bytes (pid + thread id covers both
-    # cross-process and threaded writers; a repeat attempt by the same
-    # writer reuses — and first clears — its own dir)
+    # legacy layout migration: a real directory at dest (pre-pointer
+    # layout) becomes version 0's content so the swap below can be a
+    # pure symlink replace
+    if os.path.isdir(dest) and not os.path.islink(dest):
+        legacy = _vdir(dest, 0)
+        if not os.path.exists(legacy):
+            os.rename(dest, legacy)
+            os.symlink(os.path.basename(legacy), dest)
+    # writer-unique staging: pid + thread id covers cross-process and
+    # threaded publishers; a retry by the same writer reuses its dir
     import threading as _threading
 
     staged = (
@@ -99,40 +114,60 @@ def write_audit_publish(
             f"write_audit_publish: audits failed for {dest!r}: {failures}; "
             f"staged copy kept at {staged!r}"
         )
-    # CAS: claim the version fixed at txn start, before touching the
-    # serving copy; the loser aborts here with dest untouched and its
-    # staged copy kept
+    # CAS: claim the version fixed at txn start; the loser aborts here
+    # with dest untouched and its staged copy kept
     commit_exclusive(
         log, version, {"writer_pid": os.getpid(), "staged": staged}
     )
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(dest):
-        os.rename(dest, old)
-    os.rename(staged, dest)
-    shutil.rmtree(old, ignore_errors=True)
+    vdir = _vdir(dest, version)
+    os.rename(staged, vdir)  # immutable version slot, unique per CAS win
+    # atomic pointer swap: build the new symlink aside, replace in one
+    # rename — no instant where dest is missing or half-written
+    tmp_ptr = f"{dest}_ptr_{os.getpid()}_{_threading.get_ident()}"
+    try:
+        os.remove(tmp_ptr)
+    except FileNotFoundError:
+        pass
+    os.symlink(os.path.basename(vdir), tmp_ptr)
+    os.replace(tmp_ptr, dest)
+    _sweep(dest, version, staging_suffix)
     return dest
 
 
+def _sweep(dest: str, version: int, staging_suffix: str) -> None:
+    """Post-publish garbage collection (r8 review finding #7): drop
+    version directories older than the retained window and abandoned
+    staging siblings from crashed/raced writers. Best-effort — a
+    failure here never fails the publish."""
+    for p in _glob.glob(f"{dest}_v[0-9]*"):
+        try:
+            v = int(p.rsplit("_v", 1)[1])
+        except ValueError:
+            continue
+        if v <= version - _KEEP_VERSIONS:
+            shutil.rmtree(p, ignore_errors=True)
+    import time as _time
+
+    for p in _glob.glob(f"{dest}{staging_suffix}_*"):
+        # age guard: never delete a CONCURRENT writer's in-flight
+        # staging — only dirs idle past the grace window are abandoned
+        try:
+            idle = _time.time() - os.path.getmtime(p)
+        except OSError:
+            continue
+        if idle > _STAGING_GRACE_S:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def read_published(spark: SparkSession, dest: str) -> DataFrame:
-    """Read a WAP-published table, healing the mid-swap crash window on
-    the READ side (ADVICE r7): if ``dest`` is momentarily absent but
-    ``dest_prev`` holds the full previous version (a publisher crashed
-    between the two renames), restore it and serve — so the documented
-    "the window never loses data" guarantee extends to readers, not
-    just to the next writer. A concurrent reader that loses the rename
-    race (both paths absent at its probe instant) retries once off the
-    healed state before giving up."""
+    """Read a WAP-published table. With the pointer layout there is no
+    crash window to heal (the r7 ``_prev`` fallback is obsolete): the
+    symlink always names a complete immutable version. Still accepts a
+    legacy real-directory layout unchanged. Raises FileNotFoundError
+    if the table was never published."""
     dest = dest.rstrip("/")
-    old = dest + "_prev"
-    for _ in range(2):
-        if os.path.exists(dest):
-            return spark.read.parquet(dest)
-        if os.path.exists(old):
-            try:
-                os.rename(old, dest)
-            except OSError:
-                pass  # another reader/writer healed first — re-probe
+    if os.path.exists(dest):
+        return spark.read.parquet(dest)
     raise FileNotFoundError(
-        f"read_published: neither {dest!r} nor its _prev exists "
-        f"(table never published, or both halves removed)"
+        f"read_published: {dest!r} does not exist (never published)"
     )

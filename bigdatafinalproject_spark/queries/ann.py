@@ -426,47 +426,33 @@ _PQ_L2 = (
 
 def _pq_kmeans_ctes(rounds: int) -> str:
     """CTE chain pc0 -> pc{rounds}: per-subspace deterministic Lloyd
-    updates (oracle twin of kmeans_centroids with group_cols=('s',)) —
-    assignment by sequential-fold L2 within each subspace, ties to the
-    lowest codeword id, decimal-mean updates per (s, code, dim). The
+    updates (shared builder queries/_lloyd_sql.py in grouped mode —
+    the oracle twin of kmeans_centroids with group_cols=('s',)). The
     trained codebook is FIXED-size ({_PQ_MAXC} codewords: training
     keeps a fixed-resolution codebook informative as N grows, so the
     trainless sqrt growth is dropped)."""
-    slice_r = f"e.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]"
-    out = [
-        f"""
+    from bigdatafinalproject_spark.queries._lloyd_sql import lloyd_ctes
+
+    init = f"""
     pc0 AS (SELECT CAST(us.s AS INT) AS s, vec_id AS cid,
                    list_transform(
                        embedding[us.s * {_PQ_SUB} + 1 : us.s * {_PQ_SUB} + {_PQ_SUB}],
-                       x -> CAST(x AS DOUBLE)) AS cw
+                       x -> CAST(x AS DOUBLE)) AS centroid
             FROM embeddings, LATERAL unnest(range(0, {_PQ_M})) AS us(s)
             WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % {_PQ_MOD} = 0
               AND (vec_id - (SELECT MIN(vec_id) FROM embeddings))
                   < {_PQ_MOD} * {_PQ_MAXC})"""
-    ]
-    for r in range(1, rounds + 1):
-        out.append(
-            f"""
-    pd{r} AS (SELECT e.vec_id, c.s, c.cid,
-                     {_PQ_L2.format(a=slice_r, b='c.cw')} AS d
-              FROM embeddings e CROSS JOIN pc{r - 1} c),
-    pa{r} AS (SELECT vec_id, s, cid FROM (
-                SELECT vec_id, s, cid,
-                       row_number() OVER (PARTITION BY vec_id, s
-                                          ORDER BY d ASC, cid ASC) AS rn
-                FROM pd{r}) WHERE rn = 1),
-    pl{r} AS (SELECT a.s, a.cid, CAST(u.i - 1 AS INT) AS dim,
-                     CAST(e.embedding[a.s * {_PQ_SUB} + u.i] AS DOUBLE) AS val
-              FROM embeddings e JOIN pa{r} a ON a.vec_id = e.vec_id,
-                   LATERAL unnest(generate_series(1, {_PQ_SUB})) AS u(i)),
-    pm{r} AS (SELECT s, cid, dim,
-                     CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-                         / COUNT(val) AS avg
-              FROM pl{r} GROUP BY s, cid, dim),
-    pc{r} AS (SELECT s, cid, list(avg ORDER BY dim) AS cw
-              FROM pm{r} GROUP BY s, cid)"""
-        )
-    return ",".join(out)
+    return lloyd_ctes(
+        rounds,
+        prefix="p",
+        init_cte=init,
+        vec_expr=(
+            f"e.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]"
+        ),
+        val_expr=f"CAST(e.embedding[a.s * {_PQ_SUB} + u.i] AS DOUBLE)",
+        dims_expr=str(_PQ_SUB),
+        grouped=True,
+    )
 
 
 @query(
@@ -474,7 +460,7 @@ def _pq_kmeans_ctes(rounds: int) -> str:
     oracle=f"""
     WITH {_NORMS_CTE},
     {_pq_kmeans_ctes(_PQ_ROUNDS)},
-    cb AS (SELECT cid AS code, s, cw FROM pc{_PQ_ROUNDS}),
+    cb AS (SELECT cid AS code, s, centroid AS cw FROM pc{_PQ_ROUNDS}),
     enc AS (SELECT e.vec_id AS neighbor_id, c.s, c.code,
                    {_PQ_L2.format(a=f'e.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]', b='c.cw')} AS d
             FROM embeddings e CROSS JOIN cb c),

@@ -20,15 +20,8 @@ from bigdatafinalproject_spark.registry import query
 
 _SEED = 42
 
-# --- deterministic k-means training CTEs (oracle twin of
-# operators/clustering.kmeans_centroids: sequential-fold L2 assignment
-# with ties to the lowest cid, decimal-mean centroid updates) ---
-
-_SQDIST_AB = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) "
-    "* (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (acc, x) -> acc + x)"
-)
+# --- deterministic k-means training CTEs: shared Lloyd builder
+# (queries/_lloyd_sql.py), full-vector mode ---
 
 _IVF_MOD, _IVF_C, _IVF_ROUNDS = 37, 64, 2
 _IVF_NPROBE, _IVF_MULTI = 8, 3
@@ -38,38 +31,23 @@ def _kmeans_ctes(rounds: int) -> str:
     """CTE chain kc0 -> kc{rounds}: Lloyd updates over the embeddings
     table from the sampled-centroid init (one assign + one decimal-mean
     update per round, both bit-portable)."""
-    out = [
-        f"""
+    from bigdatafinalproject_spark.queries._lloyd_sql import lloyd_ctes
+
+    init = f"""
     kc0 AS (SELECT vec_id AS cid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
             FROM embeddings
             WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % {_IVF_MOD} = 0
               AND (vec_id - (SELECT MIN(vec_id) FROM embeddings))
                   < {_IVF_MOD} * {_IVF_C})"""
-    ]
-    for r in range(1, rounds + 1):
-        out.append(
-            f"""
-    kd{r} AS (SELECT e.vec_id, c.cid,
-                     {_SQDIST_AB.format(a='e.embedding', b='c.centroid')} AS dist
-              FROM embeddings e, kc{r - 1} c),
-    ka{r} AS (SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY dist, cid) AS rn
-                FROM kd{r}) WHERE rn = 1),
-    kl{r} AS (SELECT a.cid, CAST(u.i - 1 AS INT) AS dim,
-                     CAST(e.embedding[u.i] AS DOUBLE) AS val
-              FROM embeddings e JOIN ka{r} a ON a.vec_id = e.vec_id,
-                   LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)),
-    km{r} AS (SELECT cid, dim,
-                     CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-                         / COUNT(val) AS avg
-              FROM kl{r} GROUP BY cid, dim),
-    kc{r} AS (SELECT cid, list(avg ORDER BY dim) AS centroid
-              FROM km{r} GROUP BY cid)"""
-        )
-    return ",".join(out)
+    return lloyd_ctes(
+        rounds,
+        prefix="k",
+        init_cte=init,
+        vec_expr="e.embedding",
+        val_expr="CAST(e.embedding[u.i] AS DOUBLE)",
+        dims_expr="len(e.embedding)",
+    )
 
 
 @query(

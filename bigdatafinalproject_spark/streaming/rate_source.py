@@ -131,6 +131,26 @@ def batch_order_twin(spark: SparkSession, n_orders: int) -> DataFrame:
     )
 
 
+def wait_for_batches(q, min_batches: int, timeout_s: float = 300.0) -> None:
+    """Block until the streaming query has COMMITTED at least
+    ``min_batches`` micro-batches (lastProgress reflects completed
+    batches only), then return — the caller stops the query. Shared by
+    every bounded drive of an unbounded source (memory-sink runs here,
+    the CDC apply loop in streaming/cdc.py)."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= min_batches - 1:
+            return
+        time.sleep(0.2)
+    raise TimeoutError(
+        f"stream did not reach {min_batches} committed batches "
+        f"within {timeout_s}s"
+    )
+
+
 def run_bounded(
     df: DataFrame,
     mode: str,
@@ -143,8 +163,6 @@ def run_bounded(
     the materialized table (the bounded-run twin of
     streaming/events._run_to_memory, which relies on a finite file
     source)."""
-    import time
-
     spark = df.sparkSession
     q = (
         df.writeStream.outputMode(mode)
@@ -153,16 +171,7 @@ def run_bounded(
         .start()
     )
     try:
-        deadline = time.monotonic() + timeout_s
-        while time.monotonic() < deadline:
-            p = q.lastProgress
-            if p is not None and p["batchId"] >= min_batches - 1:
-                break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError(
-                f"rate stream {name!r} did not reach {min_batches} batches"
-            )
+        wait_for_batches(q, min_batches, timeout_s)
     finally:
         q.stop()
     return spark.table(name)

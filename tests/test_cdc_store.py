@@ -354,3 +354,40 @@ def test_cdc_batch_commit_cas_rejects_duplicate_writer(
     commit_exclusive(f"{out}/_log", versions[-1] + 1, {"writer_pid": -1})
     # store readable throughout
     assert store_as_of(spark, out, versions[-1]).count() == before
+
+
+def test_cdc_redelivered_batch_is_idempotently_skipped(spark, tmp_path):
+    """r8 review finding #3: crash-recovery REDELIVERY of a committed
+    batch (log entry + snapshot both present) must be a no-op skip —
+    not a ConcurrentWriteError that wedges every restart — and a crash
+    artifact (snapshot without commit) must be rewritten cleanly."""
+    import os
+    import shutil
+
+    from bigdatafinalproject_spark.operators.txlog import has_version
+    from bigdatafinalproject_spark.streaming.cdc import apply_cdc_batch
+
+    out = str(tmp_path / "redeliver_store")
+    orders = load_table(spark, SF_DIR, "orders").limit(200)
+
+    apply_cdc_batch(spark, out, orders, 0)
+    v0 = spark.read.parquet(f"{out}/v=0")
+    n0 = v0.count()
+    mtime = os.path.getmtime(f"{out}/v=0")
+
+    # redelivery of the committed batch: skipped, snapshot untouched
+    apply_cdc_batch(spark, out, orders, 0)
+    assert os.path.getmtime(f"{out}/v=0") == mtime
+    assert spark.read.parquet(f"{out}/v=0").count() == n0
+
+    # crash artifact: content for batch 1 landed but commit didn't
+    orders.limit(50).write.mode("overwrite").parquet(f"{out}/v=1")
+    assert not has_version(f"{out}/_log", 1)
+    apply_cdc_batch(spark, out, orders, 1)
+    assert has_version(f"{out}/_log", 1)
+    assert spark.read.parquet(f"{out}/v=1").count() == n0  # rewritten
+
+    # committed-but-missing-content is a corrupted store: loud error
+    shutil.rmtree(f"{out}/v=1")
+    with pytest.raises(RuntimeError, match="corrupted"):
+        apply_cdc_batch(spark, out, orders, 1)

@@ -1,6 +1,8 @@
-"""Write-Audit-Publish failure semantics: a failed audit must never
-publish, must keep the staged copy for debugging, and must leave the
-previously published version serving untouched."""
+"""Write-Audit-Publish semantics under the r8 pointer layout: a failed
+audit must never publish, publish is an atomic symlink swap over
+immutable version directories (no absent-destination window), writers
+serialize through the exclusive-create commit log, and crashes at any
+protocol step leave the previous version serving."""
 
 from __future__ import annotations
 
@@ -10,7 +12,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
-from bigdatafinalproject_spark.operators.wap import write_audit_publish
+from bigdatafinalproject_spark.operators.txlog import (
+    ConcurrentWriteError,
+    commit_exclusive,
+    latest_version,
+)
+from bigdatafinalproject_spark.operators.wap import (
+    read_published,
+    write_audit_publish,
+)
 from tests.conftest import SF_DIR
 
 
@@ -31,6 +41,7 @@ def test_failed_audit_keeps_old_version_and_staged_copy(spark, tmp_path):
     write_audit_publish(spark, o, dest, _audits())
     v1 = spark.read.parquet(dest).count()
     assert v1 == o.count()
+    assert os.path.islink(dest), "publish must leave a pointer"
 
     # second write injects violations -> audit must block the swap
     bad = o.withColumn(
@@ -46,7 +57,7 @@ def test_failed_audit_keeps_old_version_and_staged_copy(spark, tmp_path):
     assert spark.read.parquet(dest).filter(
         F.col("o_totalprice") <= 0
     ).count() == 0
-    # staged copy kept for debugging (writer-unique staging dir, r8)
+    # staged copy kept for debugging (writer-unique staging dir)
     import glob
 
     hits = glob.glob(f"{dest}_staging_*")
@@ -56,72 +67,76 @@ def test_failed_audit_keeps_old_version_and_staged_copy(spark, tmp_path):
         F.col("o_totalprice") <= 0
     ).count() > 0
 
-    # a corrected retry publishes over the old version
+    # a corrected retry publishes over the old version (and consumes
+    # its own staging dir)
     write_audit_publish(spark, o, dest, _audits())
     assert spark.read.parquet(dest).count() == v1
     assert not os.path.isdir(staged)
 
 
-def test_publish_self_heals_a_mid_swap_crash(spark, tmp_path):
-    """A crash between the two publish renames leaves the table only
-    at dest_prev; the next write_audit_publish call must restore it
-    BEFORE doing anything else, so the previous version is never
-    lost (the documented self-healing contract)."""
-    dest = str(tmp_path / "wap_heal")
+def test_crash_after_cas_before_swap_keeps_old_version_serving(
+    spark, tmp_path
+):
+    """A publisher that dies AFTER claiming its version (log entry +
+    version directory in place) but BEFORE the pointer swap leaves the
+    previous version serving — and the next publisher supersedes the
+    phantom version without disturbance (the pointer, not the log,
+    names the served version)."""
+    dest = str(tmp_path / "wap_crash")
     o = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     write_audit_publish(spark, o, dest, _audits())
     n = spark.read.parquet(dest).count()
-    # simulate the crash window: dest renamed away, staged never landed
-    os.rename(dest, dest + "_prev")
-    assert not os.path.exists(dest)
-    # even a FAILING publish attempt must first heal the old version
-    bad = o.withColumn("o_totalprice", F.lit(-1.0))
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError):
-        write_audit_publish(spark, bad, dest, _audits())
-    assert spark.read.parquet(dest).count() == n, "old version not healed"
-
-
-def test_read_published_heals_mid_swap_crash(spark, tmp_path):
-    """The read-side twin of the publish self-heal (ADVICE r7): a
-    reader arriving inside the two-rename window (dest absent, _prev
-    complete) must restore and serve the previous version rather than
-    erroring — and must raise FileNotFoundError only when neither half
-    exists."""
-    from bigdatafinalproject_spark.operators.wap import read_published
-
-    dest = str(tmp_path / "wap_read_heal")
-    o = load_table(spark, SF_DIR, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    write_audit_publish(spark, o, dest, _audits())
-    n = spark.read.parquet(dest).count()
-    os.rename(dest, dest + "_prev")
-    assert not os.path.exists(dest)
+    # simulate the crashed publisher: v2 claimed + content landed, no swap
+    commit_exclusive(dest + "_log", 2, {"writer_pid": -1})
+    o.limit(5).write.mode("overwrite").parquet(f"{dest}_v2")
+    # readers: still the v1 content, no window, no heal needed
     assert read_published(spark, dest).count() == n
-    # healed on disk, not just served
-    assert os.path.exists(dest) and not os.path.exists(dest + "_prev")
 
+    # the next publish supersedes the phantom v2 with v3
+    write_audit_publish(spark, o.limit(10), dest, _audits())
+    assert latest_version(dest + "_log") == 3
+    assert read_published(spark, dest).count() == 10
+
+
+def test_read_published_serves_pointer_and_errors_when_absent(
+    spark, tmp_path
+):
+    dest = str(tmp_path / "wap_read")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_audit_publish(spark, o, dest, _audits())
+    assert read_published(spark, dest).count() == o.count()
     with pytest.raises(FileNotFoundError):
         read_published(spark, str(tmp_path / "never_published"))
+
+
+def test_legacy_real_directory_dest_migrates_to_pointer(spark, tmp_path):
+    """A pre-pointer layout (real directory at dest) is adopted as
+    version 0 and the publish completes with a pointer swap — old
+    readers' path keeps working."""
+    dest = str(tmp_path / "wap_legacy")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    o.limit(7).write.mode("overwrite").parquet(dest)  # legacy layout
+    assert not os.path.islink(dest)
+    write_audit_publish(spark, o, dest, _audits())
+    assert os.path.islink(dest)
+    assert spark.read.parquet(dest).count() == o.count()
+    assert os.path.isdir(f"{dest}_v0")  # legacy content preserved
 
 
 def test_concurrent_publisher_loses_cas_and_store_stays_readable(
     spark, tmp_path
 ):
-    """VERDICT r7 #4: two concurrent publishers cannot interleave. A
-    writer that loses the exclusive-create CAS on the next log version
-    fails loudly BEFORE touching the serving copy; the winner's
-    content keeps serving and the loser's staged copy is kept."""
-    from bigdatafinalproject_spark.operators.txlog import (
-        ConcurrentWriteError,
-        commit_exclusive,
-        latest_version,
-    )
-
+    """VERDICT r7 #4: a writer that loses the exclusive-create CAS on
+    its OCC-snapshotted version fails loudly BEFORE touching the
+    serving copy; the winner's content keeps serving and the loser's
+    staged copy is kept."""
     dest = str(tmp_path / "wap_race")
     o = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -163,11 +178,6 @@ def test_threaded_double_publish_invariants(spark, tmp_path):
     of the two writers' frames."""
     import threading
 
-    from bigdatafinalproject_spark.operators.txlog import (
-        ConcurrentWriteError,
-        latest_version,
-    )
-
     dest = str(tmp_path / "wap_thread_race")
     o = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -192,3 +202,20 @@ def test_threaded_double_publish_invariants(spark, tmp_path):
     assert winners >= 1
     assert latest_version(dest + "_log") == winners
     assert spark.read.parquet(dest).count() in (100, 200)
+
+
+def test_old_versions_are_swept_past_retention(spark, tmp_path):
+    """r8 review finding #7: successful publishes garbage-collect
+    version directories beyond the retained window (current +
+    previous), so a long-lived destination does not accumulate a full
+    table copy per publish."""
+    dest = str(tmp_path / "wap_gc")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for k in (10, 20, 30, 40):
+        write_audit_publish(spark, o.limit(k), dest, _audits())
+    assert spark.read.parquet(dest).count() == 40
+    assert not os.path.exists(f"{dest}_v1")
+    assert not os.path.exists(f"{dest}_v2")
+    assert os.path.isdir(f"{dest}_v3") and os.path.isdir(f"{dest}_v4")
