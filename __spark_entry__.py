@@ -340,6 +340,11 @@ _R8_FRONT = (
     # (b) new in round 8
     "brand_week_lag_chain",
     "repeat_supplier_no_return_orders",
+    # persisted-index serve paths (train/encode once, serve many);
+    # they share the end-to-end queries' oracles, so a green row IS
+    # the build->persist->load->search equivalence theorem
+    "ann_ivf_index_search",
+    "ann_pq_index_search",
 )
 
 _R7_FRONT = (

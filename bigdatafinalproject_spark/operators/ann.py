@@ -200,6 +200,67 @@ def ivf_topk(
       measured flat). Cost is r× index storage and ~r× probed rows —
       both bounded multiplicative constants, never functions of N.
     """
+    centroids, postings = ivf_build_frames(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_mod=centroid_mod,
+        max_centroids=max_centroids,
+        train_rounds=train_rounds,
+        multi_assign=multi_assign,
+    )
+    return ivf_search_frames(
+        centroids, postings, corpus, queries,
+        id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+    )
+
+
+def _nearest_centroids(
+    centroids: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    out: str,
+) -> DataFrame:
+    """Top-``n`` centroids per vector by cosine (broadcast centroids,
+    bounded window) — the assign (n=multi) and probe (n=nprobe) legs
+    of the IVF plans."""
+    v = with_norm(
+        spread(
+            df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v")),
+            out,
+        ),
+        "_v",
+    ).withColumnRenamed("_norm", "_vn")
+    cn = with_norm(centroids, "_cent").withColumnRenamed("_norm", "_cn")
+    cos = _dot("_v", "_cent") / (F.col("_vn") * F.col("_cn"))
+    w = W.partitionBy(out).orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(cn))
+        .withColumn("_cos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(out, "centroid_id")
+    )
+
+
+def ivf_build_frames(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 37,
+    max_centroids: int | None = 64,
+    train_rounds: int = 0,
+    multi_assign: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF INDEX as two frames — (centroids (centroid_id, _cent),
+    postings (neighbor_id, centroid_id)) — the build half of ivf_topk,
+    separated so operators/ann_index.py can persist it (train once,
+    serve many: the production shape; every quantity here is
+    deterministic, so a persisted index reloads bit-identical)."""
     # sampling is RELATIVE to min(id): an absolute `id % mod == 0 AND
     # id < mod*cap` silently yields ZERO centroids on a corpus whose
     # ids start above mod*cap (key-space-convention bug class). The
@@ -219,6 +280,9 @@ def ivf_topk(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
     )
     if train_rounds > 0:
+        from bigdatafinalproject_spark.operators.barrier import (
+            materialize_barrier,
+        )
         from bigdatafinalproject_spark.operators.clustering import (
             kmeans_centroids,
         )
@@ -235,43 +299,41 @@ def ivf_topk(
             id_col=id_col,
             vec_col=vec_col,
         )
-        from bigdatafinalproject_spark.operators.barrier import (
-            materialize_barrier,
-        )
-
         # the trained-centroid subtree (train_rounds iterations over the
-        # corpus) feeds BOTH nearest() branches below — barrier it so
-        # the Lloyd iterations run once, not once per branch (the
-        # SemDeDup lesson; the frame is C<=64 rows, kB-sized)
+        # corpus) feeds BOTH nearest legs — barrier it so the Lloyd
+        # iterations run once, not once per branch (the SemDeDup
+        # lesson; the frame is C<=64 rows, kB-sized)
         centroids = materialize_barrier(
             trained.select(
                 F.col("cid").alias("centroid_id"),
                 F.col("centroid").alias("_cent"),
             )
         )
+    postings = _nearest_centroids(
+        centroids, corpus, id_col, vec_col, multi_assign, "neighbor_id"
+    )
+    return centroids, postings
 
-    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
-        v = with_norm(
-            spread(
-                df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v")), out
-            ),
-            "_v",
-        ).withColumnRenamed("_norm", "_vn")
-        cn = with_norm(centroids, "_cent").withColumnRenamed("_norm", "_cn")
-        cos = _dot("_v", "_cent") / (F.col("_vn") * F.col("_cn"))
-        w = W.partitionBy(out).orderBy(F.col("_cos").desc(), F.col("centroid_id").asc())
-        return (
-            v.crossJoin(F.broadcast(cn))
-            .withColumn("_cos", cos)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(out, "centroid_id")
-        )
 
-    assign = nearest(corpus, multi_assign, "neighbor_id")
-    probes = nearest(queries, nprobe, "query_id")
+def ivf_search_frames(
+    centroids: DataFrame,
+    postings: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 8,
+) -> DataFrame:
+    """The serve half of ivf_topk: probe the query panel's nprobe
+    nearest centroids, equi-join the postings, exact-cosine-rerank the
+    candidates against the corpus vectors. Works identically on frames
+    fresh from ivf_build_frames or reloaded from a persisted index."""
+    probes = _nearest_centroids(
+        centroids, queries, id_col, vec_col, nprobe, "query_id"
+    )
     cand = spread(
-        probes.join(assign, on="centroid_id")
+        probes.join(postings, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct(),
@@ -714,13 +776,55 @@ def pq_topk(
     pool per query. Returns (query_id, neighbor_id, cosine, rank)
     exact-cosine reranked.
     """
+    cb, codes, norms = pq_build_frames(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        dim=dim,
+        codeword_mod=codeword_mod,
+        max_codewords=max_codewords,
+        codebook_cap=codebook_cap,
+        scale_ref=scale_ref,
+        train_rounds=train_rounds,
+    )
+    return pq_search_frames(
+        cb, codes, norms, corpus, queries,
+        id_col=id_col, vec_col=vec_col, k=k, m=m, dim=dim,
+        rerank=rerank, scale=scale, pool_cap=pool_cap,
+        scale_ref=scale_ref,
+    )
+
+
+def _pq_exprs(m: int, dim: int):
     sub = dim // m
     assert sub * m == dim
     spaces = F.explode(
         F.sequence(F.lit(0), F.lit(m - 1)).cast("array<int>")
     ).alias("s")
     subv = F.slice(F.col("_v"), F.col("s") * sub + 1, sub).alias("_sv")
+    return spaces, subv
 
+
+def pq_build_frames(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    codeword_mod: int = 13,
+    max_codewords: int = 16,
+    codebook_cap: int = 64,
+    scale_ref: int = 1000,
+    train_rounds: int = 0,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PQ INDEX as three frames — (codebook (code, s, _cw), codes
+    (neighbor_id, s, code), norms (neighbor_id, _cnorm)) — the build
+    half of pq_topk, separated so operators/ann_index.py can persist
+    it (train/encode once, serve many; exact corpus norms stored
+    beside the codes is standard PQ index practice). Deterministic
+    end-to-end, so a persisted index reloads bit-identical."""
+    spaces, subv = _pq_exprs(m, dim)
     # same offset-robust sampling discipline as ivf_topk (relative to
     # min(id)), with the codebook size scaled by s = ceil(sqrt(N /
     # scale_ref)) up to the absolute codebook_cap — one 1-row
@@ -811,6 +915,43 @@ def pq_topk(
         .select("neighbor_id", "s", F.col("_b.code").alias("code"))
     )
 
+    norms = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        ).alias("_cnorm"),
+    )
+    return cb, codes, norms
+
+
+def pq_search_frames(
+    cb: DataFrame,
+    codes: DataFrame,
+    norms: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    rerank: int = 4,
+    scale: int = 1_000_000,
+    pool_cap: int = 640,
+    scale_ref: int = 1000,
+) -> DataFrame:
+    """The serve half of pq_topk: per-query ADC lookup tables against
+    the codebook, integer ADC scan over the codes, exact-cosine rerank
+    of the sqrt-scaled pool against the corpus vectors. Works
+    identically on frames fresh from pq_build_frames or reloaded from
+    a persisted index."""
+    spaces, subv = _pq_exprs(m, dim)
+    _stats = corpus.select(
+        F.min(id_col).alias("_minid"), F.count(F.lit(1)).alias("_n")
+    )
+    _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
     # ADC lookup tables: floor-quantized subspace dots per (query,
     # subspace, codeword) — |Q| * m * C rows, broadcastable
     pdot = F.expr(
@@ -831,14 +972,6 @@ def pq_topk(
         )
     )
 
-    norms = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.expr(
-            f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-        ).alias("_cnorm"),
-    )
     adc = (
         codes.join(F.broadcast(qtab), ["s", "code"])
         .groupBy("query_id", "neighbor_id")

@@ -558,3 +558,41 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_rounds=_PQ_ROUNDS,
     ).select("query_id", "neighbor_id")
     return recall_frame(ex, ap)
+
+
+@query("ann_pq_index_search", oracle_of="ann_pq_topk")
+def ann_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-PQ serve path (operators/ann_index.py): trained
+    codebooks, codes, and exact norms are built ONCE per corpus
+    fingerprint and persisted; this query serves the standing panel
+    from the parquet index (per-query ADC tables + integer scan +
+    exact rerank — the full-precision vectors are read only for the
+    bounded rerank pool). Shares ann_pq_topk's oracle: the hash match
+    IS the persistence theorem (build→persist→load→search ≡
+    train-encode-and-search), driver-checked every round. Production
+    point: at m=16 the codes table is ~16 bytes/vector — the serve
+    path scans 1/16th of the corpus bytes plus the rerank pool."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_pq_index,
+        pq_index_search,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    params = dict(
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
+        max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
+    )
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    idx = ensure_pq_index(
+        spark, emb, _scratch(sf_dir, "pqindex"), fp, **params
+    )
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return pq_index_search(
+        spark, idx, emb, queries, k=10, m=_PQ_M, dim=64,
+        rerank=4, scale=_PQ_SCALE,
+    )

@@ -201,3 +201,40 @@ def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "i")
     )
     return ranking_metrics(recs, test, user_col="u", item_col="i", k=3)
+
+
+@query("ann_ivf_index_search", oracle_of="ann_ivf_topk")
+def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF serve path (operators/ann_index.py): the trained
+    index (centroids + multi-assignment postings) is built ONCE per
+    corpus fingerprint (source identity + hyperparameters) and
+    persisted; this query serves the standing panel from the parquet
+    index. Every build quantity is deterministic, so the served
+    results are bit-identical to the end-to-end ``ann_ivf_topk`` —
+    the two queries SHARE an oracle, which is the persistence theorem
+    (build→persist→load→search ≡ train-and-search) checked by the
+    driver every round. The production point: train/encode cost is
+    paid per corpus version, not per query."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_ivf_index,
+        ivf_index_search,
+    )
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    params = dict(
+        centroid_mod=37, max_centroids=64,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+    )
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    idx = ensure_ivf_index(
+        spark, emb, _scratch(sf_dir, "ivfindex"), fp, **params
+    )
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivf_index_search(
+        spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE
+    )

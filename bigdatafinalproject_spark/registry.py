@@ -65,15 +65,25 @@ _MODULES = (
 )
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a (spark, sf_dir) -> DataFrame callable + its oracle."""
+def query(name: str, oracle: str | None = None, oracle_of: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable + its oracle.
+
+    ``oracle_of`` shares another registered query's oracle verbatim —
+    for result-identical twins (e.g. a persisted-index serve path vs
+    its end-to-end build+search query), where a shared oracle IS the
+    equivalence theorem the driver then checks. The referenced query
+    must already be registered (module import order)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
+        if oracle is not None and oracle_of is not None:
+            raise ValueError(f"{name!r}: pass oracle OR oracle_of, not both")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        elif oracle_of is not None:
+            ORACLES[name] = ORACLES[oracle_of]
         return fn
 
     return deco
