@@ -345,6 +345,10 @@ _R8_FRONT = (
     # the build->persist->load->search equivalence theorem
     "ann_ivf_index_search",
     "ann_pq_index_search",
+    # incremental maintenance of the trained PQ index: train-on-base,
+    # frozen-codebook delta encode, append — the oracle replays
+    # train(base)+encode(all), so green = the maintenance theorem
+    "ann_pq_index_append",
 )
 
 _R7_FRONT = (

@@ -160,6 +160,65 @@ def ensure_pq_index(
     return index_dir
 
 
+def pq_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> str:
+    """Incremental PQ index maintenance: encode a DELTA batch against
+    the FROZEN persisted codebook and append its codes + norms — never
+    retraining, never re-encoding the existing corpus. This is the
+    production freshness pattern (index maintenance costs the delta);
+    the trade is documented drift: a codebook trained on the base
+    distribution quantizes delta vectors with base-era resolution —
+    retrain on a schedule, append between retrains. The append is
+    idempotence-free by design (call once per delta batch; the CDC
+    store shows the ledgered variant)."""
+    from bigdatafinalproject_spark.operators.ann import (
+        pq_search_frames,  # noqa: F401  (doc cross-ref)
+    )
+
+    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    # encode the delta exactly as pq_build_frames encodes the corpus:
+    # broadcast codebook join + struct-min argmin per (vector, subspace)
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann import _pq_exprs
+
+    spaces, subv = _pq_exprs(m, dim)
+    l2 = F.expr(
+        "aggregate(zip_with(_sv, _cw, (x, c) -> "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dcodes = (
+        delta.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        .select("neighbor_id", spaces, "_v")
+        .select("neighbor_id", "s", subv)
+        .join(F.broadcast(cb), "s")
+        .withColumn("_d", l2)
+        .groupBy("neighbor_id", "s")
+        .agg(F.min(F.struct("_d", "code")).alias("_b"))
+        .select("neighbor_id", "s", F.col("_b.code").alias("code"))
+    )
+    dnorms = delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        ).alias("_cnorm"),
+    )
+    dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+    dnorms.write.mode("append").parquet(os.path.join(index_dir, "norms"))
+    return index_dir
+
+
 def pq_index_search(
     spark: SparkSession,
     index_dir: str,

@@ -28,6 +28,7 @@ def lloyd_ctes(
     val_expr: str,
     dims_expr: str,
     grouped: bool = False,
+    source: str = "embeddings",
 ) -> str:
     """CTE chain ``{prefix}c0 -> {prefix}c{rounds}`` over the
     ``embeddings`` table.
@@ -43,6 +44,9 @@ def lloyd_ctes(
     - ``dims_expr``: SQL for the (sub)vector length.
     - ``grouped``: carry a subspace column ``s`` through assignment
       and means (the PQ per-subspace mode).
+    - ``source``: the training relation (default the full embeddings
+      table; a filtered subquery trains on a base subset — the
+      incremental-maintenance oracle's train-on-base mode).
     """
     g = "s, " if grouped else ""
     ga = "a.s, " if grouped else ""
@@ -53,7 +57,7 @@ def lloyd_ctes(
             f"""
     {prefix}d{r} AS (SELECT e.vec_id, {gc}c.cid,
                      {L2_AB.format(a=vec_expr, b='c.centroid')} AS d
-              FROM embeddings e CROSS JOIN {prefix}c{r - 1} c),
+              FROM {source} e CROSS JOIN {prefix}c{r - 1} c),
     {prefix}a{r} AS (SELECT vec_id, {g}cid FROM (
                 SELECT vec_id, {g}cid,
                        row_number() OVER (PARTITION BY vec_id{', s' if grouped else ''}
@@ -61,7 +65,7 @@ def lloyd_ctes(
                 FROM {prefix}d{r}) WHERE rn = 1),
     {prefix}l{r} AS (SELECT {ga}a.cid, CAST(u.i - 1 AS INT) AS dim,
                      {val_expr} AS val
-              FROM embeddings e JOIN {prefix}a{r} a ON a.vec_id = e.vec_id,
+              FROM {source} e JOIN {prefix}a{r} a ON a.vec_id = e.vec_id,
                    LATERAL unnest(generate_series(1, {dims_expr})) AS u(i)),
     {prefix}m{r} AS (SELECT {g}cid, dim,
                      CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)

@@ -31,6 +31,11 @@ _QUERIES = [
     "customer_hll_portable",  # register tables + merge
     "ann_mmr_diversified",  # sequential integer argmax walk
     "doc_shard_shuffle",  # hash shard + partitioned rank
+    # r8: trained quantizers — Lloyd rounds are decimal-mean updates
+    # (order-independent sums), so the trained centroids/codebooks and
+    # everything downstream must be partition-count-invariant
+    "ann_ivf_topk",
+    "ann_pq_topk",
 ]
 
 
