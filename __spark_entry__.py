@@ -349,6 +349,7 @@ _R8_FRONT = (
     # frozen-codebook delta encode, append — the oracle replays
     # train(base)+encode(all), so green = the maintenance theorem
     "ann_pq_index_append",
+    "ann_ivf_index_append",
 )
 
 _R7_FRONT = (

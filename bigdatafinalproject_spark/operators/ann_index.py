@@ -160,6 +160,32 @@ def ensure_pq_index(
     return index_dir
 
 
+def ivf_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_assign: int = 1,
+) -> str:
+    """Incremental IVF index maintenance: assign a DELTA batch to the
+    FROZEN persisted centroids (same multi-assignment as the build)
+    and append its postings — no retrain, no base re-assignment. Same
+    freshness pattern and documented drift trade as
+    :func:`pq_index_append` (centroids trained on the base
+    distribution; retrain on a schedule, append between retrains)."""
+    from bigdatafinalproject_spark.operators.ann import _nearest_centroids
+
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    postings = _nearest_centroids(
+        centroids, delta, id_col, vec_col, multi_assign, "neighbor_id"
+    )
+    postings.write.mode("append").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    return index_dir
+
+
 def pq_index_append(
     spark: SparkSession,
     index_dir: str,

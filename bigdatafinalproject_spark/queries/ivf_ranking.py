@@ -27,19 +27,22 @@ _IVF_MOD, _IVF_C, _IVF_ROUNDS = 37, 64, 2
 _IVF_NPROBE, _IVF_MULTI = 8, 3
 
 
-def _kmeans_ctes(rounds: int) -> str:
+def _kmeans_ctes(rounds: int, base_pred: str = "TRUE") -> str:
     """CTE chain kc0 -> kc{rounds}: Lloyd updates over the embeddings
     table from the sampled-centroid init (one assign + one decimal-mean
-    update per round, both bit-portable)."""
+    update per round, both bit-portable). ``base_pred`` restricts init
+    sampling AND training to a base subset (the train-on-base mode of
+    the incremental-maintenance oracle)."""
     from bigdatafinalproject_spark.queries._lloyd_sql import lloyd_ctes
 
+    base_min = f"(SELECT MIN(vec_id) FROM embeddings WHERE {base_pred})"
     init = f"""
     kc0 AS (SELECT vec_id AS cid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
             FROM embeddings
-            WHERE (vec_id - (SELECT MIN(vec_id) FROM embeddings)) % {_IVF_MOD} = 0
-              AND (vec_id - (SELECT MIN(vec_id) FROM embeddings))
-                  < {_IVF_MOD} * {_IVF_C})"""
+            WHERE ({base_pred})
+              AND (vec_id - {base_min}) % {_IVF_MOD} = 0
+              AND (vec_id - {base_min}) < {_IVF_MOD} * {_IVF_C})"""
     return lloyd_ctes(
         rounds,
         prefix="k",
@@ -47,14 +50,17 @@ def _kmeans_ctes(rounds: int) -> str:
         vec_expr="e.embedding",
         val_expr="CAST(e.embedding[u.i] AS DOUBLE)",
         dims_expr="len(e.embedding)",
+        source=f"(SELECT * FROM embeddings WHERE {base_pred})",
     )
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_oracle(kmeans_ctes: str) -> str:
+    """Full IVF search oracle over a given trained-centroid CTE chain
+    (assign ALL embeddings under multi-assignment, probe the panel,
+    exact rerank)."""
+    return f"""
     WITH {_NORMS_CTE},
-    {_kmeans_ctes(_IVF_ROUNDS)},
+    {kmeans_ctes},
     cents AS (SELECT cid AS centroid_id, centroid AS cemb,
                      sqrt({_DOT_AB.format(a='centroid', b='centroid')}) AS cnrm
               FROM kc{_IVF_ROUNDS}),
@@ -92,8 +98,10 @@ def _kmeans_ctes(rounds: int) -> str:
                JOIN norms qb ON qb.vec_id = neighbor_id)
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
     FROM scored WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle(_kmeans_ctes(_IVF_ROUNDS)))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-10, TRAINED + redundantly assigned
     (the r7 verdict's top item): sampled init centroids (capped at 64,
@@ -232,6 +240,55 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_ivf_index(
         spark, emb, _scratch(sf_dir, "ivfindex"), fp, **params
     )
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivf_index_search(
+        spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE
+    )
+
+
+_IVF_BASE_PRED = "vec_id % 3 <> 0"
+
+
+@query(
+    "ann_ivf_index_append",
+    oracle=_ivf_oracle(_kmeans_ctes(_IVF_ROUNDS, base_pred=_IVF_BASE_PRED)),
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the TRAINED IVF index (the IVF twin
+    of ``ann_pq_index_append``): centroids trained on the base corpus
+    (vec_id % 3 != 0) and persisted; the delta batch is assigned to
+    the FROZEN centroids with the same 3x multi-assignment and its
+    postings appended — no retrain, no base re-assignment. Search runs
+    over the maintained index. The oracle replays train-on-base +
+    assign-all + search: hash match ≡ the maintenance theorem
+    (assignment is row-local given frozen centroids); the documented
+    drift trade (centroids reflect the base distribution) is the
+    append-between-retrains pattern."""
+    import shutil
+
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_ivf_index,
+        ivf_index_append,
+        ivf_index_search,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_IVF_BASE_PRED))
+    delta = emb.filter(~F.expr(_IVF_BASE_PRED))
+    params = dict(
+        centroid_mod=37, max_centroids=64,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+    )
+    idx = _scratch(sf_dir, "ivfappendidx")
+    shutil.rmtree(idx, ignore_errors=True)
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    ensure_ivf_index(spark, base, idx, fp, **params)
+    ivf_index_append(spark, idx, delta, multi_assign=_IVF_MULTI)
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
