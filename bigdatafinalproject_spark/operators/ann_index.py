@@ -93,6 +93,37 @@ def corpus_fingerprint(path: str, **params) -> str:
     return hashlib.md5(ident.encode()).hexdigest()
 
 
+def shared_index_dir(kind: str, fingerprint: str) -> str:
+    """Cross-process index cache location, keyed by the FINGERPRINT
+    (not the pid): a corpus version's index is built once per host and
+    served by every later process — the "per corpus version, not per
+    query" cost claim made real across process boundaries. Stale
+    corpora/params hash to different directories; the cache is bounded
+    by distinct (kind, corpus version, params) tuples."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"bdfp_annidx_{kind}_{fingerprint[:16]}"
+    )
+
+
+def _publish_build(tmp: str, index_dir: str, kind: str, fingerprint: str) -> str:
+    """Atomically install a finished build: rename the writer-unique
+    tmp dir into place. First writer wins; a loser (rename fails
+    because the winner landed) verifies the winner is current, drops
+    its own identical-by-determinism copy, and adopts."""
+    import shutil
+
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        if index_is_current(index_dir, kind, fingerprint):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return index_dir
+        raise
+    return index_dir
+
+
 def ensure_ivf_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -100,23 +131,23 @@ def ensure_ivf_index(
     fingerprint: str,
     **build_params,
 ) -> str:
-    """Build the IVF index iff absent/stale; returns ``index_dir``."""
+    """Build the IVF index iff absent/stale; returns ``index_dir``.
+    Builds land in a writer-unique tmp dir and install via one atomic
+    rename, so readers never observe a half-built index and concurrent
+    builders of the same fingerprint cannot interleave."""
+    import shutil
+
     if index_is_current(index_dir, "ivf", fingerprint):
         return index_dir
-    os.makedirs(index_dir, exist_ok=True)
-    try:
-        os.remove(os.path.join(index_dir, _META))  # invalidate first
-    except FileNotFoundError:
-        pass
+    tmp = f"{index_dir}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     centroids, postings = ivf_build_frames(corpus, **build_params)
-    centroids.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "centroids")
-    )
-    postings.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    _commit(index_dir, "ivf", fingerprint, ["centroids", "postings"])
-    return index_dir
+    centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    postings.write.mode("overwrite").parquet(os.path.join(tmp, "postings"))
+    _commit(tmp, "ivf", fingerprint, ["centroids", "postings"])
+    shutil.rmtree(index_dir, ignore_errors=True)  # drop any stale build
+    return _publish_build(tmp, index_dir, "ivf", fingerprint)
 
 
 def ivf_index_search(
@@ -144,20 +175,22 @@ def ensure_pq_index(
     fingerprint: str,
     **build_params,
 ) -> str:
-    """Build the PQ index iff absent/stale; returns ``index_dir``."""
+    """Build the PQ index iff absent/stale; returns ``index_dir``.
+    Same atomic tmp-build + rename install as ensure_ivf_index."""
+    import shutil
+
     if index_is_current(index_dir, "pq", fingerprint):
         return index_dir
-    os.makedirs(index_dir, exist_ok=True)
-    try:
-        os.remove(os.path.join(index_dir, _META))
-    except FileNotFoundError:
-        pass
+    tmp = f"{index_dir}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     cb, codes, norms = pq_build_frames(corpus, **build_params)
-    cb.write.mode("overwrite").parquet(os.path.join(index_dir, "codebook"))
-    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
-    norms.write.mode("overwrite").parquet(os.path.join(index_dir, "norms"))
-    _commit(index_dir, "pq", fingerprint, ["codebook", "codes", "norms"])
-    return index_dir
+    cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+    norms.write.mode("overwrite").parquet(os.path.join(tmp, "norms"))
+    _commit(tmp, "pq", fingerprint, ["codebook", "codes", "norms"])
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return _publish_build(tmp, index_dir, "pq", fingerprint)
 
 
 def ivf_index_append(

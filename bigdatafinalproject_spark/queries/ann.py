@@ -584,8 +584,8 @@ def ann_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_fingerprint,
         ensure_pq_index,
         pq_index_search,
+        shared_index_dir,
     )
-    from bigdatafinalproject_spark.queries.layout import _scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
     params = dict(
@@ -593,8 +593,9 @@ def ann_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
     )
     fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    # cross-process cache keyed by fingerprint (see ann_ivf_index_search)
     idx = ensure_pq_index(
-        spark, emb, _scratch(sf_dir, "pqindex"), fp, **params
+        spark, emb, shared_index_dir("pq", fp), fp, **params
     )
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)

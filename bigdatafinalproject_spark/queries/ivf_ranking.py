@@ -223,13 +223,13 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build→persist→load→search ≡ train-and-search) checked by the
     driver every round. The production point: train/encode cost is
     paid per corpus version, not per query."""
+    from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann_index import (
         corpus_fingerprint,
         ensure_ivf_index,
         ivf_index_search,
+        shared_index_dir,
     )
-    from bigdatafinalproject_spark.catalog import table_path
-    from bigdatafinalproject_spark.queries.layout import _scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
     params = dict(
@@ -237,8 +237,10 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
     )
     fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    # cross-process cache keyed by fingerprint: the build runs once
+    # per corpus version on this host; every later process serves warm
     idx = ensure_ivf_index(
-        spark, emb, _scratch(sf_dir, "ivfindex"), fp, **params
+        spark, emb, shared_index_dir("ivf", fp), fp, **params
     )
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
