@@ -948,9 +948,9 @@ def pq_search_frames(
     identically on frames fresh from pq_build_frames or reloaded from
     a persisted index."""
     spaces, subv = _pq_exprs(m, dim)
-    _stats = corpus.select(
-        F.min(id_col).alias("_minid"), F.count(F.lit(1)).alias("_n")
-    )
+    # the serve half needs only N for the pool cap (min(id) is a
+    # build-time sampling concern) — one count-only 1-row aggregate
+    _stats = corpus.select(F.count(F.lit(1)).alias("_n"))
     _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
     # ADC lookup tables: floor-quantized subspace dots per (query,
     # subspace, codeword) — |Q| * m * C rows, broadcastable

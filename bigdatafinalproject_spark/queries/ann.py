@@ -595,7 +595,8 @@ def ann_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
     # cross-process cache keyed by fingerprint (see ann_ivf_index_search)
     idx = ensure_pq_index(
-        spark, emb, shared_index_dir("pq", fp), fp, **params
+        spark, emb, shared_index_dir("pq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
     )
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
@@ -655,7 +656,7 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(idx, ignore_errors=True)
     fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
     ensure_pq_index(spark, base, idx, fp, **params)
-    pq_index_append(spark, idx, delta, m=_PQ_M, dim=64)
+    pq_index_append(spark, idx, delta)
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )

@@ -240,7 +240,8 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-process cache keyed by fingerprint: the build runs once
     # per corpus version on this host; every later process serves warm
     idx = ensure_ivf_index(
-        spark, emb, shared_index_dir("ivf", fp), fp, **params
+        spark, emb, shared_index_dir("ivf", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
     )
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
@@ -290,7 +291,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(idx, ignore_errors=True)
     fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
     ensure_ivf_index(spark, base, idx, fp, **params)
-    ivf_index_append(spark, idx, delta, multi_assign=_IVF_MULTI)
+    ivf_index_append(spark, idx, delta)
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )

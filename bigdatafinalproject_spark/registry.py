@@ -79,6 +79,14 @@ def query(name: str, oracle: str | None = None, oracle_of: str | None = None):
             raise ValueError(f"duplicate query name {name!r}")
         if oracle is not None and oracle_of is not None:
             raise ValueError(f"{name!r}: pass oracle OR oracle_of, not both")
+        if oracle_of is not None and oracle_of not in ORACLES:
+            # validate BEFORE mutating QUERIES so a bad reference can't
+            # leave a half-registered query behind (import-order
+            # contract enforced with a descriptive error)
+            raise ValueError(
+                f"{name!r}: oracle_of={oracle_of!r} is not a registered "
+                f"oracle-bearing query (check _MODULES import order)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
