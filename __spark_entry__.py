@@ -350,6 +350,10 @@ _R8_FRONT = (
     # train(base)+encode(all), so green = the maintenance theorem
     "ann_pq_index_append",
     "ann_ivf_index_append",
+    # STREAMING index maintenance: delta batches appended exactly once
+    # (manifest-recorded batch ids); shares the batch append oracle —
+    # green = streaming ≡ one-shot maintenance
+    "stream_pq_index_maintenance",
 )
 
 _R7_FRONT = (

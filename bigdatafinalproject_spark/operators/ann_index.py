@@ -75,9 +75,14 @@ def _commit(
     tables: list[str],
     src: str | None = None,
     params: dict | None = None,
-    appended_batches: int = 0,
+    applied_batches: list | None = None,
 ) -> None:
-    with open(os.path.join(index_dir, _META), "w") as f:
+    # tmp + os.replace: the manifest IS the commit record, so its own
+    # write must be atomic — a crash mid-write must read as "no
+    # manifest" (rebuild), never as a torn half-manifest
+    path = os.path.join(index_dir, _META)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "kind": kind,
@@ -85,10 +90,11 @@ def _commit(
                 "tables": tables,
                 "src": src,
                 "params": params or {},
-                "appended_batches": appended_batches,
+                "applied_batches": sorted(applied_batches or []),
             },
             f,
         )
+    os.replace(tmp, path)
 
 
 def index_is_current(index_dir: str, kind: str, fingerprint: str) -> bool:
@@ -236,6 +242,7 @@ def ivf_index_append(
     delta: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> str:
     """Incremental IVF index maintenance: assign a DELTA batch to the
     FROZEN persisted centroids (multi-assignment read from the
@@ -250,6 +257,9 @@ def ivf_index_append(
     meta = _manifest(index_dir)
     if meta is None:
         raise ValueError(f"no committed index at {index_dir!r} to append to")
+    applied = list(meta.get("applied_batches", []))
+    if batch_id is not None and batch_id in applied:
+        return index_dir  # redelivered batch: idempotent skip
     multi = int(meta.get("params", {}).get("multi_assign", 1))
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     postings = _nearest_centroids(
@@ -262,7 +272,7 @@ def ivf_index_append(
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
         src=meta.get("src"), params=meta.get("params"),
-        appended_batches=int(meta.get("appended_batches", 0)) + 1,
+        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
     )
     return index_dir
 
@@ -303,6 +313,7 @@ def pq_index_append(
     delta: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> str:
     """Incremental PQ index maintenance: encode a DELTA batch against
     the FROZEN persisted codebook (m/dim read from the manifest, never
@@ -320,6 +331,9 @@ def pq_index_append(
     meta = _manifest(index_dir)
     if meta is None:
         raise ValueError(f"no committed index at {index_dir!r} to append to")
+    applied = list(meta.get("applied_batches", []))
+    if batch_id is not None and batch_id in applied:
+        return index_dir  # redelivered batch: idempotent skip
     params = meta.get("params", {})
     m = int(params.get("m", 8))
     dim = int(params.get("dim", 64))
@@ -357,7 +371,7 @@ def pq_index_append(
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
         src=meta.get("src"), params=params,
-        appended_batches=int(meta.get("appended_batches", 0)) + 1,
+        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
     )
     return index_dir
 

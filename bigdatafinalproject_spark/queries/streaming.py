@@ -364,3 +364,24 @@ def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exactly one sink, with exact integer-cent totals on both
     sides."""
     return S.dlq_routed_totals(spark, sf_dir)
+
+
+@query("stream_pq_index_maintenance", oracle_of="ann_pq_index_append")
+def stream_pq_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trained-PQ index maintenance
+    (streaming/embeddings.stream_pq_index_maintenance): index built on
+    the base corpus, delta embeddings consumed as a multi-batch
+    stream, each micro-batch encoded against the FROZEN codebook and
+    appended exactly once (the index manifest records applied batch
+    ids — a redelivered batch, simulated live after the drain, is an
+    idempotent skip; a double-append would double ADC scores for the
+    delta vectors and the oracle would catch it). Shares the batch
+    ann_pq_index_append oracle: row-local encoding makes the final
+    index batching-independent, so streaming ≡ one-shot maintenance —
+    the freshness pattern a 100 TB embedding pipeline runs
+    continuously, with retrains on a schedule."""
+    from bigdatafinalproject_spark.streaming.embeddings import (
+        stream_pq_index_maintenance as _impl,
+    )
+
+    return _impl(spark, sf_dir)

@@ -105,3 +105,128 @@ def stream_lsh_index(
     )
     q.awaitTermination()
     return spark.read.parquet(out).drop("batch")
+
+
+def _chunked_delta_dir(sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage the DELTA embeddings (vec_id % 3 == 0) as n_chunks FLAT
+    parquet files (pyarrow-written — the file source treats nested
+    Spark output dirs as partition dirs, not batch files; same staging
+    discipline as streaming/cdc._chunked_orders_dir) so
+    maxFilesPerTrigger=1 delivers a multi-batch maintenance stream.
+    Chunk = (vec_id // 3) % n, deterministic and replayable."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = os.path.abspath(table_path(sf_dir, "embeddings"))
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}|delta|{n_chunks}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"bdfp_embdelta_{tag}")
+    if os.path.exists(os.path.join(d, "_STAGED")):
+        return d
+    t = pq.read_table(src)
+    vid = t.column("vec_id").to_numpy()
+    mask = (vid % 3) == 0
+    delta = t.filter(mask)
+    chunk_of = (vid[mask] // 3) % n_chunks
+    tmp = d + f".tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for c in range(n_chunks):
+        pq.write_table(
+            delta.filter(chunk_of == c),
+            os.path.join(tmp, f"chunk{c}.parquet"),
+        )
+    open(os.path.join(tmp, "_STAGED"), "w").write(src)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def stream_pq_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING trained-PQ index maintenance: build the index on the
+    base corpus (batch job), then consume the delta embeddings as a
+    multi-batch stream, each micro-batch encoded against the FROZEN
+    codebook and appended exactly once (pq_index_append's
+    manifest-recorded batch ids make checkpoint-replayed batches an
+    idempotent skip — the JDBC ledger-gate pattern, carried in the
+    index's own commit record). After the stream drains, search the
+    full corpus against the maintained index.
+
+    Because encoding is row-local given a frozen codebook, the final
+    index is independent of batching — the result equals the batch
+    ann_pq_index_append exactly, whose oracle (train-on-base +
+    encode-all) this query shares. Crash honesty: a death mid-append
+    leaves the manifest removed, so the next run sees a non-current
+    index and rebuilds from base (loud, never a silent
+    codes-without-norms serve)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.catalog import load_table
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_pq_index,
+        pq_index_append,
+        pq_index_search,
+    )
+    from bigdatafinalproject_spark.queries.ann import (
+        _PQ_M,
+        _PQ_MAXC,
+        _PQ_MOD,
+        _PQ_ROUNDS,
+        _PQ_SCALE,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    params = dict(
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
+        max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
+    )
+    idx = _scratch(sf_dir, "pqstreamidx")
+    shutil.rmtree(idx, ignore_errors=True)
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    ensure_pq_index(spark, base, idx, fp, **params)
+
+    d = _chunked_delta_dir(sf_dir)
+    raw = (
+        spark.readStream.schema(
+            footer_read_schema(table_path(sf_dir, "embeddings"))
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    def apply(bdf: DataFrame, bid: int) -> None:
+        pq_index_append(spark, idx, bdf, batch_id=bid)
+
+    q = raw.writeStream.foreachBatch(apply).trigger(availableNow=True).start()
+    q.awaitTermination()
+    # at-least-once redelivery simulation: chunk 0's content again
+    # through the live apply path with its original batch id — the
+    # manifest's applied-batch record must skip it (proven by the
+    # oracle: a double-append would duplicate candidate rows and shift
+    # the ADC ranking)
+    import os as _os
+
+    replay = spark.read.parquet(_os.path.join(d, "chunk0.parquet"))
+    pq_index_append(spark, idx, replay, batch_id=0)
+
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return pq_index_search(
+        spark, idx, emb, queries, k=10, m=_PQ_M, dim=64,
+        rerank=4, scale=_PQ_SCALE,
+    )

@@ -81,3 +81,47 @@ def test_crashed_build_leaves_no_manifest_and_rebuilds(spark, tmp_path):
     assert not index_is_current(idx, "ivf", fp)
     ensure_ivf_index(spark, emb, idx, fp, **_PARAMS)
     assert index_is_current(idx, "ivf", fp)
+
+
+def test_append_batch_ids_make_redelivery_idempotent(spark, tmp_path):
+    """The index manifest records applied batch ids: a redelivered
+    batch (same id) is skipped, so checkpoint-replayed micro-batches
+    cannot double-append codes/norms (a double-append would double ADC
+    scores — the streaming maintenance oracle would catch it)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.catalog import load_table, table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_pq_index,
+        pq_index_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    params = dict(
+        m=16, dim=64, codeword_mod=13, max_codewords=64, train_rounds=1
+    )
+    idx = str(tmp_path / "pq_redeliver")
+    fp = corpus_fingerprint(table_path(SF_DIR, "embeddings"), **params)
+    ensure_pq_index(spark, base, idx, fp, **params)
+
+    pq_index_append(spark, idx, delta, batch_id=0)
+    n_codes = spark.read.parquet(f"{idx}/codes").count()
+    n_norms = spark.read.parquet(f"{idx}/norms").count()
+
+    # redelivery: same batch id -> idempotent skip, nothing grows
+    pq_index_append(spark, idx, delta, batch_id=0)
+    assert spark.read.parquet(f"{idx}/codes").count() == n_codes
+    assert spark.read.parquet(f"{idx}/norms").count() == n_norms
+    meta = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [0]
+
+    # a NEW batch id applies (empty delta is fine for the protocol)
+    pq_index_append(spark, idx, delta.limit(0), batch_id=1)
+    meta = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [0, 1]
