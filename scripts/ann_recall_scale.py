@@ -36,6 +36,48 @@ from bigdatafinalproject_spark.operators.ann import (  # noqa: E402
 from bigdatafinalproject_spark.session import get_spark  # noqa: E402
 
 
+def _appended(kind, spark, emb, queries):
+    """Search over a base-trained, delta-appended index (fresh temp
+    dir per call)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ensure_ivf_index,
+        ensure_pq_index,
+        ivf_index_append,
+        ivf_index_search,
+        pq_index_append,
+        pq_index_search,
+    )
+
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = tempfile.mkdtemp(prefix=f"bdfp_recallscale_{kind}_")
+    shutil.rmtree(idx, ignore_errors=True)
+    if kind == "ivf":
+        ensure_ivf_index(
+            spark, base, idx, "recallscale", centroid_mod=37,
+            max_centroids=64, train_rounds=2, multi_assign=3,
+        )
+        ivf_index_append(spark, idx, delta)
+        out = ivf_index_search(spark, idx, emb, queries, k=10, nprobe=8)
+    else:
+        ensure_pq_index(
+            spark, base, idx, "recallscale", m=16, dim=64,
+            codeword_mod=13, max_codewords=64, train_rounds=2,
+        )
+        pq_index_append(spark, idx, delta)
+        out = pq_index_search(
+            spark, idx, emb, queries, k=10, m=16, dim=64, rerank=4
+        )
+    rows = out.collect()
+    shutil.rmtree(idx, ignore_errors=True)
+    return rows
+
+
 def recalls(spark, sf_dir: str) -> dict[str, float]:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(
@@ -64,10 +106,17 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
             emb, queries, k=10, m=16, codeword_mod=13,
             max_codewords=64, rerank=4, train_rounds=2,
         ),
+        # r8 maintained-index tiers: train on the base 2/3, append the
+        # delta 1/3 against the FROZEN quantizer — quantifies the
+        # append-between-retrains drift at every scale point
+        "ivf_appended": lambda: _appended("ivf", spark, emb, queries),
+        "pq_appended": lambda: _appended("pq", spark, emb, queries),
     }
     out = {}
     for name, fn in tiers.items():
-        got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
+        res = fn()
+        rows = res if isinstance(res, list) else res.collect()
+        got = {(r.query_id, r.neighbor_id) for r in rows}
         out[name] = round(
             sum(
                 len({p for p in exact if p[0] == q} & got) / 10.0
