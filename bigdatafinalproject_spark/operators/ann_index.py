@@ -198,7 +198,12 @@ def _install_build(tmp: str, index_dir: str, kind: str, fingerprint: str) -> str
 
 
 def _build_into_tmp(index_dir: str):
-    tmp = f"{index_dir}.build.{os.getpid()}"
+    # pid + thread id: two THREADED builders of the same fingerprint
+    # must not interleave parquet writes into one tmp dir (caught by
+    # tests/test_ann_index.py's threaded double-build race)
+    import threading
+
+    tmp = f"{index_dir}.build.{os.getpid()}.{threading.get_ident()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     return tmp

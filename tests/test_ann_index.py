@@ -125,3 +125,36 @@ def test_append_batch_ids_make_redelivery_idempotent(spark, tmp_path):
     pq_index_append(spark, idx, delta.limit(0), batch_id=1)
     meta = json.load(open(os.path.join(idx, "_meta.json")))
     assert meta["applied_batches"] == [0, 1]
+
+
+def test_threaded_double_build_installs_one_current_index(spark, tmp_path):
+    """Two builders racing for the SAME fingerprint: whatever the
+    interleaving, both calls return, the index ends current, serves
+    correct results, and no writer-unique tmp dirs are left behind
+    (deterministic builds mean either winner's bytes are right)."""
+    import glob
+    import threading
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf_race")
+    fp = corpus_fingerprint(table_path(SF_DIR, "embeddings"), **_PARAMS)
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def build():
+        try:
+            barrier.wait()
+            ensure_ivf_index(spark, emb, idx, fp, **_PARAMS)
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errors.append(e)
+
+    ts = [threading.Thread(target=build) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert index_is_current(idx, "ivf", fp)
+    assert not glob.glob(f"{idx}.build.*"), "abandoned build tmp dirs"
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    assert ivf_index_search(spark, idx, emb, queries, k=10).count() > 0
