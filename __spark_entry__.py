@@ -356,6 +356,56 @@ _R8_FRONT = (
     "stream_pq_index_maintenance",
 )
 
+# driver-checked in r8 (CORRECTNESS_r08.json keys) — union below
+_R8_DRIVER_CHECKED = (
+    "ann_ivf_topk", "ann_pq_topk", "ann_ivf_recall", "ann_pq_recall",
+    "embedding_kmeans", "doc_semantic_dedup", "orders_price_drift",
+    "stream_dlq_routing", "stream_jdbc_exactly_once",
+    "stream_orders_cdc_apply", "orders_write_audit_publish",
+    "stream_tumbling", "stream_click_purchase_join",
+    "brand_week_lag_chain", "repeat_supplier_no_return_orders",
+    "ann_ivf_index_search", "ann_pq_index_search", "ann_pq_index_append",
+    "ann_ivf_index_append", "stream_pq_index_maintenance",
+)
+
+_R9_FRONT = (
+    # (a) changed in round 9
+    # index maintenance writers (append + the new compaction) now
+    # SERIALIZE through an exclusive-create CAS on the index's
+    # _applog (VERDICT r8 #1: the unserialized manifest RMW could
+    # lose an applied_batches entry and set up a redelivery
+    # double-append); manifests carry mver + base/appended row
+    # counters (retrain trigger), and the build fingerprints of the
+    # append/maintenance queries are salted with the base-subset
+    # predicate (ADVICE r8). Results are bit-identical; the protocol
+    # and plans changed, so all five index queries re-front.
+    "ann_pq_index_append",
+    "ann_ivf_index_append",
+    # serve params (PQ subspace layout) now read from the MANIFEST —
+    # a caller-supplied mismatched m/dim raises (VERDICT r8 #2); a
+    # mid-maintenance (invalidated) index refuses to serve
+    "ann_pq_index_search",
+    "ann_ivf_index_search",
+    # streaming maintenance now also asserts the retrain trigger
+    # (appended 1/2 of base: flips a 0.4 budget, quiet at 0.6)
+    "stream_pq_index_maintenance",
+    # CDC time travel consults the _log commit records: an
+    # uncommitted crash-artifact snapshot is invisible to
+    # store_versions/store_as_of/the hwm walk (ADVICE r8 medium)
+    "stream_orders_cdc_apply",
+    # WAP retention keeps the N highest EXISTING version dirs (gap-
+    # robust sweep, ADVICE r8)
+    "orders_write_audit_publish",
+    # LSH retune (multiprobe breadth / tiering — see round notes)
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    # (b) new in round 9
+    # index OPTIMIZE: compaction of the appended file sets under the
+    # same CAS + invalidate-then-recommit protocol; shares the append
+    # oracle (content-neutrality theorem)
+    "ann_pq_index_compact",
+)
+
 _R7_FRONT = (
     # (a) changed in round 7
     # IVF centroid + PQ codebook sampling now RELATIVE to min(id)
@@ -386,8 +436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R5_DRIVER_CHECKED)
         | set(_R6_DRIVER_CHECKED)
         | set(_R7_DRIVER_CHECKED)
+        | set(_R8_DRIVER_CHECKED)
     )
-    front = [n for n in _R8_FRONT if n in registry.QUERIES]
+    front = [n for n in _R9_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

@@ -37,6 +37,13 @@ def _entry(log_dir: str, version: int) -> str:
     return os.path.join(log_dir, f"v{version:012d}.json")
 
 
+def entry_path(log_dir: str, version: int) -> str:
+    """Path of a version's log entry (for age/liveness inspection by
+    writers that need to distinguish a live claimant from a crashed
+    one — operators/ann_index's append serialization)."""
+    return _entry(log_dir, version)
+
+
 def latest_version(log_dir: str) -> int | None:
     """Highest committed version in the log, or None for a fresh log."""
     try:

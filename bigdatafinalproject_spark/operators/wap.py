@@ -138,14 +138,23 @@ def _sweep(dest: str, version: int, staging_suffix: str) -> None:
     """Post-publish garbage collection (r8 review finding #7): drop
     version directories older than the retained window and abandoned
     staging siblings from crashed/raced writers. Best-effort — a
-    failure here never fails the publish."""
+    failure here never fails the publish.
+
+    Retention keeps the ``_KEEP_VERSIONS`` highest EXISTING version
+    directories, not a version-number threshold (ADVICE r8): version
+    numbers are NOT dense — a CAS-claimed-but-crashed publish leaves a
+    numbering gap with no directory, after which ``v <= version - N``
+    arithmetic would sweep the directory that was serving until a
+    moment ago, shrinking the promised current+previous window under a
+    mid-scan reader."""
+    vdirs: list[tuple[int, str]] = []
     for p in _glob.glob(f"{dest}_v[0-9]*"):
         try:
-            v = int(p.rsplit("_v", 1)[1])
+            vdirs.append((int(p.rsplit("_v", 1)[1]), p))
         except ValueError:
             continue
-        if v <= version - _KEEP_VERSIONS:
-            shutil.rmtree(p, ignore_errors=True)
+    for _, p in sorted(vdirs)[:-_KEEP_VERSIONS]:
+        shutil.rmtree(p, ignore_errors=True)
     import time as _time
 
     for p in _glob.glob(f"{dest}{staging_suffix}_*"):

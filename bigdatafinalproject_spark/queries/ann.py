@@ -601,9 +601,10 @@ def ann_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
+    # subspace layout (m/dim) comes from the index MANIFEST — the
+    # single source of truth; only genuine serve knobs are passed
     return pq_index_search(
-        spark, idx, emb, queries, k=10, m=_PQ_M, dim=64,
-        rerank=4, scale=_PQ_SCALE,
+        spark, idx, emb, queries, k=10, rerank=4, scale=_PQ_SCALE,
     )
 
 
@@ -654,13 +655,79 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caching a half-appended state
     idx = _scratch(sf_dir, "pqappendidx")
     shutil.rmtree(idx, ignore_errors=True)
-    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    # base_pred salts the fingerprint (ADVICE r8): a base-trained and a
+    # full-corpus index of the same source can never share a cache key
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
+    )
     ensure_pq_index(spark, base, idx, fp, **params)
     pq_index_append(spark, idx, delta)
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
     return pq_index_search(
-        spark, idx, emb, queries, k=10, m=_PQ_M, dim=64,
-        rerank=4, scale=_PQ_SCALE,
+        spark, idx, emb, queries, k=10, rerank=4, scale=_PQ_SCALE,
+    )
+
+
+@query("ann_pq_index_compact", oracle_of="ann_pq_index_append")
+def ann_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index compaction (operators/ann_index.compact_index — VERDICT
+    r8 residual #1): the maintained index accretes one parquet file
+    set per appended batch (per MICRO-batch on the streaming path), so
+    a long-running maintained index degrades scan-side. This query
+    builds on base, appends the delta in TWO batches (extra file
+    sets), then compacts the codes/norms tables to size-targeted files
+    under the same CAS-claim + invalidate-then-recommit protocol the
+    appends use, and serves from the compacted index.
+
+    Shares ``ann_pq_index_append``'s oracle: compaction is
+    REWRITE-ONLY, so a hash match is the content-neutrality theorem —
+    build(base) ⊎ append(delta) ⊎ compact ≡ encode(all | codebook(base))
+    — while the file-count reduction is raised on (not silently
+    assumed). ``applied_batches`` and the retrain counters survive the
+    rewrite, so redelivery idempotence and the drift budget are intact
+    after OPTIMIZE."""
+    import shutil
+
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        compact_index,
+        corpus_fingerprint,
+        ensure_pq_index,
+        pq_index_append,
+        pq_index_search,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_PQ_BASE_PRED))
+    delta = emb.filter(~F.expr(_PQ_BASE_PRED))
+    params = dict(
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
+        max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
+    )
+    idx = _scratch(sf_dir, "pqcompactidx")
+    shutil.rmtree(idx, ignore_errors=True)
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
+    )
+    ensure_pq_index(spark, base, idx, fp, **params)
+    # two delta batches -> two extra file sets per appended table
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                    batch_id=0)
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
+                    batch_id=1)
+    stats = compact_index(spark, idx)
+    for t, (before, after) in stats.items():
+        if after >= before:
+            raise RuntimeError(
+                f"compact_index did not reduce {t} file count "
+                f"({before} -> {after})"
+            )
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return pq_index_search(
+        spark, idx, emb, queries, k=10, rerank=4, scale=_PQ_SCALE,
     )

@@ -289,7 +289,11 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = _scratch(sf_dir, "ivfappendidx")
     shutil.rmtree(idx, ignore_errors=True)
-    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    # base_pred salts the fingerprint (ADVICE r8): a base-trained and a
+    # full-corpus index of the same source can never share a cache key
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_IVF_BASE_PRED, **params
+    )
     ensure_ivf_index(spark, base, idx, fp, **params)
     ivf_index_append(spark, idx, delta)
     queries = emb.filter(

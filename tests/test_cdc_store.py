@@ -391,3 +391,51 @@ def test_cdc_redelivered_batch_is_idempotently_skipped(spark, tmp_path):
     shutil.rmtree(f"{out}/v=1")
     with pytest.raises(RuntimeError, match="corrupted"):
         apply_cdc_batch(spark, out, orders, 1)
+
+
+def test_uncommitted_snapshot_is_invisible_to_time_travel(
+    spark, tmp_path
+):
+    """ADVICE r8 (medium): a ``v=`` directory without a ``_log``
+    commit record is a crash artifact from an attempt that died before
+    its commit — apply_cdc_batch itself classifies it as invalid and
+    rewrites it. Time travel must not serve it: store_versions
+    excludes it, store_as_of refuses it by name, the timestamp walk
+    resolves to the committed chain, and the final-state read ignores
+    it."""
+    import shutil
+
+    out = str(tmp_path / "store")
+    final, n = stream_cdc_latest_store(spark, SF_DIR, out_dir=out)
+    committed = store_versions(out)
+    assert committed == list(range(n))
+
+    # crash artifact: content for version n with NO commit record
+    # (copy an existing snapshot's bytes — content is irrelevant)
+    shutil.copytree(f"{out}/v={n - 1}", f"{out}/v={n}")
+    assert store_versions(out) == committed  # invisible
+    with pytest.raises(ValueError, match=f"v={n} not retained"):
+        store_as_of(spark, out, n)
+    # the hwm walk resolves within the committed chain
+    hwm = (
+        spark.read.parquet(f"{out}/v={n - 1}")
+        .agg(F.max("s.o_orderdate"))
+        .first()[0]
+    )
+    _, resolved = store_as_of_timestamp(spark, out, hwm)
+    assert resolved == n - 1
+
+
+def test_legacy_store_without_log_lists_by_directory(spark, tmp_path):
+    """A store written before the commit log existed (no _log dir)
+    still time-travels by directory listing — the documented legacy
+    fallback."""
+    import shutil
+
+    out = str(tmp_path / "store")
+    stream_cdc_latest_store(spark, SF_DIR, out_dir=out)
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(out, legacy)
+    shutil.rmtree(f"{legacy}/_log")
+    assert store_versions(legacy) == store_versions(out)
+    assert store_as_of(spark, legacy, 0).count() > 0

@@ -219,3 +219,23 @@ def test_old_versions_are_swept_past_retention(spark, tmp_path):
     assert not os.path.exists(f"{dest}_v1")
     assert not os.path.exists(f"{dest}_v2")
     assert os.path.isdir(f"{dest}_v3") and os.path.isdir(f"{dest}_v4")
+
+
+def test_sweep_survives_version_gap_from_crashed_claim(spark, tmp_path):
+    """ADVICE r8: version numbers are not dense — a CAS-claimed-but-
+    crashed publish leaves a numbering gap with no directory. The
+    sweep must retain the N highest EXISTING version directories, so
+    the previously-serving version survives even when the arithmetic
+    window (v <= version - N) would have swept it."""
+    orders = load_table(spark, SF_DIR, "orders").limit(100)
+    dest = str(tmp_path / "t")
+    write_audit_publish(spark, orders, dest, _audits())  # v1 serves
+    # crashed publisher: claimed v2, died before staging its content
+    commit_exclusive(dest + "_log", 2, {"crashed": True})
+    write_audit_publish(spark, orders, dest, _audits())  # lands v3
+    assert latest_version(dest + "_log") == 3
+    assert os.path.isdir(f"{dest}_v3")
+    # v1 was serving until a moment ago: it MUST survive the sweep
+    # (old arithmetic: 1 <= 3-2 would have deleted it mid-scan)
+    assert os.path.isdir(f"{dest}_v1")
+    assert read_published(spark, dest).count() == 100
