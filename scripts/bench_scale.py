@@ -98,6 +98,30 @@ def _fit(xs: list[float], ys: list[float]) -> tuple[float, float]:
     return slope, r2
 
 
+def _fit_offset(
+    sfs: list[float], ts: list[float]
+) -> tuple[float, float, float]:
+    """Fit t = c + a*sf^alpha (fixed session/plan overhead + a power
+    data term) by grid-searching c and log-log fitting the residual.
+    The naive log-log exponent is DEFLATED at the small end by fixed
+    overhead (r9: the two re-measured sf3 outliers fit this model at
+    r2 0.99 with alpha ~1 — linear data cost under a constant
+    offset, where the naive fit read r2 ~0.9). Returns
+    (c, alpha, r2)."""
+    best = (0.0, float("nan"), -1.0)
+    lo = min(ts)
+    for i in range(0, int(lo * 20)):
+        c = i * 0.05
+        if c >= lo:
+            break
+        alpha, r2 = _fit(
+            [math.log(s) for s in sfs], [math.log(t - c) for t in ts]
+        )
+        if r2 > best[2]:
+            best = (round(c, 2), round(alpha, 3), round(r2, 3))
+    return best
+
+
 def main() -> None:
     default_dirs = "/root/testdata/sf0.1," + ",".join(
         str(REPO / ".scaledata" / d)
@@ -122,6 +146,10 @@ def main() -> None:
             )
             entry["exponent"] = round(alpha, 3)
             entry["r2"] = round(r2, 3)
+            c, oalpha, or2 = _fit_offset(sfs, ts)
+            entry["fixed_sec"] = c
+            entry["data_exponent"] = oalpha
+            entry["data_r2"] = or2
         else:
             entry["exponent"] = None
         rows[q] = entry
