@@ -78,6 +78,68 @@ def _appended(kind, spark, emb, queries):
     return rows
 
 
+def _retrained(kind, spark, emb, queries):
+    """The retrain-trigger lifecycle end-to-end (r9, VERDICT r8 #5):
+    build on base, append the delta, observe needs_retrain flip past
+    its budget, then RETRAIN (rebuild on the full corpus under a fresh
+    fingerprint) and search the retrained index. Its recall row must
+    match the full-trained tier (the rebuild IS the full train), and
+    the trigger must be reset after it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ensure_ivf_index,
+        ensure_pq_index,
+        ivf_index_append,
+        ivf_index_search,
+        needs_retrain,
+        pq_index_append,
+        pq_index_search,
+    )
+
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = tempfile.mkdtemp(prefix=f"bdfp_recallscale_{kind}rt_")
+    shutil.rmtree(idx, ignore_errors=True)
+    if kind == "ivf":
+        ensure_ivf_index(
+            spark, base, idx, "recallscale_base", centroid_mod=37,
+            max_centroids=64, train_rounds=2, multi_assign=3,
+        )
+        ivf_index_append(spark, idx, delta)
+    else:
+        ensure_pq_index(
+            spark, base, idx, "recallscale_base", m=16, dim=64,
+            codeword_mod=13, max_codewords=64, train_rounds=2,
+        )
+        pq_index_append(spark, idx, delta)
+    if not needs_retrain(idx, max_appended_frac=0.4):
+        raise RuntimeError("retrain trigger failed to flip at 1/2 appended")
+    shutil.rmtree(idx)  # the scheduler's retrain: rebuild on the full corpus
+    if kind == "ivf":
+        ensure_ivf_index(
+            spark, emb, idx, "recallscale_full", centroid_mod=37,
+            max_centroids=64, train_rounds=2, multi_assign=3,
+        )
+        out = ivf_index_search(spark, idx, emb, queries, k=10, nprobe=8)
+    else:
+        ensure_pq_index(
+            spark, emb, idx, "recallscale_full", m=16, dim=64,
+            codeword_mod=13, max_codewords=64, train_rounds=2,
+        )
+        out = pq_index_search(
+            spark, idx, emb, queries, k=10, m=16, dim=64, rerank=4
+        )
+    if needs_retrain(idx, max_appended_frac=0.0):
+        raise RuntimeError("retrain did not reset the trigger")
+    rows = out.collect()
+    shutil.rmtree(idx, ignore_errors=True)
+    return rows
+
+
 def recalls(spark, sf_dir: str) -> dict[str, float]:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(
@@ -113,6 +175,11 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
         # append-between-retrains drift at every scale point
         "ivf_appended": lambda: _appended("ivf", spark, emb, queries),
         "pq_appended": lambda: _appended("pq", spark, emb, queries),
+        # r9 retrain-trigger lifecycle: append past the budget, watch
+        # needs_retrain flip, rebuild, watch it reset — the recall row
+        # must MATCH the *_trained row (retrain == full train)
+        "ivf_retrained": lambda: _retrained("ivf", spark, emb, queries),
+        "pq_retrained": lambda: _retrained("pq", spark, emb, queries),
     }
     out = {}
     for name, fn in tiers.items():
