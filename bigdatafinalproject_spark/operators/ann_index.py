@@ -557,6 +557,15 @@ def compact_index(
     query shares the append oracle to prove the served results are
     bit-identical.
 
+    Reader honesty: like any in-place OPTIMIZE without snapshot
+    isolation, a search whose SCAN is already planned when the swap
+    lands can fail loudly on vanished files (never read mixed
+    content — the swap replaces whole directories); a search planned
+    after the invalidate refuses via the manifest check. Full
+    reader/writer isolation is the WAP pointer layout's job
+    (immutable version dirs), which an index served at query volume
+    would adopt.
+
     Returns {table: (files_before, files_after)}.
     """
     from bigdatafinalproject_spark.operators.layout import compact

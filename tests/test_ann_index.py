@@ -415,3 +415,39 @@ def test_search_refuses_mid_append_invalidated_index(spark, tmp_path):
     os.remove(os.path.join(idx, "_meta.json"))
     with pytest.raises(ValueError, match="no committed ivf index"):
         ivf_index_search(spark, idx, emb, emb.limit(5), k=5)
+
+
+def test_compact_ivf_postings_content_neutral(spark, tmp_path):
+    """compact_index on the IVF kind: the appended postings file sets
+    rewrite to fewer files with bit-identical serve results."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        compact_index,
+        ivf_index_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf_compact")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    ivf_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                     batch_id=0)
+    ivf_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
+                     batch_id=1)
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    pre = {
+        tuple(r)
+        for r in ivf_index_search(spark, idx, emb, queries, k=10).collect()
+    }
+    stats = compact_index(spark, idx)
+    assert set(stats) == {"postings"}
+    before, after = stats["postings"]
+    assert after < before, (before, after)
+    post = {
+        tuple(r)
+        for r in ivf_index_search(spark, idx, emb, queries, k=10).collect()
+    }
+    assert post == pre and len(post) > 0
