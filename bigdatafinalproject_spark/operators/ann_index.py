@@ -80,6 +80,7 @@ from bigdatafinalproject_spark.operators.txlog import (
     ConcurrentWriteError,
     commit_exclusive,
     entry_path,
+    prune,
 )
 
 _META = "_meta.json"
@@ -91,13 +92,15 @@ _APPLOG = "_applog"
 # to the manifest schema (v2: mver + base_rows/appended_rows, so every
 # served manifest carries the writer-serialization + retrain fields)
 _ALGO_VERSION = 2
-# a claim this old with the manifest still at the PREVIOUS mver is a
-# crashed claimant (a live one removes the manifest within its next
-# few syscalls) — its slot is skipped, never reused
-_CLAIM_GRACE_S = 60.0
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
-# are seconds each)
+# are seconds each). Crashed-vs-live claimants are decided by PID
+# liveness, never by claim age: the claim→invalidate window contains
+# full Spark jobs (delta counts, compaction rewrites), so any time
+# heuristic would eventually judge a live writer dead and re-open the
+# concurrent-writer race this log exists to close (r9 review #1) —
+# while pid probing is exact for this log's scope (O_EXCL is a
+# same-host primitive; an object-store port swaps both for leases)
 _WRITER_WAIT_S = 300.0
 
 _APPEND_TABLES = {"ivf": ("postings",), "pq": ("codes", "norms")}
@@ -265,6 +268,25 @@ def _build_into_tmp(index_dir: str):
     return tmp
 
 
+def _pid_alive(pid) -> bool:
+    try:
+        os.kill(int(pid), 0)
+        return True
+    except (ProcessLookupError, TypeError, ValueError):
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
+def _claim_pid(log: str, version: int):
+    """The pid recorded in a claim entry, or None if unreadable."""
+    try:
+        with open(entry_path(log, version)) as f:
+            return json.load(f).get("pid")
+    except (OSError, ValueError):
+        return None
+
+
 def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
     """CAS-claim the next maintenance-writer slot (``mver+1`` in the
     index's ``_applog``) — the serialization point for appends and
@@ -275,13 +297,18 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
 
     The slot number comes from the MANIFEST (the OCC read snapshot),
     not from listing the log: two writers that read the same manifest
-    race for the SAME slot, so exactly one proceeds. A claim whose
-    slot is still unfilled after ``_CLAIM_GRACE_S`` with the manifest
-    untouched is a claimant that crashed in the claim→invalidate
-    window (the index is still fully serveable); its slot is skipped
-    — never reused — and the next writer claims past it."""
+    race for the SAME slot, so exactly one proceeds. A contended slot
+    whose claimant PID is dead (claims record their writer pid; the
+    log's O_EXCL primitive is same-host, so pid liveness is exact
+    here) is a claimant that crashed in the claim→invalidate window —
+    the index is still fully serveable; the dead slot is skipped,
+    never reused. A LIVE claimant always wins the contention, however
+    long its Spark work runs (never a time heuristic — r9 review #1:
+    claim age cannot distinguish a crash from a long compaction
+    rewrite, and guessing wrong re-opens the lost-update race)."""
     log = os.path.join(index_dir, _APPLOG)
     target = int(meta.get("mver", 0)) + 1
+    payload = dict(payload, pid=os.getpid())
     while True:
         try:
             commit_exclusive(log, target, payload)
@@ -292,14 +319,21 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
                 # a live writer holds (or already filled) the slot:
                 # the caller must re-read and retry
                 raise
-            try:
-                age = time.time() - os.path.getmtime(entry_path(log, target))
-            except OSError:
+            pid = _claim_pid(log, target)
+            if pid is None:
+                # claim exists but payload unreadable: either the
+                # winner is between its O_EXCL create and the payload
+                # write (microseconds of pure syscalls) or it died
+                # exactly there — re-read once past that window
+                time.sleep(0.05)
+                pid = _claim_pid(log, target)
+            if pid is not None and _pid_alive(pid):
+                # a live writer (possibly a thread-sibling in this
+                # same pid) holds the slot
                 raise ConcurrentWriteError(
-                    f"writer slot {target} contended at {index_dir!r}"
+                    f"writer slot {target} held by live pid {pid} "
+                    f"at {index_dir!r}"
                 ) from None
-            if age <= _CLAIM_GRACE_S:
-                raise
             target += 1  # crashed claimant: skip its dead slot
 
 
@@ -330,24 +364,37 @@ def _writer_txn(
                     raise
                 time.sleep(0.05)
                 continue
-        # no manifest: either a live writer is mid-append (a recent
-        # claim exists — wait for its recommit; its Spark job can run
-        # far longer than the claim→invalidate grace, so liveness here
-        # uses the full writer window) or the index crashed / was
-        # never built (loud error; rebuild is the remedy)
+        # no manifest: either a live writer is mid-append (a claim
+        # from a LIVE pid exists — wait for its recommit, however long
+        # its Spark job runs) or the index crashed / was never built.
+        # Liveness is pid-probed, never time-based (r9 review #1/#3);
+        # a live writer outlasting the deadline raises a WAIT error
+        # naming it — never the 'rebuild it' remedy, which would point
+        # a scheduler at destroying a healthy mid-append index.
         log = os.path.join(index_dir, _APPLOG)
-        fresh_claim = False
+        live_pid = None
         try:
-            for n in os.listdir(log):
-                if time.time() - os.path.getmtime(os.path.join(log, n)) <= wait_s:
-                    fresh_claim = True
+            for n in sorted(os.listdir(log), reverse=True):
+                try:
+                    with open(os.path.join(log, n)) as f:
+                        pid = json.load(f).get("pid")
+                except (OSError, ValueError):
+                    continue
+                if _pid_alive(pid):
+                    live_pid = pid
                     break
         except OSError:
             pass
-        if not fresh_claim or time.monotonic() > deadline:
+        if live_pid is None:
             raise ValueError(
                 f"no committed index at {index_dir!r} to {op} "
                 f"(never built, or crashed mid-append — rebuild it)"
+            )
+        if time.monotonic() > deadline:
+            raise ConcurrentWriteError(
+                f"timed out waiting for live writer pid {live_pid} "
+                f"to recommit {index_dir!r} (index is mid-{op} by a "
+                f"healthy writer — do NOT rebuild; retry later)"
             )
         time.sleep(0.05)
 
@@ -372,10 +419,16 @@ def ensure_ivf_index(
         postings.write.mode("overwrite").parquet(
             os.path.join(tmp, "postings")
         )
+        # base_rows from the just-written postings' parquet FOOTERS
+        # (row count / multi_assign — _nearest_centroids emits exactly
+        # multi rows per vector), never an extra corpus scan (r9
+        # review #7: a redundant full pass per retrain at 100 TB)
+        multi = int(build_params.get("multi_assign", 1))
+        n_post = spark.read.parquet(os.path.join(tmp, "postings")).count()
         _commit(
             tmp, "ivf", fingerprint, ["centroids", "postings"],
             src=src, params=build_params,
-            base_rows=corpus.count(),
+            base_rows=n_post // multi,
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # no abandoned tmp dirs
@@ -426,6 +479,11 @@ def ivf_index_append(
         mver=mver, base_rows=meta.get("base_rows"),
         appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
     )
+    # bound the writer log: entries below the committed mver are spent
+    # (slot numbers come from the manifest, so pruning cannot affect
+    # any future CAS) — without this a streaming-maintained index
+    # accretes one claim file per micro-batch forever (r9 review #8)
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
     return index_dir
 
 
@@ -447,10 +505,12 @@ def ensure_pq_index(
         cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
         codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
         norms.write.mode("overwrite").parquet(os.path.join(tmp, "norms"))
+        # base_rows from the just-written norms table (one row per
+        # corpus vector) via parquet footers — no extra corpus scan
         _commit(
             tmp, "pq", fingerprint, ["codebook", "codes", "norms"],
             src=src, params=build_params,
-            base_rows=corpus.count(),
+            base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -530,6 +590,7 @@ def pq_index_append(
         mver=mver, base_rows=meta.get("base_rows"),
         appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
     )
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)  # see ivf twin
     return index_dir
 
 
@@ -607,6 +668,7 @@ def compact_index(
         mver=mver, base_rows=meta.get("base_rows"),
         appended_rows=int(meta.get("appended_rows", 0)),
     )
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)  # see append twin
     return stats
 
 

@@ -141,18 +141,25 @@ def _sweep(dest: str, version: int, staging_suffix: str) -> None:
     failure here never fails the publish.
 
     Retention keeps the ``_KEEP_VERSIONS`` highest EXISTING version
-    directories, not a version-number threshold (ADVICE r8): version
-    numbers are NOT dense — a CAS-claimed-but-crashed publish leaves a
-    numbering gap with no directory, after which ``v <= version - N``
-    arithmetic would sweep the directory that was serving until a
-    moment ago, shrinking the promised current+previous window under a
-    mid-scan reader."""
+    directories AT OR BELOW the version just published, not a
+    version-number threshold (ADVICE r8): version numbers are NOT
+    dense — a CAS-claimed-but-crashed publish leaves a numbering gap
+    with no directory, after which ``v <= version - N`` arithmetic
+    would sweep the directory that was serving until a moment ago,
+    shrinking the promised current+previous window under a mid-scan
+    reader. Directories ABOVE ``version`` are excluded from the count
+    (r9 review #2): they belong to a CONCURRENT publisher between its
+    version rename and its pointer swap — counting one would push this
+    publisher's previous version out of the retained window while
+    readers may still hold it."""
     vdirs: list[tuple[int, str]] = []
     for p in _glob.glob(f"{dest}_v[0-9]*"):
         try:
-            vdirs.append((int(p.rsplit("_v", 1)[1]), p))
+            v = int(p.rsplit("_v", 1)[1])
         except ValueError:
             continue
+        if v <= version:
+            vdirs.append((v, p))
     for _, p in sorted(vdirs)[:-_KEEP_VERSIONS]:
         shutil.rmtree(p, ignore_errors=True)
     import time as _time

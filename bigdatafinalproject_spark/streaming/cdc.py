@@ -279,6 +279,24 @@ def vacuum_snapshots(out_dir: str, keep: int = 1) -> list[int]:
     for v in removed:
         shutil.rmtree(f"{out_dir}/v={v}", ignore_errors=True)
         shutil.rmtree(f"{out_dir}/m={v}", ignore_errors=True)
+    # UNCOMMITTED crash artifacts (content without a _log record) are
+    # invisible to store_versions since r9, so the committed-only
+    # retention walk above can never reclaim them (r9 review #5) —
+    # sweep them here, sparing only max(committed)+1: that slot may be
+    # a LIVE writer's in-flight batch (vacuum during an active stream
+    # is otherwise caller misuse, same scope as the rebuild contract)
+    if versions:
+        in_flight = versions[-1] + 1
+        listed = {
+            int(p.split("=")[1])
+            for p in os.listdir(out_dir)
+            if p.startswith("v=")
+        }
+        for v in sorted(listed - set(versions)):
+            if v != in_flight:
+                shutil.rmtree(f"{out_dir}/v={v}", ignore_errors=True)
+                shutil.rmtree(f"{out_dir}/m={v}", ignore_errors=True)
+                removed.append(v)
     if removed:
         from bigdatafinalproject_spark.operators.txlog import prune
 

@@ -180,6 +180,7 @@ def stream_pq_index_maintenance(
         pq_index_search,
     )
     from bigdatafinalproject_spark.queries.ann import (
+        _PQ_BASE_PRED,
         _PQ_M,
         _PQ_MAXC,
         _PQ_MOD,
@@ -189,7 +190,11 @@ def stream_pq_index_maintenance(
     from bigdatafinalproject_spark.queries.layout import _scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") % 3 != 0)
+    # ONE constant defines the base subset — as the split predicate
+    # AND the fingerprint salt (r9 review #6: a hand-copied predicate
+    # string would let the cache key silently stop describing the
+    # real training subset if either copy drifted)
+    base = emb.filter(F.expr(_PQ_BASE_PRED))
     params = dict(
         m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
         max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
@@ -199,7 +204,7 @@ def stream_pq_index_maintenance(
     # base_pred salts the fingerprint (ADVICE r8): a base-trained and a
     # full-corpus index of the same source can never share a cache key
     fp = corpus_fingerprint(
-        table_path(sf_dir, "embeddings"), base_pred="vec_id % 3 <> 0",
+        table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED,
         **params,
     )
     ensure_pq_index(spark, base, idx, fp, **params)

@@ -108,9 +108,12 @@ def _fit_offset(
     r2 0.99 with alpha ~1 — linear data cost under a constant
     offset, where the naive fit read r2 ~0.9). Returns
     (c, alpha, r2)."""
-    best = (0.0, float("nan"), -1.0)
+    a0, r0 = _fit([math.log(s) for s in sfs], [math.log(t) for t in ts])
+    best = (0.0, round(a0, 3), round(r0, 3))
     lo = min(ts)
-    for i in range(0, int(lo * 20)):
+    # range guard: a sub-0.05s fastest point must fall back to the
+    # plain fit (c=0), never emit NaN into the JSON artifact
+    for i in range(1, max(1, int(lo * 20))):
         c = i * 0.05
         if c >= lo:
             break

@@ -451,3 +451,79 @@ def test_compact_ivf_postings_content_neutral(spark, tmp_path):
         for r in ivf_index_search(spark, idx, emb, queries, k=10).collect()
     }
     assert post == pre and len(post) > 0
+
+
+def test_dead_claimant_slot_is_skipped_and_log_pruned(spark, tmp_path):
+    """A writer that died between its CAS claim and the manifest
+    invalidate leaves a claim from a DEAD pid: the next appender skips
+    the dead slot (pid-probed, never a time heuristic) and proceeds;
+    after its recommit the spent log entries are pruned."""
+    import json
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        pq_index_append,
+    )
+    from bigdatafinalproject_spark.operators.txlog import commit_exclusive
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_deadpid")
+    # dead claimant at slot 1 (pid 2^22+7 is far above pid_max here)
+    commit_exclusive(
+        _os.path.join(idx, "_applog"), 1,
+        {"op": "append", "batch_id": 99, "pid": 4194311},
+    )
+    pq_index_append(spark, idx, delta, batch_id=0)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [0]
+    assert meta["mver"] == 2  # slot 1 skipped, never reused
+    # spent entries below mver are pruned; the winning claim remains
+    entries = sorted(_os.listdir(_os.path.join(idx, "_applog")))
+    assert entries == ["v000000000002.json"]
+
+
+def test_live_foreign_claim_times_out_without_rebuild_advice(
+    spark, tmp_path
+):
+    """A claim held by a LIVE pid (here: our own, simulating a writer
+    whose Spark job outlasts the wait) makes a contending appender
+    time out with a retry-later error that explicitly does NOT advise
+    rebuilding — never the crashed-index ValueError."""
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _writer_txn,
+    )
+    from bigdatafinalproject_spark.operators.txlog import (
+        ConcurrentWriteError,
+        commit_exclusive,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_livepid")
+    commit_exclusive(
+        _os.path.join(idx, "_applog"), 1,
+        {"op": "append", "batch_id": 99, "pid": _os.getpid()},
+    )
+    with pytest.raises(ConcurrentWriteError, match="live pid"):
+        _writer_txn(idx, 0, "append", wait_s=0.3)
+    # and with the manifest REMOVED (mid-append state), the timeout
+    # error names the live writer and forbids the rebuild remedy
+    _os.remove(_os.path.join(idx, "_meta.json"))
+    with pytest.raises(ConcurrentWriteError, match="do NOT rebuild"):
+        _writer_txn(idx, 0, "append", wait_s=0.3)
+
+
+def test_base_rows_recorded_without_extra_corpus_scan(spark, tmp_path):
+    """base_rows must equal the corpus cardinality for both kinds
+    (derived from the written index tables' parquet footers)."""
+    import json
+    import os as _os
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    idx = str(tmp_path / "ivf_baserows")
+    fp = corpus_fingerprint(table_path(SF_DIR, "embeddings"), **_PARAMS)
+    ensure_ivf_index(spark, emb, idx, fp, **_PARAMS)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta["base_rows"] == n

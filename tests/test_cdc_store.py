@@ -439,3 +439,27 @@ def test_legacy_store_without_log_lists_by_directory(spark, tmp_path):
     shutil.rmtree(f"{legacy}/_log")
     assert store_versions(legacy) == store_versions(out)
     assert store_as_of(spark, legacy, 0).count() > 0
+
+
+def test_vacuum_sweeps_uncommitted_artifacts_except_in_flight(
+    spark, tmp_path
+):
+    """Committed-only store_versions hides crash artifacts from the
+    retention walk, so vacuum must reclaim them explicitly — all but
+    the max(committed)+1 slot, which may be a live writer's in-flight
+    batch (r9 review)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "store")
+    final, n = stream_cdc_latest_store(spark, SF_DIR, out_dir=out)
+    # artifact BELOW the chain head (version n-1 exists committed;
+    # fake an uncommitted duplicate at n+3) and the in-flight slot n
+    shutil.copytree(f"{out}/v={n - 1}", f"{out}/v={n}")       # in-flight
+    shutil.copytree(f"{out}/v={n - 1}", f"{out}/v={n + 3}")   # artifact
+    removed = vacuum_snapshots(out, keep=1)
+    assert n + 3 in removed
+    assert not os.path.exists(f"{out}/v={n + 3}")
+    assert os.path.exists(f"{out}/v={n}")  # spared: possibly live
+    # the committed latest is untouched
+    assert os.path.exists(f"{out}/v={n - 1}")

@@ -239,3 +239,26 @@ def test_sweep_survives_version_gap_from_crashed_claim(spark, tmp_path):
     # (old arithmetic: 1 <= 3-2 would have deleted it mid-scan)
     assert os.path.isdir(f"{dest}_v1")
     assert read_published(spark, dest).count() == 100
+
+
+def test_sweep_ignores_concurrent_unpublished_higher_version(
+    spark, tmp_path
+):
+    """A concurrent publisher between its version rename and pointer
+    swap leaves a directory ABOVE the just-published version: the
+    sweep must not count it toward retention, or the previous serving
+    version would be reclaimed from under mid-scan readers (r9
+    review)."""
+    import shutil
+
+    orders = load_table(spark, SF_DIR, "orders").limit(100)
+    dest = str(tmp_path / "t")
+    write_audit_publish(spark, orders, dest, _audits())  # v1
+    # concurrent publisher's renamed-but-unpublished v99
+    shutil.copytree(f"{dest}_v1", f"{dest}_v99")
+    write_audit_publish(spark, orders, dest, _audits())  # v2 publishes
+    # retained window below v2: {v2, v1} — v1 must survive
+    assert os.path.isdir(f"{dest}_v1")
+    assert os.path.isdir(f"{dest}_v2")
+    assert os.path.isdir(f"{dest}_v99")  # not this sweep's to touch
+    assert read_published(spark, dest).count() == 100
