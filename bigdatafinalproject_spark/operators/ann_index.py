@@ -691,6 +691,31 @@ def compact_index(
     return stats
 
 
+def clone_index(src_dir: str, dst_dir: str) -> str:
+    """Clone a committed index into a writer-private directory — the
+    snapshot-then-mutate pattern: maintenance exercises (append,
+    compact) that must not disturb a cached build copy it instead of
+    retraining (a file copy of kB-quantizers + key-only tables vs a
+    full train+encode pass). The clone carries the manifest verbatim
+    (same fingerprint: the content IS identical by determinism) but
+    NOT the source's writer log — the clone starts its own maintenance
+    history. Refuses an uncommitted source (a mid-maintenance index
+    must never be forked)."""
+    if _manifest(src_dir) is None:
+        raise ValueError(
+            f"clone_index: no committed index at {src_dir!r}"
+        )
+    tmp = f"{dst_dir}.clone.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(
+        src_dir, tmp,
+        ignore=shutil.ignore_patterns(_APPLOG, "*.compact.*", "*.tmp.*"),
+    )
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.rename(tmp, dst_dir)
+    return dst_dir
+
+
 def needs_retrain(index_dir: str, max_appended_frac: float = 0.5) -> bool:
     """Retrain trigger: True when the rows appended against the FROZEN
     quantizer exceed ``max_appended_frac`` of the base the quantizer

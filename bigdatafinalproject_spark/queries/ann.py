@@ -650,14 +650,14 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook(base ∪ delta): that drift is the documented trade of
     append-between-retrains (the production freshness pattern; index
     maintenance costs the delta, retrains run on a schedule)."""
-    import shutil
-
     from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
         corpus_fingerprint,
         ensure_pq_index,
         pq_index_append,
         pq_index_search,
+        shared_index_dir,
     )
     from bigdatafinalproject_spark.queries.layout import _scratch
 
@@ -671,14 +671,19 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the append mutates the index (codes/norms grow), so this query
     # rebuilds its own scratch copy each run rather than fingerprint-
     # caching a half-appended state
-    idx = _scratch(sf_dir, "pqappendidx")
-    shutil.rmtree(idx, ignore_errors=True)
-    # base_pred salts the fingerprint (ADVICE r8): a base-trained and a
-    # full-corpus index of the same source can never share a cache key
+    # snapshot-then-mutate (r9): the base-trained index is built ONCE
+    # per corpus fingerprint in the shared cache (base_pred-salted,
+    # ADVICE r8 -- a base-trained and a full-corpus index can never
+    # share a cache key) and CLONED into a writer-private scratch dir
+    # for the append -- a file copy instead of a retrain+encode per run
     fp = corpus_fingerprint(
         table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
     )
-    ensure_pq_index(spark, base, idx, fp, **params)
+    cached = ensure_pq_index(
+        spark, base, shared_index_dir("pq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "pqappendidx"))
     pq_index_append(spark, idx, delta)
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
@@ -706,15 +711,15 @@ def ann_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed). ``applied_batches`` and the retrain counters survive the
     rewrite, so redelivery idempotence and the drift budget are intact
     after OPTIMIZE."""
-    import shutil
-
     from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
         compact_index,
         corpus_fingerprint,
         ensure_pq_index,
         pq_index_append,
         pq_index_search,
+        shared_index_dir,
     )
     from bigdatafinalproject_spark.queries.layout import _scratch
 
@@ -725,12 +730,16 @@ def ann_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
         max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
     )
-    idx = _scratch(sf_dir, "pqcompactidx")
-    shutil.rmtree(idx, ignore_errors=True)
+    # snapshot-then-mutate: clone the cached base build (see
+    # ann_pq_index_append) instead of retraining per run
     fp = corpus_fingerprint(
         table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
     )
-    ensure_pq_index(spark, base, idx, fp, **params)
+    cached = ensure_pq_index(
+        spark, base, shared_index_dir("pq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "pqcompactidx"))
     # two delta batches -> two extra file sets per appended table
     pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
                     batch_id=0)

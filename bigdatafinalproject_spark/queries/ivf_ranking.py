@@ -269,14 +269,14 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment is row-local given frozen centroids); the documented
     drift trade (centroids reflect the base distribution) is the
     append-between-retrains pattern."""
-    import shutil
-
     from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
         corpus_fingerprint,
         ensure_ivf_index,
         ivf_index_append,
         ivf_index_search,
+        shared_index_dir,
     )
     from bigdatafinalproject_spark.queries.layout import _scratch
 
@@ -287,14 +287,18 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_mod=37, max_centroids=64,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
     )
-    idx = _scratch(sf_dir, "ivfappendidx")
-    shutil.rmtree(idx, ignore_errors=True)
-    # base_pred salts the fingerprint (ADVICE r8): a base-trained and a
-    # full-corpus index of the same source can never share a cache key
+    # snapshot-then-mutate (r9): the base-trained index is built ONCE
+    # per corpus fingerprint (base_pred-salted, ADVICE r8) in the
+    # shared cache and CLONED into a writer-private scratch dir for
+    # the append -- a file copy instead of a retrain per run
     fp = corpus_fingerprint(
         table_path(sf_dir, "embeddings"), base_pred=_IVF_BASE_PRED, **params
     )
-    ensure_ivf_index(spark, base, idx, fp, **params)
+    cached = ensure_ivf_index(
+        spark, base, shared_index_dir("ivf", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "ivfappendidx"))
     ivf_index_append(spark, idx, delta)
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)

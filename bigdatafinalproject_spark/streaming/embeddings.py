@@ -168,16 +168,16 @@ def stream_pq_index_maintenance(
     leaves the manifest removed, so the next run sees a non-current
     index and rebuilds from base (loud, never a silent
     codes-without-norms serve)."""
-    import shutil
-
     from pyspark.sql import functions as F
 
     from bigdatafinalproject_spark.catalog import load_table
     from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
         corpus_fingerprint,
         ensure_pq_index,
         pq_index_append,
         pq_index_search,
+        shared_index_dir,
     )
     from bigdatafinalproject_spark.queries.ann import (
         _PQ_BASE_PRED,
@@ -199,15 +199,20 @@ def stream_pq_index_maintenance(
         m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
         max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
     )
-    idx = _scratch(sf_dir, "pqstreamidx")
-    shutil.rmtree(idx, ignore_errors=True)
-    # base_pred salts the fingerprint (ADVICE r8): a base-trained and a
-    # full-corpus index of the same source can never share a cache key
+    # snapshot-then-mutate (r9): build the base-trained index once per
+    # corpus fingerprint (base_pred-salted, ADVICE r8) in the shared
+    # cache, then CLONE it for this stream's maintenance -- the
+    # maintained state stays writer-private while the training cost is
+    # paid once per corpus version
     fp = corpus_fingerprint(
         table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED,
         **params,
     )
-    ensure_pq_index(spark, base, idx, fp, **params)
+    cached = ensure_pq_index(
+        spark, base, shared_index_dir("pq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "pqstreamidx"))
 
     d = _chunked_delta_dir(sf_dir)
     raw = (

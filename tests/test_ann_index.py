@@ -527,3 +527,41 @@ def test_base_rows_recorded_without_extra_corpus_scan(spark, tmp_path):
     ensure_ivf_index(spark, emb, idx, fp, **_PARAMS)
     meta = json.load(open(_os.path.join(idx, "_meta.json")))
     assert meta["base_rows"] == n
+
+
+def test_clone_index_is_writer_private_and_refuses_uncommitted(
+    spark, tmp_path
+):
+    """clone_index forks a committed index for mutation: appends to
+    the clone never touch the source (the cached base build stays
+    pristine for the next clone), the clone starts its own writer
+    history, and an uncommitted (mid-maintenance) source refuses to
+    fork."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
+        pq_index_append,
+    )
+
+    emb, base, delta, src = _build_pq_base(spark, tmp_path, "pq_clonesrc")
+    n_base = base.count()
+    dst = str(tmp_path / "pq_clonedst")
+    clone_index(src, dst)
+    pq_index_append(spark, dst, delta, batch_id=0)
+    # source untouched: no appended rows, no writer log, manifest clean
+    assert spark.read.parquet(f"{src}/norms").count() == n_base
+    src_meta = json.load(open(_os.path.join(src, "_meta.json")))
+    assert src_meta["applied_batches"] == []
+    assert src_meta["appended_rows"] == 0
+    assert not _os.path.exists(_os.path.join(src, "_applog"))
+    # clone carries the append
+    dst_meta = json.load(open(_os.path.join(dst, "_meta.json")))
+    assert dst_meta["applied_batches"] == [0]
+    # an invalidated source cannot be forked
+    _os.remove(_os.path.join(src, "_meta.json"))
+    with pytest.raises(ValueError, match="no committed index"):
+        clone_index(src, str(tmp_path / "pq_clonedst2"))
