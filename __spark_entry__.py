@@ -404,6 +404,11 @@ _R9_FRONT = (
     # same CAS + invalidate-then-recommit protocol; shares the append
     # oracle (content-neutrality theorem)
     "ann_pq_index_compact",
+    # composed IVF+PQ (FAISS IVFADC layout): coarse trained cells +
+    # per-subspace residual codebooks; oracle replays BOTH training
+    # loops + the exact integer score decomposition end-to-end
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
 )
 
 _R7_FRONT = (

@@ -1017,3 +1017,272 @@ def pq_search_frames(
     return out.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_build_frames(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 37,
+    max_centroids: int = 64,
+    train_rounds: int = 2,
+    multi_assign: int = 3,
+    m: int = 16,
+    dim: int = 64,
+    codeword_mod: int = 13,
+    max_codewords: int = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The IVFPQ INDEX as four frames — (centroids, codebook, codes,
+    norms) — the composed billion-scale layout (FAISS's IVFADC): coarse
+    k-means cells partition the corpus, and each vector's RESIDUAL
+    (vector minus its cell centroid) is product-quantized, so the
+    candidate scan ranks by integer ADC over ~m-byte codes and the
+    full-precision vectors are touched only for the bounded rerank
+    pool. Everything deterministic, so a persisted copy reloads
+    bit-identical.
+
+    - coarse quantizer: the trained IVF centroids + SPANN-style
+      multi-assignment (each vector indexed under its ``multi_assign``
+      nearest cells — the boundary fix that carries IVF recall on this
+      isotropic corpus), with the residual computed PER ASSIGNMENT;
+    - residual codebook: per-subspace k-means (``kmeans_centroids``
+      grouped mode) trained on the PRIMARY-assignment residuals —
+      init sampled id-relative like every quantizer here;
+    - codes: (neighbor_id, centroid_id, s, code) — the argmin encode
+      of every assignment's residual against the frozen codebook via
+      the same map-side ``min(struct)`` as PQ (no sort shuffle of the
+      largest relation);
+    - norms: exact corpus norms for the cosine denominator.
+
+    Scoring identity: dot(q, x) = dot(q, c_cell) + dot(q, x − c_cell),
+    exact for any cell; the PQ approximation applies only to the
+    residual term, so the ADC score is dot(q, c) + Σ_s dot(q_s, cw) —
+    one per-cell scalar plus a cell-INDEPENDENT lookup table.
+    """
+    from bigdatafinalproject_spark.operators.barrier import (
+        materialize_barrier,
+    )
+    from bigdatafinalproject_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+
+    centroids, postings = ivf_build_frames(
+        corpus, id_col=id_col, vec_col=vec_col,
+        centroid_mod=centroid_mod, max_centroids=max_centroids,
+        train_rounds=train_rounds, multi_assign=multi_assign,
+    )
+    cvec = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
+        "neighbor_id",
+    )
+    residual = F.expr(
+        "zip_with(_v, _cent, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
+    )
+    # residuals for EVERY assignment (bounded multi× rows)
+    res_all = (
+        postings.join(cvec, "neighbor_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select("neighbor_id", "centroid_id", residual.alias("_rv"))
+    )
+    # PRIMARY residuals train the codebook (rank-1 assignment)
+    primary = _nearest_centroids(centroids, corpus, id_col, vec_col, 1, "neighbor_id")
+    res_prim = (
+        primary.join(cvec, "neighbor_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select("neighbor_id", residual.alias("_rv"))
+    )
+    # codebook init: id-relative sampling of primary residual
+    # subvectors (the offset-robust discipline), then grouped Lloyd
+    spaces, subv = _pq_exprs(m, dim)
+    _minid = corpus.select(F.min(id_col).alias("_minid"))
+    _rel = F.col("neighbor_id") - F.col("_minid")
+    cb0 = (
+        res_prim.crossJoin(F.broadcast(_minid))
+        .filter((_rel % codeword_mod == 0) & (_rel < codeword_mod * max_codewords))
+        .select(F.col("neighbor_id").alias("code"), F.col("_rv").alias("_v"))
+        .select("code", spaces, "_v")
+        .select("code", "s", subv)
+        .select("code", "s", F.col("_sv").alias("_cw"))
+    )
+    subvecs = (
+        res_prim.select(F.col("neighbor_id").alias("_sid"), F.col("_rv").alias("_v"))
+        .select("_sid", spaces, "_v")
+        .select("_sid", "s", subv)
+    )
+    trained = kmeans_centroids(
+        subvecs,
+        cb0.select(
+            "s", F.col("code").alias("cid"),
+            F.transform(F.col("_cw"), lambda x: x.cast("double")).alias("centroid"),
+        ),
+        train_rounds,
+        id_col="_sid",
+        vec_col="_sv",
+        group_cols=("s",),
+    )
+    cb = materialize_barrier(
+        trained.select(F.col("cid").alias("code"), "s", F.col("centroid").alias("_cw"))
+    )
+    # encode every assignment's residual against the frozen codebook
+    l2 = F.expr(
+        "aggregate(zip_with(_sv, _cw, (x, c) -> "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    codes = (
+        res_all.select("neighbor_id", "centroid_id", spaces, F.col("_rv").alias("_v"))
+        .select("neighbor_id", "centroid_id", "s", subv)
+        .join(F.broadcast(cb), "s")
+        .withColumn("_d", l2)
+        .groupBy("neighbor_id", "centroid_id", "s")
+        .agg(F.min(F.struct("_d", "code")).alias("_b"))
+        .select("neighbor_id", "centroid_id", "s", F.col("_b.code").alias("code"))
+    )
+    norms = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("_cnorm"),
+    )
+    return centroids, cb, codes, norms
+
+
+def ivfpq_search_frames(
+    centroids: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    norms: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 8,
+    m: int = 16,
+    dim: int = 64,
+    rerank: int = 4,
+    scale: int = 1_000_000,
+    pool_cap: int = 640,
+    scale_ref: int = 1000,
+) -> DataFrame:
+    """The serve half of ivfpq_topk: probe nprobe cells per query,
+    ADC-rank the probed cells' codes by the exact decomposition
+    floor(dot(q, c)·scale) + Σ_s floor(dot(q_s, cw)·scale) — all int64
+    arithmetic after the floors, so candidate ranking is engine-exact
+    — take each candidate's best cell score, exact-cosine-rerank the
+    sqrt-scaled pool. The scan touches ~m bytes/candidate (codes) plus
+    kB-broadcast tables; full vectors only for the rerank pool."""
+    spaces, subv = _pq_exprs(m, dim)
+    _stats = corpus.select(F.count(F.lit(1)).alias("_n"))
+    _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
+    probes = _nearest_centroids(centroids, queries, id_col, vec_col, nprobe, "query_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # per-(query, probed cell) coarse term: floor(dot(q, centroid)*scale)
+    qc = (
+        probes.join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            "query_id", "centroid_id",
+            F.floor(_dot("_qv", "_cent") * scale).cast("long").alias("_qc"),
+        )
+    )
+    # per-(query, subspace, codeword) residual term (cell-independent)
+    pdot = F.expr(
+        "aggregate(zip_with(_sv, _cw, (x, c) -> "
+        "CAST(x AS DOUBLE) * CAST(c AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    qtab = (
+        qv.select("query_id", spaces, F.col("_qv").alias("_v"))
+        .select("query_id", "s", subv)
+        .join(F.broadcast(cb), "s")
+        .select("query_id", "s", "code", F.floor(pdot * scale).cast("long").alias("_pq"))
+    )
+    # restrict the big codes relation to probed cells FIRST, then the
+    # broadcast table lookups; per-cell score = coarse + residual ADC
+    adc_cell = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qtab), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id", "centroid_id")
+        .agg(F.sum("_pq").alias("_radc"))
+        .join(F.broadcast(qc), ["query_id", "centroid_id"])
+        .select(
+            "query_id", "neighbor_id",
+            (F.col("_qc") + F.col("_radc")).alias("_iscore"),
+        )
+    )
+    # a multi-assigned candidate scores once per probed cell: keep its
+    # best (exact integer max — deterministic)
+    adc = (
+        adc_cell.groupBy("query_id", "neighbor_id")
+        .agg(F.max("_iscore").alias("_iscore"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(norms, "neighbor_id")
+        .withColumn("_ascore", F.col("_iscore").cast("double") / F.col("_cnorm"))
+    )
+    cand_w = W.partitionBy("query_id").orderBy(
+        F.col("_ascore").desc(), F.col("neighbor_id").asc()
+    )
+    _pool = F.least(F.lit(pool_cap), F.lit(k * rerank) * _s)
+    cand = (
+        adc.crossJoin(F.broadcast(_stats))
+        .withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= _pool)
+        .select("query_id", "neighbor_id")
+    )
+    qn = with_norm(qv, "_qv").withColumnRenamed("_norm", "_qnorm")
+    cv = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm2")
+    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm2"))
+    out = (
+        cand.join(F.broadcast(qn), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_mod: int = 37,
+    max_centroids: int = 64,
+    train_rounds: int = 2,
+    multi_assign: int = 3,
+    nprobe: int = 8,
+    m: int = 16,
+    dim: int = 64,
+    codeword_mod: int = 13,
+    max_codewords: int = 64,
+    rerank: int = 4,
+    scale: int = 1_000_000,
+    pool_cap: int = 640,
+    scale_ref: int = 1000,
+) -> DataFrame:
+    """Composed IVF+PQ top-k (end-to-end: train coarse cells, train the
+    residual codebook, encode, search). See ivfpq_build_frames for the
+    layout and ivfpq_search_frames for the serve plan. numpy
+    calibration (r9): recall@10 ~0.83 at sf0.1 / ~0.79 at sf1 — the
+    IVF candidate-coverage ceiling, delivered while the candidate scan
+    reads ~m-byte codes instead of 256-byte float vectors."""
+    centroids, cb, codes, norms = ivfpq_build_frames(
+        corpus, id_col=id_col, vec_col=vec_col,
+        centroid_mod=centroid_mod, max_centroids=max_centroids,
+        train_rounds=train_rounds, multi_assign=multi_assign,
+        m=m, dim=dim, codeword_mod=codeword_mod,
+        max_codewords=max_codewords,
+    )
+    return ivfpq_search_frames(
+        centroids, cb, codes, norms, corpus, queries,
+        id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe, m=m, dim=dim,
+        rerank=rerank, scale=scale, pool_cap=pool_cap, scale_ref=scale_ref,
+    )

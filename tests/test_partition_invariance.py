@@ -36,6 +36,7 @@ _QUERIES = [
     # everything downstream must be partition-count-invariant
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 
