@@ -409,6 +409,9 @@ _R9_FRONT = (
     # loops + the exact integer score decomposition end-to-end
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
+    # persisted-IVFPQ serve path (cross-process fingerprint cache);
+    # shares the end-to-end oracle = the persistence theorem
+    "ann_ivfpq_index_search",
 )
 
 _R7_FRONT = (

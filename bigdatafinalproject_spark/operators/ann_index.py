@@ -103,7 +103,11 @@ _ALGO_VERSION = 2
 # same-host primitive; an object-store port swaps both for leases)
 _WRITER_WAIT_S = 300.0
 
-_APPEND_TABLES = {"ivf": ("postings",), "pq": ("codes", "norms")}
+_APPEND_TABLES = {
+    "ivf": ("postings",),
+    "pq": ("codes", "norms"),
+    "ivfpq": ("codes", "norms"),
+}
 
 
 def _manifest(index_dir: str) -> dict | None:
@@ -817,4 +821,81 @@ def pq_index_search(
         id_col=id_col, vec_col=vec_col, k=k, m=m_idx, dim=dim_idx,
         rerank=rerank, scale=scale, pool_cap=pool_cap,
         scale_ref=scale_ref,
+    )
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    fingerprint: str,
+    src: str | None = None,
+    **build_params,
+) -> str:
+    """Build the composed IVF+PQ index iff absent/stale — four frames
+    (centroids, codebook, codes, norms; codes carry the cell id, so no
+    separate postings table) under the same atomic tmp-build + rename
+    install as the other kinds. Returns ``index_dir``."""
+    from bigdatafinalproject_spark.operators.ann import ivfpq_build_frames
+
+    if index_is_current(index_dir, "ivfpq", fingerprint):
+        return index_dir
+    tmp = _build_into_tmp(index_dir)
+    try:
+        centroids, cb, codes, norms = ivfpq_build_frames(
+            corpus, **build_params
+        )
+        centroids.write.mode("overwrite").parquet(
+            os.path.join(tmp, "centroids")
+        )
+        cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+        codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+        norms.write.mode("overwrite").parquet(os.path.join(tmp, "norms"))
+        _commit(
+            tmp, "ivfpq", fingerprint,
+            ["centroids", "codebook", "codes", "norms"],
+            src=src, params=build_params,
+            base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    out = _install_build(tmp, index_dir, "ivfpq", fingerprint)
+    _gc_superseded(out, "ivfpq", src)
+    return out
+
+
+def ivfpq_index_search(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 8,
+    rerank: int = 4,
+    scale: int = 1_000_000,
+    pool_cap: int = 640,
+    scale_ref: int = 1000,
+) -> DataFrame:
+    """Serve from the persisted IVFPQ index. The subspace layout
+    (m, dim) comes from the MANIFEST (the single-source-of-truth
+    discipline); ``k``/``nprobe``/``rerank``/quantization knobs stay
+    caller-side. Refuses an uncommitted (mid-maintenance) index."""
+    from bigdatafinalproject_spark.operators.ann import ivfpq_search_frames
+
+    meta = _serving_manifest(index_dir, "ivfpq")
+    params = meta.get("params", {})
+    m_idx = int(params.get("m", 16))
+    dim_idx = int(params.get("dim", 64))
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    return ivfpq_search_frames(
+        centroids, cb, codes, norms, corpus, queries,
+        id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+        m=m_idx, dim=dim_idx, rerank=rerank, scale=scale,
+        pool_cap=pool_cap, scale_ref=scale_ref,
     )

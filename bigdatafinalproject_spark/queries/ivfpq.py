@@ -234,3 +234,43 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=4, scale=_PQ_SCALE,
     ).select("query_id", "neighbor_id")
     return recall_frame(ex, ap)
+
+
+@query("ann_ivfpq_index_search", oracle_of="ann_ivfpq_topk")
+def ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVFPQ serve path (operators/ann_index.py): the
+    composed index (trained cells + residual codebook + cell-tagged
+    codes + exact norms) is built ONCE per corpus fingerprint into the
+    cross-process cache and this query serves the standing panel from
+    the parquet frames — the subspace layout comes from the manifest,
+    the single source of truth. Shares ann_ivfpq_topk's oracle: the
+    hash match is the persistence theorem for the composed layout
+    (build→persist→load→search ≡ train-encode-and-search). Production
+    point: the train-twice cost (coarse + residual) is paid per corpus
+    version; the serve path scans ~16-byte codes of nprobe cells."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        ivfpq_index_search,
+        shared_index_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    params = dict(
+        centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+    )
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    idx = ensure_ivfpq_index(
+        spark, emb, shared_index_dir("ivfpq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivfpq_index_search(
+        spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE,
+        rerank=4, scale=_PQ_SCALE,
+    )
