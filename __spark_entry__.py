@@ -412,6 +412,10 @@ _R9_FRONT = (
     # persisted-IVFPQ serve path (cross-process fingerprint cache);
     # shares the end-to-end oracle = the persistence theorem
     "ann_ivfpq_index_search",
+    # composed-index maintenance: frozen coarse cells + frozen residual
+    # codebook delta encode; oracle = train-on-base (both loops) +
+    # assign/encode-all = the composed maintenance theorem
+    "ann_ivfpq_index_append",
 )
 
 _R7_FRONT = (

@@ -899,3 +899,90 @@ def ivfpq_index_search(
         m=m_idx, dim=dim_idx, rerank=rerank, scale=scale,
         pool_cap=pool_cap, scale_ref=scale_ref,
     )
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> str:
+    """Incremental maintenance of the composed IVFPQ index: assign a
+    DELTA batch to the FROZEN persisted centroids (multi-assignment
+    from the manifest), encode each assignment's residual against the
+    FROZEN persisted codebook (subspace layout from the manifest), and
+    append the cell-tagged codes + exact norms. Same writer protocol
+    as the other kinds: ``_applog`` CAS claim, invalidate-then-
+    recommit, footer-delta row accounting, batch-id idempotence, log
+    prune. Drift trade: BOTH quantizers reflect the base distribution
+    — :func:`needs_retrain` watches the appended fraction."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann import (
+        _dot,
+        _nearest_centroids,
+        _pq_exprs,
+    )
+
+    txn = _writer_txn(index_dir, batch_id, "append")
+    if txn is None:
+        return index_dir  # redelivered batch: idempotent skip
+    meta, mver = txn
+    applied = list(meta.get("applied_batches", []))
+    params = meta.get("params", {})
+    multi = int(params.get("multi_assign", 1))
+    m = int(params.get("m", 16))
+    dim = int(params.get("dim", 64))
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    assigned = _nearest_centroids(
+        centroids, delta, id_col, vec_col, multi, "neighbor_id"
+    )
+    dvec = delta.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    residual = F.expr(
+        "zip_with(_v, _cent, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
+    )
+    res = (
+        assigned.join(dvec, "neighbor_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select("neighbor_id", "centroid_id", residual.alias("_rv"))
+    )
+    spaces, subv = _pq_exprs(m, dim)
+    l2 = F.expr(
+        "aggregate(zip_with(_sv, _cw, (x, c) -> "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dcodes = (
+        res.select("neighbor_id", "centroid_id", spaces, F.col("_rv").alias("_v"))
+        .select("neighbor_id", "centroid_id", "s", subv)
+        .join(F.broadcast(cb), "s")
+        .withColumn("_d", l2)
+        .groupBy("neighbor_id", "centroid_id", "s")
+        .agg(F.min(F.struct("_d", "code")).alias("_b"))
+        .select("neighbor_id", "centroid_id", "s", F.col("_b.code").alias("code"))
+    )
+    dnorms = delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("_cnorm"),
+    )
+    npath = os.path.join(index_dir, "norms")
+    n_before = _footer_rows(spark, npath)
+    os.remove(os.path.join(index_dir, _META))  # invalidate during append
+    dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+    dnorms.write.mode("append").parquet(npath)
+    n_delta = _footer_rows(spark, npath) - n_before
+    _commit(
+        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
+        src=meta.get("src"), params=params,
+        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
+        mver=mver, base_rows=meta.get("base_rows"),
+        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
+    )
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
+    return index_dir

@@ -87,10 +87,17 @@ _RESIDUAL = (
 )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
+    """Composed oracle; ``base_pred`` restricts BOTH training loops
+    (coarse init+rounds via _kmeans_ctes, residual codebook via the
+    base-joined prim_res) to the base subset — the train-on-base mode
+    the incremental-maintenance oracle replays. Assignment, encoding,
+    and search always cover the FULL corpus against those (frozen)
+    quantizers, which is exactly build(base) ⊎ append(delta)."""
     return f"""
     WITH {_NORMS_CTE},
-    {_kmeans_ctes(_IVF_ROUNDS)},
+    base_set AS (SELECT vec_id FROM embeddings WHERE ({base_pred})),
+    {_kmeans_ctes(_IVF_ROUNDS, base_pred=base_pred)},
     cents AS (SELECT cid AS centroid_id, centroid AS cemb,
                      sqrt({_DOT_AB.format(a='centroid', b='centroid')}) AS cnrm
               FROM kc{_IVF_ROUNDS}),
@@ -108,6 +115,7 @@ def _ivfpq_oracle() -> str:
     prim_res AS (SELECT r.vec_id,
                         {_RESIDUAL.format(x='e.embedding', c='c.cemb')} AS embedding
                  FROM ranked r
+                 JOIN base_set b ON b.vec_id = r.vec_id
                  JOIN embeddings e ON e.vec_id = r.vec_id
                  JOIN cents c ON c.centroid_id = r.centroid_id
                  WHERE r.rn = 1),
@@ -267,6 +275,64 @@ def ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, shared_index_dir("ivfpq", fp), fp,
         src=table_path(sf_dir, "embeddings"), **params,
     )
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivfpq_index_search(
+        spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE,
+        rerank=4, scale=_PQ_SCALE,
+    )
+
+
+@query(
+    "ann_ivfpq_index_append",
+    oracle=_ivfpq_oracle(base_pred="vec_id % 3 <> 0"),
+)
+def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the composed IVFPQ index: BOTH
+    quantizers (coarse cells and residual codebook) are trained on the
+    base corpus (vec_id % 3 != 0) and frozen; the delta batch is
+    multi-assigned to the frozen cells and its residuals encoded
+    against the frozen codebook, appended under the CAS writer
+    protocol. Search runs over the maintained index.
+
+    The oracle replays train-on-base (both Lloyd loops restricted to
+    the base subset) + assign/encode-all + search: a hash match is the
+    maintenance theorem for the COMPOSED layout — build(base) ⊎
+    append(delta) ≡ encode(base ∪ delta | quantizers(base)), which
+    holds because assignment and residual encoding are row-local given
+    frozen quantizers. The drift (both quantizers reflect the base
+    distribution) is the append-between-retrains trade needs_retrain
+    budgets."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_search,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.ann import _PQ_BASE_PRED
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_PQ_BASE_PRED))
+    delta = emb.filter(~F.expr(_PQ_BASE_PRED))
+    params = dict(
+        centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+    )
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
+    )
+    cached = ensure_ivfpq_index(
+        spark, base, shared_index_dir("ivfpq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "ivfpqappendidx"))
+    ivfpq_index_append(spark, idx, delta)
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
