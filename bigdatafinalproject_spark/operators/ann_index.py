@@ -208,11 +208,18 @@ def shared_index_dir(kind: str, fingerprint: str) -> str:
     return os.path.join(root, f"{kind}_{fingerprint[:16]}")
 
 
-def _gc_superseded(index_dir: str, kind: str, src: str | None) -> None:
-    """Drop sibling cache entries of the same (kind, source) with a
-    DIFFERENT fingerprint — they are superseded corpus/param/code
-    versions that would otherwise accrete in /tmp forever (r8 review
-    finding #5). Best-effort; never fails the install."""
+def _gc_superseded(
+    index_dir: str, kind: str, src: str | None, subset: str | None = None
+) -> None:
+    """Drop sibling cache entries of the same (kind, source, TRAINING
+    SUBSET) with a DIFFERENT fingerprint — they are superseded
+    corpus/param/code versions that would otherwise accrete in /tmp
+    forever (r8 review finding #5). The subset is part of the key
+    (r9): a base-trained maintenance snapshot and the full-corpus
+    serving index share (kind, src) but are DIFFERENT live artifacts —
+    keying GC on (kind, src) alone made them evict each other on every
+    alternate install, turning the cross-process cache into a
+    rebuild-every-run. Best-effort; never fails the install."""
     if src is None:
         return
     root = os.path.dirname(index_dir)
@@ -225,7 +232,12 @@ def _gc_superseded(index_dir: str, kind: str, src: str | None) -> None:
         if p == index_dir or not n.startswith(f"{kind}_"):
             continue
         m = _manifest(p)
-        if m is not None and m.get("kind") == kind and m.get("src") == src:
+        if (
+            m is not None
+            and m.get("kind") == kind
+            and m.get("src") == src
+            and m.get("params", {}).get("base_pred") == subset
+        ):
             shutil.rmtree(p, ignore_errors=True)
 
 
@@ -421,6 +433,7 @@ def ensure_ivf_index(
     index_dir: str,
     fingerprint: str,
     src: str | None = None,
+    subset: str | None = None,
     **build_params,
 ) -> str:
     """Build the IVF index iff absent/stale; returns ``index_dir``."""
@@ -443,14 +456,15 @@ def ensure_ivf_index(
         n_post = spark.read.parquet(os.path.join(tmp, "postings")).count()
         _commit(
             tmp, "ivf", fingerprint, ["centroids", "postings"],
-            src=src, params=build_params,
+            src=src,
+            params=dict(build_params, base_pred=subset) if subset else build_params,
             base_rows=n_post // multi,
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # no abandoned tmp dirs
         raise
     out = _install_build(tmp, index_dir, "ivf", fingerprint)
-    _gc_superseded(out, "ivf", src)
+    _gc_superseded(out, "ivf", src, subset)
     return out
 
 
@@ -512,6 +526,7 @@ def ensure_pq_index(
     index_dir: str,
     fingerprint: str,
     src: str | None = None,
+    subset: str | None = None,
     **build_params,
 ) -> str:
     """Build the PQ index iff absent/stale; returns ``index_dir``.
@@ -528,14 +543,15 @@ def ensure_pq_index(
         # corpus vector) via parquet footers — no extra corpus scan
         _commit(
             tmp, "pq", fingerprint, ["codebook", "codes", "norms"],
-            src=src, params=build_params,
+            src=src,
+            params=dict(build_params, base_pred=subset) if subset else build_params,
             base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     out = _install_build(tmp, index_dir, "pq", fingerprint)
-    _gc_superseded(out, "pq", src)
+    _gc_superseded(out, "pq", src, subset)
     return out
 
 
@@ -830,6 +846,7 @@ def ensure_ivfpq_index(
     index_dir: str,
     fingerprint: str,
     src: str | None = None,
+    subset: str | None = None,
     **build_params,
 ) -> str:
     """Build the composed IVF+PQ index iff absent/stale — four frames
@@ -854,14 +871,15 @@ def ensure_ivfpq_index(
         _commit(
             tmp, "ivfpq", fingerprint,
             ["centroids", "codebook", "codes", "norms"],
-            src=src, params=build_params,
+            src=src,
+            params=dict(build_params, base_pred=subset) if subset else build_params,
             base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     out = _install_build(tmp, index_dir, "ivfpq", fingerprint)
-    _gc_superseded(out, "ivfpq", src)
+    _gc_superseded(out, "ivfpq", src, subset)
     return out
 
 

@@ -681,7 +681,8 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = ensure_pq_index(
         spark, base, shared_index_dir("pq", fp), fp,
-        src=table_path(sf_dir, "embeddings"), **params,
+        src=table_path(sf_dir, "embeddings"), subset=_PQ_BASE_PRED,
+        **params,
     )
     idx = clone_index(cached, _scratch(sf_dir, "pqappendidx"))
     pq_index_append(spark, idx, delta)
@@ -737,7 +738,8 @@ def ann_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = ensure_pq_index(
         spark, base, shared_index_dir("pq", fp), fp,
-        src=table_path(sf_dir, "embeddings"), **params,
+        src=table_path(sf_dir, "embeddings"), subset=_PQ_BASE_PRED,
+        **params,
     )
     idx = clone_index(cached, _scratch(sf_dir, "pqcompactidx"))
     # two delta batches -> two extra file sets per appended table

@@ -296,7 +296,8 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = ensure_ivf_index(
         spark, base, shared_index_dir("ivf", fp), fp,
-        src=table_path(sf_dir, "embeddings"), **params,
+        src=table_path(sf_dir, "embeddings"), subset=_IVF_BASE_PRED,
+        **params,
     )
     idx = clone_index(cached, _scratch(sf_dir, "ivfappendidx"))
     ivf_index_append(spark, idx, delta)

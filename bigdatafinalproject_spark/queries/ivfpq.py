@@ -329,7 +329,8 @@ def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = ensure_ivfpq_index(
         spark, base, shared_index_dir("ivfpq", fp), fp,
-        src=table_path(sf_dir, "embeddings"), **params,
+        src=table_path(sf_dir, "embeddings"), subset=_PQ_BASE_PRED,
+        **params,
     )
     idx = clone_index(cached, _scratch(sf_dir, "ivfpqappendidx"))
     ivfpq_index_append(spark, idx, delta)

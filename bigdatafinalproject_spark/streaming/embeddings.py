@@ -210,7 +210,8 @@ def stream_pq_index_maintenance(
     )
     cached = ensure_pq_index(
         spark, base, shared_index_dir("pq", fp), fp,
-        src=table_path(sf_dir, "embeddings"), **params,
+        src=table_path(sf_dir, "embeddings"), subset=_PQ_BASE_PRED,
+        **params,
     )
     idx = clone_index(cached, _scratch(sf_dir, "pqstreamidx"))
 

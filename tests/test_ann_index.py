@@ -565,3 +565,41 @@ def test_clone_index_is_writer_private_and_refuses_uncommitted(
     _os.remove(_os.path.join(src, "_meta.json"))
     with pytest.raises(ValueError, match="no committed index"):
         clone_index(src, str(tmp_path / "pq_clonedst2"))
+
+
+def test_gc_spares_other_training_subset_same_source(spark, tmp_path):
+    """The shared-cache GC keys on (kind, src, TRAINING SUBSET): a
+    base-trained maintenance snapshot and the full-corpus serving
+    index of the same source must coexist — keying on (kind, src)
+    alone made them evict each other on every alternate install (r9
+    follow-up). A superseded entry of the SAME subset is still GC'd."""
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _gc_superseded,
+        ensure_pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    params = _pq_params()
+    src = table_path(SF_DIR, "embeddings")
+    root = tmp_path / "cache"
+    root.mkdir()
+    full_dir = str(root / "pq_full")
+    base_dir = str(root / "pq_base")
+    ensure_pq_index(spark, emb, full_dir, "fp_full", src=src, **params)
+    ensure_pq_index(
+        spark, base, base_dir, "fp_base", src=src, subset="b", **params
+    )
+    # installing the base entry must NOT have evicted the full entry
+    assert _os.path.isdir(full_dir)
+    assert _os.path.isdir(base_dir)
+    # a SECOND full-corpus entry (new fingerprint: corpus version bump)
+    # evicts the old full entry but spares the base snapshot
+    full2 = str(root / "pq_full2")
+    ensure_pq_index(spark, emb, full2, "fp_full2", src=src, **params)
+    _gc_superseded(full2, "pq", src)
+    assert not _os.path.isdir(full_dir)
+    assert _os.path.isdir(base_dir)
+    assert _os.path.isdir(full2)
