@@ -222,10 +222,15 @@ def _nearest_centroids(
     vec_col: str,
     n: int,
     out: str,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Top-``n`` centroids per vector by cosine (broadcast centroids,
     bounded window) — the assign (n=multi) and probe (n=nprobe) legs
-    of the IVF plans."""
+    of the IVF plans. ``keep_rank`` also emits the assignment rank
+    (``_rn``) so a caller needing BOTH the multi-assignment and the
+    primary (rank-1) assignment runs the N×C pass once, not twice
+    (r9 review #6: the ivfpq build was paying the corpus-wide
+    crossJoin + window shuffle twice)."""
     v = with_norm(
         spread(
             df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v")),
@@ -243,24 +248,23 @@ def _nearest_centroids(
         .withColumn("_cos", cos)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
-        .select(out, "centroid_id")
+        .select(out, "centroid_id", *(["_rn"] if keep_rank else []))
     )
 
 
-def ivf_build_frames(
+def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_mod: int = 37,
     max_centroids: int | None = 64,
     train_rounds: int = 0,
-    multi_assign: int = 1,
-) -> tuple[DataFrame, DataFrame]:
-    """The IVF INDEX as two frames — (centroids (centroid_id, _cent),
-    postings (neighbor_id, centroid_id)) — the build half of ivf_topk,
-    separated so operators/ann_index.py can persist it (train once,
-    serve many: the production shape; every quantity here is
-    deterministic, so a persisted index reloads bit-identical)."""
+) -> DataFrame:
+    """The coarse quantizer alone — sampled-init (optionally
+    Lloyd-trained, barriered) centroids (centroid_id, _cent); factored
+    out of ivf_build_frames so the composed IVFPQ build can pair it
+    with ONE ranked assignment pass instead of re-running the N×C
+    crossJoin for postings and primary assignment separately."""
     # sampling is RELATIVE to min(id): an absolute `id % mod == 0 AND
     # id < mod*cap` silently yields ZERO centroids on a corpus whose
     # ids start above mod*cap (key-space-convention bug class). The
@@ -309,6 +313,28 @@ def ivf_build_frames(
                 F.col("centroid").alias("_cent"),
             )
         )
+    return centroids
+
+
+def ivf_build_frames(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 37,
+    max_centroids: int | None = 64,
+    train_rounds: int = 0,
+    multi_assign: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF INDEX as two frames — (centroids (centroid_id, _cent),
+    postings (neighbor_id, centroid_id)) — the build half of ivf_topk,
+    separated so operators/ann_index.py can persist it (train once,
+    serve many: the production shape; every quantity here is
+    deterministic, so a persisted index reloads bit-identical)."""
+    centroids = ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        centroid_mod=centroid_mod, max_centroids=max_centroids,
+        train_rounds=train_rounds,
+    )
     postings = _nearest_centroids(
         centroids, corpus, id_col, vec_col, multi_assign, "neighbor_id"
     )
@@ -806,6 +832,68 @@ def _pq_exprs(m: int, dim: int):
     return spaces, subv
 
 
+def encode_against_codebook(
+    frame: DataFrame, cb: DataFrame, m: int, dim: int, keys: list[str]
+) -> DataFrame:
+    """THE PQ encode: nearest codeword per (row, subspace) by
+    sequential-fold L2, ties to the smallest codeword id, via one
+    broadcast codebook join + one map-side-combinable ``min(struct)``
+    argmin (never a sort shuffle of the largest relation). ``frame``
+    carries ``keys`` + a ``_v`` vector column (raw vectors for plain
+    PQ, residuals for IVFPQ). The ONE definition shared by every
+    build and append path (r9 review #7: four verbatim copies meant a
+    tie-break or cast fix could silently diverge the build/append
+    halves — exactly the invariant the maintenance oracles rely on)."""
+    spaces, subv = _pq_exprs(m, dim)
+    l2 = F.expr(
+        "aggregate(zip_with(_sv, _cw, (x, c) -> "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        frame.select(*keys, spaces, "_v")
+        .select(*keys, "s", subv)
+        .join(F.broadcast(cb), "s")
+        .withColumn("_d", l2)
+        .groupBy(*keys, "s")
+        .agg(F.min(F.struct("_d", "code")).alias("_b"))
+        .select(*keys, "s", F.col("_b.code").alias("code"))
+    )
+
+
+def _exact_cosine_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine rerank of a bounded (query_id, neighbor_id)
+    candidate pool — the shared tail of the quantized tiers."""
+    qv = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+    ).withColumnRenamed("_norm", "_qnorm")
+    cv = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm2")
+    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm2"))
+    out = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_build_frames(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -889,31 +977,11 @@ def pq_build_frames(
             )
         )
 
-    # encode: nearest codeword per (vector, subspace), L2, ties to the
-    # smallest codeword id — one broadcast join + one struct-min
-    # aggregation (map-side combinable: the N*m*C encode relation is
-    # the largest in the plan, and min(struct(d, code)) partial-aggs
-    # it per input partition instead of sort-shuffling it the way the
-    # historical row_number window did; same argmin by construction)
-    l2 = F.expr(
-        "aggregate(zip_with(_sv, _cw, (x, c) -> "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     cvec = spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
         "neighbor_id",
     )
-    codes = (
-        cvec.select("neighbor_id", spaces, "_v")
-        .select("neighbor_id", "s", subv)
-        .join(F.broadcast(cb), "s")
-        .withColumn("_d", l2)
-        .groupBy("neighbor_id", "s")
-        .agg(F.min(F.struct("_d", "code")).alias("_b"))
-        .select("neighbor_id", "s", F.col("_b.code").alias("code"))
-    )
+    codes = encode_against_codebook(cvec, cb, m, dim, ["neighbor_id"])
 
     norms = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -997,26 +1065,7 @@ def pq_search_frames(
     )
 
     # exact rerank, same tail as quantized_topk
-    qv = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "_qv",
-    ).withColumnRenamed("_norm", "_qnorm")
-    cv = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv",
-    ).withColumnRenamed("_norm", "_cnorm2")
-    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm2"))
-    out = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w2 = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return out.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    return _exact_cosine_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 
 def ivfpq_build_frames(
@@ -1066,10 +1115,21 @@ def ivfpq_build_frames(
         kmeans_centroids,
     )
 
-    centroids, postings = ivf_build_frames(
+    centroids = ivf_centroids(
         corpus, id_col=id_col, vec_col=vec_col,
         centroid_mod=centroid_mod, max_centroids=max_centroids,
-        train_rounds=train_rounds, multi_assign=multi_assign,
+        train_rounds=train_rounds,
+    )
+    # ONE ranked assignment pass serves both the multi-assignment
+    # postings and the primary (rank-1) training subset (r9 review #6:
+    # a separate n=1 call re-ran the N×C crossJoin + window — the two
+    # largest relations in the build). The id-only frame is barriered
+    # so its two consumers don't re-execute the pass per branch.
+    assigned = materialize_barrier(
+        _nearest_centroids(
+            centroids, corpus, id_col, vec_col, multi_assign,
+            "neighbor_id", keep_rank=True,
+        )
     )
     cvec = spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
@@ -1080,14 +1140,15 @@ def ivfpq_build_frames(
     )
     # residuals for EVERY assignment (bounded multi× rows)
     res_all = (
-        postings.join(cvec, "neighbor_id")
+        assigned.drop("_rn")
+        .join(cvec, "neighbor_id")
         .join(F.broadcast(centroids), "centroid_id")
         .select("neighbor_id", "centroid_id", residual.alias("_rv"))
     )
     # PRIMARY residuals train the codebook (rank-1 assignment)
-    primary = _nearest_centroids(centroids, corpus, id_col, vec_col, 1, "neighbor_id")
     res_prim = (
-        primary.join(cvec, "neighbor_id")
+        assigned.filter(F.col("_rn") == 1)
+        .join(cvec, "neighbor_id")
         .join(F.broadcast(centroids), "centroid_id")
         .select("neighbor_id", residual.alias("_rv"))
     )
@@ -1124,20 +1185,11 @@ def ivfpq_build_frames(
         trained.select(F.col("cid").alias("code"), "s", F.col("centroid").alias("_cw"))
     )
     # encode every assignment's residual against the frozen codebook
-    l2 = F.expr(
-        "aggregate(zip_with(_sv, _cw, (x, c) -> "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    codes = (
-        res_all.select("neighbor_id", "centroid_id", spaces, F.col("_rv").alias("_v"))
-        .select("neighbor_id", "centroid_id", "s", subv)
-        .join(F.broadcast(cb), "s")
-        .withColumn("_d", l2)
-        .groupBy("neighbor_id", "centroid_id", "s")
-        .agg(F.min(F.struct("_d", "code")).alias("_b"))
-        .select("neighbor_id", "centroid_id", "s", F.col("_b.code").alias("code"))
+    codes = encode_against_codebook(
+        res_all.select(
+            "neighbor_id", "centroid_id", F.col("_rv").alias("_v")
+        ),
+        cb, m, dim, ["neighbor_id", "centroid_id"],
     )
     norms = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1229,23 +1281,7 @@ def ivfpq_search_frames(
         .filter(F.col("_crank") <= _pool)
         .select("query_id", "neighbor_id")
     )
-    qn = with_norm(qv, "_qv").withColumnRenamed("_norm", "_qnorm")
-    cv = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv",
-    ).withColumnRenamed("_norm", "_cnorm2")
-    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm2"))
-    out = (
-        cand.join(F.broadcast(qn), "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w2 = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return out.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    return _exact_cosine_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 
 def ivfpq_topk(

@@ -110,6 +110,29 @@ _APPEND_TABLES = {
 }
 
 
+# the frame builders' defaults, captured into every manifest so the
+# maintenance/serve readers NEVER re-guess them (r9 review #1: the
+# ivfpq builder defaults multi_assign=3 while an append falling back
+# to 1 would silently under-assign appended vectors, breaking the
+# maintenance invariant for default-params callers)
+_BUILD_DEFAULTS = {
+    "ivf": dict(centroid_mod=37, max_centroids=64, train_rounds=0,
+                multi_assign=1),
+    "pq": dict(m=8, dim=64, codeword_mod=13, max_codewords=16,
+               codebook_cap=64, scale_ref=1000, train_rounds=0),
+    "ivfpq": dict(centroid_mod=37, max_centroids=64, train_rounds=2,
+                  multi_assign=3, m=16, dim=64, codeword_mod=13,
+                  max_codewords=64),
+}
+
+
+def _effective_params(kind: str, build_params: dict, subset) -> dict:
+    out = dict(_BUILD_DEFAULTS[kind], **build_params)
+    if subset:
+        out["base_pred"] = subset
+    return out
+
+
 def _manifest(index_dir: str) -> dict | None:
     try:
         with open(os.path.join(index_dir, _META)) as f:
@@ -420,11 +443,13 @@ def _footer_rows(spark: SparkSession, path: str) -> int:
     """Row count from parquet FOOTERS (metadata-only scan of a
     count(*)-pruned read) — how the maintenance paths measure appended
     rows without an extra pass over the delta (r9 review follow-up:
-    delta.count() was a full Spark job per micro-batch)."""
-    try:
-        return spark.read.parquet(path).count()
-    except Exception:
+    delta.count() was a full Spark job per micro-batch). A missing
+    path counts 0; any OTHER failure PROPAGATES (r9 review #3:
+    coercing a transient read error to 0 would commit a negative or
+    wildly inflated appended_rows and silently wedge needs_retrain)."""
+    if not os.path.isdir(path):
         return 0
+    return spark.read.parquet(path).count()
 
 
 def ensure_ivf_index(
@@ -452,12 +477,12 @@ def ensure_ivf_index(
         # (row count / multi_assign — _nearest_centroids emits exactly
         # multi rows per vector), never an extra corpus scan (r9
         # review #7: a redundant full pass per retrain at 100 TB)
-        multi = int(build_params.get("multi_assign", 1))
+        multi = int(_effective_params("ivf", build_params, None)["multi_assign"])
         n_post = spark.read.parquet(os.path.join(tmp, "postings")).count()
         _commit(
             tmp, "ivf", fingerprint, ["centroids", "postings"],
             src=src,
-            params=dict(build_params, base_pred=subset) if subset else build_params,
+            params=_effective_params("ivf", build_params, subset),
             base_rows=n_post // multi,
         )
     except BaseException:
@@ -497,14 +522,19 @@ def ivf_index_append(
     postings = _nearest_centroids(
         centroids, delta, id_col, vec_col, multi, "neighbor_id"
     )
+    # every vector gets exactly min(multi, |centroids|) postings (the
+    # top-n window is candidate-bounded) — using bare multi as the
+    # divisor undercounts on a tiny index with fewer cells than multi
+    # (r9 review #5); the centroids frame is kB-sized
+    per_vec = max(1, min(multi, centroids.count()))
     ppath = os.path.join(index_dir, "postings")
     n_before = _footer_rows(spark, ppath)
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     postings.write.mode("append").parquet(ppath)
     # appended rows from the postings footer delta (metadata-only),
-    # divided by the frozen multi-assignment factor — never an extra
+    # divided by the exact per-vector posting count — never an extra
     # pass over the delta frame
-    n_delta = (_footer_rows(spark, ppath) - n_before) // max(multi, 1)
+    n_delta = (_footer_rows(spark, ppath) - n_before) // per_vec
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
         src=meta.get("src"), params=meta.get("params"),
@@ -544,7 +574,7 @@ def ensure_pq_index(
         _commit(
             tmp, "pq", fingerprint, ["codebook", "codes", "norms"],
             src=src,
-            params=dict(build_params, base_pred=subset) if subset else build_params,
+            params=_effective_params("pq", build_params, subset),
             base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
         )
     except BaseException:
@@ -576,7 +606,9 @@ def pq_index_append(
     trade as in :func:`ivf_index_append`."""
     from pyspark.sql import functions as F
 
-    from bigdatafinalproject_spark.operators.ann import _pq_exprs
+    from bigdatafinalproject_spark.operators.ann import (
+        encode_against_codebook,
+    )
 
     txn = _writer_txn(index_dir, batch_id, "append")
     if txn is None:
@@ -587,24 +619,13 @@ def pq_index_append(
     m = int(params.get("m", 8))
     dim = int(params.get("dim", 64))
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
-    # encode the delta exactly as pq_build_frames encodes the corpus:
-    # broadcast codebook join + struct-min argmin per (vector, subspace)
-    spaces, subv = _pq_exprs(m, dim)
-    l2 = F.expr(
-        "aggregate(zip_with(_sv, _cw, (x, c) -> "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    dcodes = (
-        delta.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
-        .select("neighbor_id", spaces, "_v")
-        .select("neighbor_id", "s", subv)
-        .join(F.broadcast(cb), "s")
-        .withColumn("_d", l2)
-        .groupBy("neighbor_id", "s")
-        .agg(F.min(F.struct("_d", "code")).alias("_b"))
-        .select("neighbor_id", "s", F.col("_b.code").alias("code"))
+    # encode the delta with THE SAME definition pq_build_frames uses
+    # (shared helper — build and append cannot diverge)
+    dcodes = encode_against_codebook(
+        delta.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        cb, m, dim, ["neighbor_id"],
     )
     dnorms = delta.select(
         F.col(id_col).alias("neighbor_id"),
@@ -721,19 +742,57 @@ def clone_index(src_dir: str, dst_dir: str) -> str:
     NOT the source's writer log — the clone starts its own maintenance
     history. Refuses an uncommitted source (a mid-maintenance index
     must never be forked)."""
+    import threading
+
     if _manifest(src_dir) is None:
         raise ValueError(
             f"clone_index: no committed index at {src_dir!r}"
         )
-    tmp = f"{dst_dir}.clone.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.copytree(
-        src_dir, tmp,
-        ignore=shutil.ignore_patterns(_APPLOG, "*.compact.*", "*.tmp.*"),
-    )
-    shutil.rmtree(dst_dir, ignore_errors=True)
-    os.rename(tmp, dst_dir)
-    return dst_dir
+    # pid + thread id: two threads cloning to the same destination
+    # must not interleave into one staging dir (the _build_into_tmp
+    # discipline — r9 review #2); failures never leak the staging copy
+    tmp = f"{dst_dir}.clone.{os.getpid()}.{threading.get_ident()}"
+    last_err: Exception | None = None
+    for _ in range(3):
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            shutil.copytree(
+                src_dir, tmp,
+                ignore=shutil.ignore_patterns(
+                    _APPLOG, "*.compact.*", "*.tmp.*", "*.clone.*"
+                ),
+            )
+        except (shutil.Error, OSError) as e:
+            # a concurrent installer/GC can replace or sweep a SHARED-
+            # CACHE source mid-copy (r9 review #4): re-check the source
+            # and retry; a source that stays uncommitted is a real error
+            shutil.rmtree(tmp, ignore_errors=True)
+            last_err = e
+            if _manifest(src_dir) is None:
+                raise ValueError(
+                    f"clone_index: source {src_dir!r} disappeared "
+                    f"mid-clone (superseded by a concurrent install?)"
+                ) from e
+            continue
+        if _manifest(tmp) is None:
+            # raced a source swap without an exception: torn copy
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, dst_dir)
+        except OSError as e:
+            # concurrent cloner won the destination (writer-private by
+            # contract, but converge anyway): adopt theirs if committed
+            shutil.rmtree(tmp, ignore_errors=True)
+            if _manifest(dst_dir) is None:
+                raise
+            last_err = e
+        return dst_dir
+    raise RuntimeError(
+        f"clone_index: could not produce a committed clone of "
+        f"{src_dir!r} after 3 attempts"
+    ) from last_err
 
 
 def needs_retrain(index_dir: str, max_appended_frac: float = 0.5) -> bool:
@@ -872,7 +931,7 @@ def ensure_ivfpq_index(
             tmp, "ivfpq", fingerprint,
             ["centroids", "codebook", "codes", "norms"],
             src=src,
-            params=dict(build_params, base_pred=subset) if subset else build_params,
+            params=_effective_params("ivfpq", build_params, subset),
             base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
         )
     except BaseException:
@@ -941,7 +1000,7 @@ def ivfpq_index_append(
     from bigdatafinalproject_spark.operators.ann import (
         _dot,
         _nearest_centroids,
-        _pq_exprs,
+        encode_against_codebook,
     )
 
     txn = _writer_txn(index_dir, batch_id, "append")
@@ -950,7 +1009,9 @@ def ivfpq_index_append(
     meta, mver = txn
     applied = list(meta.get("applied_batches", []))
     params = meta.get("params", {})
-    multi = int(params.get("multi_assign", 1))
+    # fallbacks mirror _BUILD_DEFAULTS["ivfpq"] for legacy manifests;
+    # every r9+ manifest records the effective values explicitly
+    multi = int(params.get("multi_assign", 3))
     m = int(params.get("m", 16))
     dim = int(params.get("dim", 64))
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -969,21 +1030,9 @@ def ivfpq_index_append(
         .join(F.broadcast(centroids), "centroid_id")
         .select("neighbor_id", "centroid_id", residual.alias("_rv"))
     )
-    spaces, subv = _pq_exprs(m, dim)
-    l2 = F.expr(
-        "aggregate(zip_with(_sv, _cw, (x, c) -> "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    dcodes = (
-        res.select("neighbor_id", "centroid_id", spaces, F.col("_rv").alias("_v"))
-        .select("neighbor_id", "centroid_id", "s", subv)
-        .join(F.broadcast(cb), "s")
-        .withColumn("_d", l2)
-        .groupBy("neighbor_id", "centroid_id", "s")
-        .agg(F.min(F.struct("_d", "code")).alias("_b"))
-        .select("neighbor_id", "centroid_id", "s", F.col("_b.code").alias("code"))
+    dcodes = encode_against_codebook(
+        res.select("neighbor_id", "centroid_id", F.col("_rv").alias("_v")),
+        cb, m, dim, ["neighbor_id", "centroid_id"],
     )
     dnorms = delta.select(
         F.col(id_col).alias("neighbor_id"),

@@ -25,7 +25,9 @@ from bigdatafinalproject_spark.catalog import load_table
 from bigdatafinalproject_spark.queries.ann import (
     _DOT_AB,
     _NORMS_CTE,
+    _PQ_BASE_PRED,
     _PQ_L2,
+    _PQ_M,
     _PQ_MAXC,
     _PQ_MOD,
     _PQ_POOLCAP,
@@ -46,8 +48,6 @@ from bigdatafinalproject_spark.queries.ivf_ranking import (
     _kmeans_ctes,
 )
 from bigdatafinalproject_spark.registry import query
-
-_PQ_M = 16
 
 
 def _residual_kmeans_ctes(rounds: int) -> str:
@@ -286,7 +286,10 @@ def ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivfpq_index_append",
-    oracle=_ivfpq_oracle(base_pred="vec_id % 3 <> 0"),
+    # ONE constant defines the base subset on both engines (r9 review
+    # #8: a hardcoded literal here would silently diverge from the
+    # plan side if the predicate were ever retuned)
+    oracle=_ivfpq_oracle(base_pred=_PQ_BASE_PRED),
 )
 def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of the composed IVFPQ index: BOTH
@@ -313,7 +316,6 @@ def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_index_search,
         shared_index_dir,
     )
-    from bigdatafinalproject_spark.queries.ann import _PQ_BASE_PRED
     from bigdatafinalproject_spark.queries.layout import _scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
