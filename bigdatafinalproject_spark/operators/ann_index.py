@@ -102,6 +102,20 @@ _ALGO_VERSION = 2
 # while pid probing is exact for this log's scope (O_EXCL is a
 # same-host primitive; an object-store port swaps both for leases)
 _WRITER_WAIT_S = 300.0
+# claim-liveness mode (VERDICT r9 #2): "pid" (default) probes the
+# claimant's pid — exact for the same-host O_EXCL scope this sandbox
+# has; "lease" records an expiry the claimant RENEWS from a background
+# thread while its Spark work runs — the cluster/object-store-portable
+# protocol (kill(pid,0) is meaningless across hosts; put-if-absent +
+# leases is how Delta/Iceberg writers arbitrate there). Each claim is
+# SELF-DESCRIBING (records its own mode), so mixed-mode writers judge
+# every claim by the rule its writer chose. Renewal is a thread, not a
+# checkpoint, so a lease can only lapse on real process death — never
+# because a guarded Spark job outran a grace period (the r9 review #1
+# failure mode that killed the time-based design).
+_CLAIM_MODE_ENV = "BDFP_ANN_CLAIM_MODE"
+_LEASE_S_ENV = "BDFP_ANN_LEASE_S"
+_LEASE_S_DEFAULT = 30.0
 
 _APPEND_TABLES = {
     "ivf": ("postings",),
@@ -317,13 +331,95 @@ def _pid_alive(pid) -> bool:
         return True  # exists, owned by someone else
 
 
-def _claim_pid(log: str, version: int):
-    """The pid recorded in a claim entry, or None if unreadable."""
+def _read_claim(log: str, version: int) -> dict | None:
+    """A claim entry's payload, or None if the entry does not exist.
+    Claims are payload-atomic (txlog's os.link commit), so a visible
+    entry always parses — None means the entry is GONE (pruned by the
+    winner's recommit, or released by a failed writer's cleanup),
+    never a live winner mid-write (ADVICE r9)."""
     try:
         with open(entry_path(log, version)) as f:
-            return json.load(f).get("pid")
+            return json.load(f)
     except (OSError, ValueError):
         return None
+
+
+def _claim_alive(claim: dict | None) -> bool:
+    """Is this claim's writer still live, judged by the claim's OWN
+    recorded mode: lease claims live until their (renewed) expiry
+    lapses; pid claims live while their pid does."""
+    if claim is None:
+        return False
+    if claim.get("mode") == "lease":
+        try:
+            return float(claim.get("lease_expiry", 0)) > time.time()
+        except (TypeError, ValueError):
+            return False
+    return _pid_alive(claim.get("pid"))
+
+
+class _LeaseRenewer:
+    """Background renewal for a lease-mode claim: rewrites the entry
+    with a fresh expiry every lease/3 via an atomic os.replace, so the
+    lease lapses only on real process death — a long Spark job inside
+    the guarded window can never outlive it (the failure mode that
+    disqualified claim-age heuristics, r9 review #1)."""
+
+    def __init__(self, path: str, payload: dict, lease_s: float):
+        import threading
+
+        self._path = path
+        self._payload = payload
+        self._lease_s = lease_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._lease_s / 3.0):
+            tmp = f"{self._path}.renew.{os.getpid()}"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump(
+                        dict(
+                            self._payload,
+                            lease_expiry=time.time() + self._lease_s,
+                        ),
+                        f,
+                    )
+                os.replace(tmp, self._path)
+            except OSError:
+                pass  # next tick retries; expiry has 3 ticks of slack
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
+# live renewers of THIS process's lease-mode claims, keyed by entry
+# path; _end_claim must stop a claim's renewer BEFORE the recommit
+# prunes (or the failure path releases) its entry — an un-stopped
+# renewer's os.replace would resurrect a removed entry
+_RENEWERS: dict[str, _LeaseRenewer] = {}
+
+
+def _end_claim(index_dir: str, mver: int, release: bool = False) -> None:
+    """Finish this process's claim on writer slot ``mver``: stop its
+    lease renewer (no-op in pid mode), and with ``release=True`` also
+    remove the entry — the failure cleanup for an error in the
+    claim→invalidate window (ADVICE r9: the manifest was never
+    invalidated there, so the slot was never consumed and releasing it
+    un-wedges every later same-process writer that would otherwise
+    wait out _WRITER_WAIT_S against our own live pid)."""
+    path = entry_path(os.path.join(index_dir, _APPLOG), mver)
+    r = _RENEWERS.pop(path, None)
+    if r is not None:
+        r.stop()
+    if release:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
 
 
 def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
@@ -347,33 +443,63 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
     rewrite, and guessing wrong re-opens the lost-update race)."""
     log = os.path.join(index_dir, _APPLOG)
     target = int(meta.get("mver", 0)) + 1
-    payload = dict(payload, pid=os.getpid())
+    mode = os.environ.get(_CLAIM_MODE_ENV, "pid")
+    lease_s = float(os.environ.get(_LEASE_S_ENV, _LEASE_S_DEFAULT))
     while True:
+        p = dict(payload, pid=os.getpid(), mode=mode)
+        if mode == "lease":
+            p["lease_expiry"] = time.time() + lease_s
         try:
-            commit_exclusive(log, target, payload)
-            return target
+            commit_exclusive(log, target, p)
         except ConcurrentWriteError:
             cur = _manifest(index_dir)
             if cur is None or int(cur.get("mver", 0)) >= target:
                 # a live writer holds (or already filled) the slot:
                 # the caller must re-read and retry
                 raise
-            pid = _claim_pid(log, target)
-            if pid is None:
-                # claim exists but payload unreadable: either the
-                # winner is between its O_EXCL create and the payload
-                # write (microseconds of pure syscalls) or it died
-                # exactly there — re-read once past that window
-                time.sleep(0.05)
-                pid = _claim_pid(log, target)
-            if pid is not None and _pid_alive(pid):
+            claim = _read_claim(log, target)
+            if claim is None:
+                # the entry VANISHED after the CAS loss (claims are
+                # payload-atomic, so unreadable ≠ mid-write): either
+                # the winner recommitted and pruned it — the manifest
+                # is about to read >= target — or a failed writer
+                # released the slot (ADVICE r9 cleanup). Both settle
+                # by re-attempting the CAS on the same slot; the
+                # post-claim manifest check below rejects the
+                # spent-slot case.
+                time.sleep(0.02)
+                continue
+            if _claim_alive(claim):
                 # a live writer (possibly a thread-sibling in this
                 # same pid) holds the slot
                 raise ConcurrentWriteError(
-                    f"writer slot {target} held by live pid {pid} "
-                    f"at {index_dir!r}"
+                    f"writer slot {target} held by live claim "
+                    f"(pid {claim.get('pid')}, mode "
+                    f"{claim.get('mode', 'pid')}) at {index_dir!r}"
                 ) from None
             target += 1  # crashed claimant: skip its dead slot
+            continue
+        # post-claim validation: between our manifest read and the CAS,
+        # successive winners can fill AND prune this slot — the CAS
+        # then succeeds on a SPENT slot (or while a later writer is
+        # mid-append with the manifest invalidated). Proceeding would
+        # commit a stale mver over newer state, so release the entry
+        # and surface contention; the caller re-reads.
+        cur = _manifest(index_dir)
+        if cur is None or int(cur.get("mver", 0)) >= target:
+            try:
+                os.remove(entry_path(log, target))
+            except OSError:
+                pass
+            raise ConcurrentWriteError(
+                f"writer slot {target} was already spent when claimed "
+                f"(concurrent writers advanced past it) at {index_dir!r}"
+            )
+        if mode == "lease":
+            _RENEWERS[entry_path(log, target)] = _LeaseRenewer(
+                entry_path(log, target), p, lease_s
+            )
+        return target
 
 
 def _writer_txn(
@@ -414,13 +540,15 @@ def _writer_txn(
         live_pid = None
         try:
             for n in sorted(os.listdir(log), reverse=True):
+                if not (n.startswith("v") and n.endswith(".json")):
+                    continue
                 try:
                     with open(os.path.join(log, n)) as f:
-                        pid = json.load(f).get("pid")
+                        claim = json.load(f)
                 except (OSError, ValueError):
                     continue
-                if _pid_alive(pid):
-                    live_pid = pid
+                if _claim_alive(claim):
+                    live_pid = claim.get("pid")
                     break
         except OSError:
             pass
@@ -474,16 +602,22 @@ def ensure_ivf_index(
             os.path.join(tmp, "postings")
         )
         # base_rows from the just-written postings' parquet FOOTERS
-        # (row count / multi_assign — _nearest_centroids emits exactly
-        # multi rows per vector), never an extra corpus scan (r9
-        # review #7: a redundant full pass per retrain at 100 TB)
+        # (row count / postings-per-vector), never an extra corpus
+        # scan (r9 review #7: a redundant full pass per retrain at
+        # 100 TB). _nearest_centroids emits min(multi, |centroids|)
+        # postings per vector — dividing by bare multi undercounts the
+        # base on an index with fewer cells than multi_assign, which
+        # inflates the appended fraction and fires needs_retrain early
+        # (ADVICE r9; same accounting as ivf_index_append)
         multi = int(_effective_params("ivf", build_params, None)["multi_assign"])
+        n_cent = spark.read.parquet(os.path.join(tmp, "centroids")).count()
+        per_vec = max(1, min(multi, n_cent))
         n_post = spark.read.parquet(os.path.join(tmp, "postings")).count()
         _commit(
             tmp, "ivf", fingerprint, ["centroids", "postings"],
             src=src,
             params=_effective_params("ivf", build_params, subset),
-            base_rows=n_post // multi,
+            base_rows=n_post // per_vec,
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # no abandoned tmp dirs
@@ -516,25 +650,38 @@ def ivf_index_append(
     if txn is None:
         return index_dir  # redelivered batch: idempotent skip
     meta, mver = txn
-    applied = list(meta.get("applied_batches", []))
-    multi = int(meta.get("params", {}).get("multi_assign", 1))
-    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    postings = _nearest_centroids(
-        centroids, delta, id_col, vec_col, multi, "neighbor_id"
-    )
-    # every vector gets exactly min(multi, |centroids|) postings (the
-    # top-n window is candidate-bounded) — using bare multi as the
-    # divisor undercounts on a tiny index with fewer cells than multi
-    # (r9 review #5); the centroids frame is kB-sized
-    per_vec = max(1, min(multi, centroids.count()))
-    ppath = os.path.join(index_dir, "postings")
-    n_before = _footer_rows(spark, ppath)
+    # a failure in the claim→invalidate window (a transient Spark
+    # error in the centroid read / footer counts) must RELEASE the
+    # claim: the manifest was never invalidated, so the slot was never
+    # consumed — without the release, every later writer in this
+    # process waits the full _WRITER_WAIT_S against our own live
+    # claim and the index is wedged for the process lifetime
+    # (ADVICE r9). Failures AFTER the invalidate keep the claim: the
+    # index is genuinely non-current then and rebuild is the remedy.
+    try:
+        applied = list(meta.get("applied_batches", []))
+        multi = int(meta.get("params", {}).get("multi_assign", 1))
+        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        postings = _nearest_centroids(
+            centroids, delta, id_col, vec_col, multi, "neighbor_id"
+        )
+        # every vector gets exactly min(multi, |centroids|) postings
+        # (the top-n window is candidate-bounded) — using bare multi as
+        # the divisor undercounts on a tiny index with fewer cells than
+        # multi (r9 review #5); the centroids frame is kB-sized
+        per_vec = max(1, min(multi, centroids.count()))
+        ppath = os.path.join(index_dir, "postings")
+        n_before = _footer_rows(spark, ppath)
+    except BaseException:
+        _end_claim(index_dir, mver, release=True)
+        raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     postings.write.mode("append").parquet(ppath)
     # appended rows from the postings footer delta (metadata-only),
     # divided by the exact per-vector posting count — never an extra
     # pass over the delta frame
     n_delta = (_footer_rows(spark, ppath) - n_before) // per_vec
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
         src=meta.get("src"), params=meta.get("params"),
@@ -614,35 +761,42 @@ def pq_index_append(
     if txn is None:
         return index_dir  # redelivered batch: idempotent skip
     meta, mver = txn
-    applied = list(meta.get("applied_batches", []))
-    params = meta.get("params", {})
-    m = int(params.get("m", 8))
-    dim = int(params.get("dim", 64))
-    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
-    # encode the delta with THE SAME definition pq_build_frames uses
-    # (shared helper — build and append cannot diverge)
-    dcodes = encode_against_codebook(
-        delta.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-        ),
-        cb, m, dim, ["neighbor_id"],
-    )
-    dnorms = delta.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.expr(
-            f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-        ).alias("_cnorm"),
-    )
-    npath = os.path.join(index_dir, "norms")
-    n_before = _footer_rows(spark, npath)
+    # claim→invalidate failures release the claim (slot never
+    # consumed; see ivf_index_append — ADVICE r9)
+    try:
+        applied = list(meta.get("applied_batches", []))
+        params = meta.get("params", {})
+        m = int(params.get("m", 8))
+        dim = int(params.get("dim", 64))
+        cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+        # encode the delta with THE SAME definition pq_build_frames
+        # uses (shared helper — build and append cannot diverge)
+        dcodes = encode_against_codebook(
+            delta.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+            ),
+            cb, m, dim, ["neighbor_id"],
+        )
+        dnorms = delta.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(
+                f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+            ).alias("_cnorm"),
+        )
+        npath = os.path.join(index_dir, "norms")
+        n_before = _footer_rows(spark, npath)
+    except BaseException:
+        _end_claim(index_dir, mver, release=True)
+        raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
     dnorms.write.mode("append").parquet(npath)
     # appended rows from the norms footer delta (one row per appended
     # vector, metadata-only) — never an extra pass over the delta
     n_delta = _footer_rows(spark, npath) - n_before
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
         src=meta.get("src"), params=params,
@@ -691,36 +845,53 @@ def compact_index(
     """
     from bigdatafinalproject_spark.operators.layout import compact
 
+    # kind-check BEFORE claiming (ADVICE r9): raising unknown-kind
+    # after the claim would abandon the slot and wedge later writers;
+    # the post-claim re-check below covers the (theoretical) window
+    # where the manifest changes kind between this read and the claim
+    pre = _manifest(index_dir)
+    if pre is not None and pre.get("kind") not in _APPEND_TABLES:
+        raise ValueError(
+            f"compact_index: unknown index kind {pre.get('kind')!r}"
+        )
     txn = _writer_txn(index_dir, None, "compact")
     meta, mver = txn
-    tables = _APPEND_TABLES.get(meta.get("kind"), ())
-    if not tables:
-        raise ValueError(
-            f"compact_index: unknown index kind {meta.get('kind')!r}"
-        )
-    # sweep aside/tmp leftovers from a compaction that crashed before
-    # its invalidate (serving copy was untouched then, so these are
-    # pure garbage)
-    for n in os.listdir(index_dir):
-        if ".compact." in n:
-            shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
-    stats: dict[str, tuple[int, int]] = {}
-    tmps: dict[str, str] = {}
-    for t in tables:
-        src = os.path.join(index_dir, t)
-        before = sum(
-            1 for n in os.listdir(src) if n.endswith(".parquet")
-        )
-        tmp = os.path.join(index_dir, f"{t}.compact.tmp.{os.getpid()}")
-        after = compact(spark, src, tmp, target_bytes=target_bytes)
-        stats[t] = (before, after)
-        tmps[t] = tmp
+    # claim→invalidate failures release the claim (the compaction
+    # rewrites below are full Spark jobs and the serving copy is
+    # untouched until the invalidate; see ivf_index_append — ADVICE r9)
+    try:
+        tables = _APPEND_TABLES.get(meta.get("kind"), ())
+        if not tables:
+            raise ValueError(
+                f"compact_index: unknown index kind {meta.get('kind')!r}"
+            )
+        # sweep aside/tmp leftovers from a compaction that crashed
+        # before its invalidate (serving copy was untouched then, so
+        # these are pure garbage)
+        for n in os.listdir(index_dir):
+            if ".compact." in n:
+                shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+        stats: dict[str, tuple[int, int]] = {}
+        tmps: dict[str, str] = {}
+        for t in tables:
+            src = os.path.join(index_dir, t)
+            before = sum(
+                1 for n in os.listdir(src) if n.endswith(".parquet")
+            )
+            tmp = os.path.join(index_dir, f"{t}.compact.tmp.{os.getpid()}")
+            after = compact(spark, src, tmp, target_bytes=target_bytes)
+            stats[t] = (before, after)
+            tmps[t] = tmp
+    except BaseException:
+        _end_claim(index_dir, mver, release=True)
+        raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during swap
     for t in tables:
         old = os.path.join(index_dir, f"{t}.compact.old.{os.getpid()}")
         os.rename(os.path.join(index_dir, t), old)
         os.rename(tmps[t], os.path.join(index_dir, t))
         shutil.rmtree(old, ignore_errors=True)
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
         src=meta.get("src"), params=meta.get("params"),
@@ -1007,43 +1178,50 @@ def ivfpq_index_append(
     if txn is None:
         return index_dir  # redelivered batch: idempotent skip
     meta, mver = txn
-    applied = list(meta.get("applied_batches", []))
-    params = meta.get("params", {})
-    # fallbacks mirror _BUILD_DEFAULTS["ivfpq"] for legacy manifests;
-    # every r9+ manifest records the effective values explicitly
-    multi = int(params.get("multi_assign", 3))
-    m = int(params.get("m", 16))
-    dim = int(params.get("dim", 64))
-    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
-    assigned = _nearest_centroids(
-        centroids, delta, id_col, vec_col, multi, "neighbor_id"
-    )
-    dvec = delta.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-    )
-    residual = F.expr(
-        "zip_with(_v, _cent, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
-    )
-    res = (
-        assigned.join(dvec, "neighbor_id")
-        .join(F.broadcast(centroids), "centroid_id")
-        .select("neighbor_id", "centroid_id", residual.alias("_rv"))
-    )
-    dcodes = encode_against_codebook(
-        res.select("neighbor_id", "centroid_id", F.col("_rv").alias("_v")),
-        cb, m, dim, ["neighbor_id", "centroid_id"],
-    )
-    dnorms = delta.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.sqrt(_dot(vec_col, vec_col)).alias("_cnorm"),
-    )
-    npath = os.path.join(index_dir, "norms")
-    n_before = _footer_rows(spark, npath)
+    # claim→invalidate failures release the claim (slot never
+    # consumed; see ivf_index_append — ADVICE r9)
+    try:
+        applied = list(meta.get("applied_batches", []))
+        params = meta.get("params", {})
+        # fallbacks mirror _BUILD_DEFAULTS["ivfpq"] for legacy
+        # manifests; every r9+ manifest records the effective values
+        multi = int(params.get("multi_assign", 3))
+        m = int(params.get("m", 16))
+        dim = int(params.get("dim", 64))
+        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+        assigned = _nearest_centroids(
+            centroids, delta, id_col, vec_col, multi, "neighbor_id"
+        )
+        dvec = delta.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        )
+        residual = F.expr(
+            "zip_with(_v, _cent, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
+        )
+        res = (
+            assigned.join(dvec, "neighbor_id")
+            .join(F.broadcast(centroids), "centroid_id")
+            .select("neighbor_id", "centroid_id", residual.alias("_rv"))
+        )
+        dcodes = encode_against_codebook(
+            res.select("neighbor_id", "centroid_id", F.col("_rv").alias("_v")),
+            cb, m, dim, ["neighbor_id", "centroid_id"],
+        )
+        dnorms = delta.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.sqrt(_dot(vec_col, vec_col)).alias("_cnorm"),
+        )
+        npath = os.path.join(index_dir, "norms")
+        n_before = _footer_rows(spark, npath)
+    except BaseException:
+        _end_claim(index_dir, mver, release=True)
+        raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
     dnorms.write.mode("append").parquet(npath)
     n_delta = _footer_rows(spark, npath) - n_before
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
         src=meta.get("src"), params=params,

@@ -70,20 +70,36 @@ def commit_exclusive(
 
     Raises :class:`ConcurrentWriteError` if any writer (including a
     crashed one) already claimed it. The payload (writer identity,
-    audit summary, ...) is recorded for the trail; an interrupted
-    write after a successful create still counts as claimed — version
-    numbers are never reused."""
+    audit summary, ...) is written to a private temp file FIRST and
+    committed by ``os.link`` — link fails if the entry exists, which
+    is the CAS — so a visible entry ALWAYS carries its complete
+    payload (ADVICE r9: with O_EXCL-create-then-write, a winner
+    descheduled between the create and the payload write was
+    indistinguishable from a crash there, letting a second liveness-
+    probing writer proceed concurrently). Version numbers are never
+    reused."""
+    import threading
+
     os.makedirs(log_dir, exist_ok=True)
     path = _entry(log_dir, version)
+    tmp = os.path.join(
+        log_dir,
+        f".claim.v{version}.{os.getpid()}.{threading.get_ident()}",
+    )
+    with open(tmp, "w") as f:
+        json.dump(payload or {}, f)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         raise ConcurrentWriteError(
             f"version {version} already committed in {log_dir!r} "
             f"(concurrent writer won the CAS)"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(payload or {}, f)
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def prune(log_dir: str, keep_from: int) -> None:

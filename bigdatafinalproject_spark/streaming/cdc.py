@@ -300,9 +300,16 @@ def vacuum_snapshots(out_dir: str, keep: int = 1) -> list[int]:
     if removed:
         from bigdatafinalproject_spark.operators.txlog import prune
 
-        # the commit log's vacuum twin — but never reuse version
-        # numbers: pruning only drops entries BELOW the kept range
-        prune(f"{out_dir}/_log", keep_from=removed[-1] + 1)
+        # the commit log's vacuum twin — prune strictly BELOW the
+        # lowest RETAINED committed version, never from the removed
+        # list: swept uncommitted artifacts can sit ABOVE the retained
+        # range (the v=n+3 crash-artifact case), and deriving keep_from
+        # from them would delete the retained versions' own commit
+        # records — store_versions would stop listing snapshots that
+        # still exist on disk (ADVICE r9). Version numbers are still
+        # never reused: the retained floor only moves forward.
+        retained_floor = versions[-keep] if len(versions) > keep else versions[0]
+        prune(f"{out_dir}/_log", keep_from=retained_floor)
     return removed
 
 

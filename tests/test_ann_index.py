@@ -505,7 +505,7 @@ def test_live_foreign_claim_times_out_without_rebuild_advice(
         _os.path.join(idx, "_applog"), 1,
         {"op": "append", "batch_id": 99, "pid": _os.getpid()},
     )
-    with pytest.raises(ConcurrentWriteError, match="live pid"):
+    with pytest.raises(ConcurrentWriteError, match="live claim"):
         _writer_txn(idx, 0, "append", wait_s=0.3)
     # and with the manifest REMOVED (mid-append state), the timeout
     # error names the live writer and forbids the rebuild remedy
@@ -603,3 +603,235 @@ def test_gc_spares_other_training_subset_same_source(spark, tmp_path):
     assert not _os.path.isdir(full_dir)
     assert _os.path.isdir(base_dir)
     assert _os.path.isdir(full2)
+
+
+def test_claim_released_on_pre_invalidate_failure_unwedges(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: a writer failing between its CAS claim and the
+    manifest invalidate must RELEASE the claim — the slot was never
+    consumed (manifest untouched), and an abandoned live-pid claim
+    would make every later writer in this process wait out the full
+    writer timeout. After the failed attempt, a normal append with a
+    SHORT wait must succeed immediately and the log must hold only the
+    winning claim."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators import ann_index as ai
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_release")
+
+    def boom(spark_, path):
+        raise RuntimeError("transient footer read failure")
+
+    monkeypatch.setattr(ai, "_footer_rows", boom)
+    with pytest.raises(RuntimeError, match="transient footer"):
+        ai.pq_index_append(spark, idx, delta, batch_id=0)
+    monkeypatch.undo()
+    # the failed attempt released its claim: no entries in the log,
+    # manifest still committed (the index was never invalidated)
+    assert sorted(_os.listdir(_os.path.join(idx, "_applog"))) == []
+    assert _os.path.exists(_os.path.join(idx, "_meta.json"))
+    # a retry in the SAME process proceeds immediately (a leaked claim
+    # would make it wait out the full 300 s writer timeout and raise)
+    ai.pq_index_append(spark, idx, delta, batch_id=0)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [0]
+
+
+def test_compact_unknown_kind_rejected_before_claiming(spark, tmp_path):
+    """ADVICE r9: compact_index validates the index kind BEFORE
+    claiming a writer slot — an unknown-kind error must not consume
+    (or abandon) a slot."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import compact_index
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_badkind")
+    meta_path = _os.path.join(idx, "_meta.json")
+    meta = json.load(open(meta_path))
+    meta["kind"] = "mystery"
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="unknown index kind"):
+        compact_index(spark, idx)
+    # no writer slot was claimed or abandoned
+    log = _os.path.join(idx, "_applog")
+    assert not _os.path.exists(log) or _os.listdir(log) == []
+
+
+def test_spent_slot_claim_is_rejected_after_cas(spark, tmp_path):
+    """Post-claim validation: a writer whose manifest snapshot went
+    stale between read and CAS — and whose target slot was already
+    filled AND pruned by faster writers — must not proceed with the
+    stale slot; the claim is released and contention surfaced."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _claim_writer,
+        pq_index_append,
+    )
+    from bigdatafinalproject_spark.operators.txlog import (
+        ConcurrentWriteError,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_spent")
+    stale = json.load(open(_os.path.join(idx, "_meta.json")))  # mver 0
+    pq_index_append(spark, idx, delta, batch_id=0)  # advances mver to 1
+    # simulate the winner's claim entry being pruned by later activity
+    log = _os.path.join(idx, "_applog")
+    for n in _os.listdir(log):
+        _os.remove(_os.path.join(log, n))
+    with pytest.raises(ConcurrentWriteError, match="already spent"):
+        _claim_writer(idx, stale, {"op": "append", "batch_id": 9})
+    assert _os.listdir(log) == []  # the doomed claim was released
+
+
+def test_lease_mode_two_appender_race_lands_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #2: the lease-based claim mode (the object-store-
+    portable protocol) must pass the same two-appender race as pid
+    mode — a short lease with background renewal outlives the Spark
+    work, both batches land exactly once, and no renewer survives the
+    recommit."""
+    import json
+    import threading
+
+    from bigdatafinalproject_spark.operators import ann_index as ai
+
+    monkeypatch.setenv("BDFP_ANN_CLAIM_MODE", "lease")
+    monkeypatch.setenv("BDFP_ANN_LEASE_S", "2.0")
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_lease")
+    d0 = delta.filter(F.col("vec_id") % 2 == 0)
+    d1 = delta.filter(F.col("vec_id") % 2 != 0)
+    n_base = base.count()
+    n0, n1 = d0.count(), d1.count()
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def appender(bdf, bid):
+        try:
+            barrier.wait()
+            ai.pq_index_append(spark, idx, bdf, batch_id=bid)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=(d0, 10)),
+        threading.Thread(target=appender, args=(d1, 11)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    meta = json.load(open(os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [10, 11]
+    assert meta["appended_rows"] == n0 + n1
+    assert spark.read.parquet(f"{idx}/norms").count() == n_base + n0 + n1
+    assert not ai._RENEWERS, "renewers must stop at recommit"
+
+
+def test_lease_expired_claim_is_skipped_live_lease_blocks(
+    spark, tmp_path, monkeypatch
+):
+    """Lease-mode liveness: an EXPIRED lease claim is a crashed
+    claimant (slot skipped, never reused); an unexpired one blocks a
+    contender exactly as a live pid does. Claims are self-describing —
+    this holds regardless of the contender's own mode."""
+    import json
+    import os as _os
+    import time as _time
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _writer_txn,
+        pq_index_append,
+    )
+    from bigdatafinalproject_spark.operators.txlog import (
+        ConcurrentWriteError,
+        commit_exclusive,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_leaseexp")
+    log = _os.path.join(idx, "_applog")
+    # expired lease at slot 1 (even from a LIVE pid: in lease mode the
+    # lease, not the pid, carries liveness — the cross-host semantics)
+    commit_exclusive(
+        log, 1,
+        {"op": "append", "batch_id": 99, "pid": _os.getpid(),
+         "mode": "lease", "lease_expiry": _time.time() - 10.0},
+    )
+    pq_index_append(spark, idx, delta, batch_id=0)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [0]
+    assert meta["mver"] == 2  # dead slot skipped, never reused
+    # a LIVE lease blocks the contender until timeout
+    commit_exclusive(
+        log, 3,
+        {"op": "append", "batch_id": 98, "pid": 4194311,
+         "mode": "lease", "lease_expiry": _time.time() + 3600.0},
+    )
+    with pytest.raises(ConcurrentWriteError, match="live claim"):
+        _writer_txn(idx, 1, "append", wait_s=0.3)
+
+
+def test_commit_exclusive_payload_is_atomic(tmp_path):
+    """txlog claims are payload-atomic (ADVICE r9): a visible entry
+    always parses with its full payload — committed by os.link of a
+    fully-written temp file — and no temp files survive either the win
+    or the loss."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.txlog import (
+        ConcurrentWriteError,
+        commit_exclusive,
+        entry_path,
+    )
+
+    log = str(tmp_path / "log")
+    commit_exclusive(log, 1, {"pid": 123, "op": "append"})
+    assert json.load(open(entry_path(log, 1))) == {
+        "pid": 123, "op": "append"
+    }
+    with pytest.raises(ConcurrentWriteError):
+        commit_exclusive(log, 1, {"pid": 456})
+    # the loser's payload never replaced the winner's
+    assert json.load(open(entry_path(log, 1)))["pid"] == 123
+    assert [n for n in _os.listdir(log) if n.startswith(".claim.")] == []
+
+
+def test_ivf_base_rows_exact_with_fewer_centroids_than_multi(
+    spark, tmp_path
+):
+    """ADVICE r9: ensure_ivf_index divides the postings row count by
+    min(multi_assign, |centroids|) — the exact per-vector posting count
+    — so an index with fewer cells than multi_assign records the true
+    base cardinality (bare multi would undercount it and fire
+    needs_retrain early)."""
+    import json
+    import os as _os
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    params = dict(
+        centroid_mod=37, max_centroids=2, train_rounds=0, multi_assign=3
+    )
+    idx = str(tmp_path / "ivf_fewcells")
+    fp = corpus_fingerprint(table_path(SF_DIR, "embeddings"), **params)
+    ensure_ivf_index(spark, emb, idx, fp, **params)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta["base_rows"] == n

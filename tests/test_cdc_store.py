@@ -463,3 +463,9 @@ def test_vacuum_sweeps_uncommitted_artifacts_except_in_flight(
     assert os.path.exists(f"{out}/v={n}")  # spared: possibly live
     # the committed latest is untouched
     assert os.path.exists(f"{out}/v={n - 1}")
+    # AND its commit record survives the log prune: keep_from must be
+    # derived from the lowest retained committed version, not from the
+    # swept artifact (which sits ABOVE it) — otherwise store_versions
+    # stops listing the retained snapshot and reads break (ADVICE r9)
+    assert store_versions(out) == [n - 1]
+    assert store_as_of(spark, out, n - 1).count() > 0
