@@ -418,6 +418,53 @@ _R9_FRONT = (
     "ann_ivfpq_index_append",
 )
 
+# driver-checked in r9 (CORRECTNESS_r09.json keys) — union below
+_R9_DRIVER_CHECKED = (
+    'ann_pq_index_append', 'ann_ivf_index_append', 'ann_pq_index_search',
+    'ann_ivf_index_search', 'stream_pq_index_maintenance', 'stream_orders_cdc_apply',
+    'orders_write_audit_publish', 'ann_lsh_topk', 'ann_lsh_recall',
+    'ann_pq_index_compact', 'ann_ivfpq_topk', 'ann_ivfpq_recall',
+    'ann_ivfpq_index_search', 'ann_ivfpq_index_append', 'popular_parts',
+    'clean_project', 'case_when_priority', 'distinct_pairs',
+    'null_handling', 'scalar_functions', 'set_operations',
+    'customers_with_orders_semi', 'customers_without_orders_anti', 'left_join_order_counts',
+    'star_join_revenue_by_nation', 'full_outer_join', 'broadcast_dim_join',
+    'null_safe_join', 'pricing_summary', 'top_orders_by_revenue',
+    'summary_stats', 'pivot_status', 'rollup_revenue',
+    'distinct_counts', 'corr_covar_portable', 'topk_per_group',
+    'window_analytics', 'window_distribution', 'sessionize',
+    'events_session_window', 'dense_customer_ids', 'surrogate_join_back',
+    'kfold_assignment', 'leave_one_out_split', 'cold_start_filtered_count',
+    'recs_wide_assembly', 'eval_rmse', 'eval_auc',
+    'eval_roc_points', 'als_recommendations',
+)
+
+_R10_FRONT = (
+    # (a) changed in round 10
+    # the maintenance writer protocol hardened (payload-atomic claims,
+    # claim release on pre-invalidate failure, post-claim spent-slot
+    # validation, optional lease liveness mode) — results identical,
+    # protocol changed, so the whole maintained-index family re-fronts
+    "ann_pq_index_append",
+    "ann_ivf_index_append",
+    "ann_pq_index_compact",
+    "ann_ivfpq_index_append",
+    # streaming PQ maintenance refactored onto the shared
+    # _stream_index_maintenance core (same plan and results)
+    "stream_pq_index_maintenance",
+    # CDC vacuum now prunes the commit log from the lowest RETAINED
+    # committed version (a swept artifact above the retained range
+    # could delete live commit records — ADVICE r9)
+    "stream_orders_cdc_apply",
+    # (b) new in round 10
+    # streaming maintenance for the remaining kinds (VERDICT r9 #1/#5):
+    # retrain-trigger protocol evidence now end-to-end for the family
+    "stream_ivf_index_maintenance",
+    "stream_ivfpq_index_maintenance",
+    # compaction content-neutrality for the COMPOSED layout
+    "ann_ivfpq_index_compact",
+)
+
 _R7_FRONT = (
     # (a) changed in round 7
     # IVF centroid + PQ codebook sampling now RELATIVE to min(id)
@@ -449,8 +496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R6_DRIVER_CHECKED)
         | set(_R7_DRIVER_CHECKED)
         | set(_R8_DRIVER_CHECKED)
+        | set(_R9_DRIVER_CHECKED)
     )
-    front = [n for n in _R9_FRONT if n in registry.QUERIES]
+    front = [n for n in _R10_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

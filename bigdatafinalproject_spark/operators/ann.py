@@ -1215,18 +1215,66 @@ def ivfpq_search_frames(
     scale: int = 1_000_000,
     pool_cap: int = 640,
     scale_ref: int = 1000,
+    probe_mass: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """The serve half of ivfpq_topk: probe nprobe cells per query,
-    ADC-rank the probed cells' codes by the exact decomposition
+    """The serve half of ivfpq_topk: probe cells per query, ADC-rank
+    the probed cells' codes by the exact decomposition
     floor(dot(q, c)·scale) + Σ_s floor(dot(q_s, cw)·scale) — all int64
     arithmetic after the floors, so candidate ranking is engine-exact
     — take each candidate's best cell score, exact-cosine-rerank the
     sqrt-scaled pool. The scan touches ~m bytes/candidate (codes) plus
-    kB-broadcast tables; full vectors only for the rerank pool."""
+    kB-broadcast tables; full vectors only for the rerank pool.
+
+    Probe policy (r10, VERDICT r9 #3): with ``probe_mass=(num, den)``
+    a query probes its cosine-ranked cells until their cumulative
+    POSTING mass reaches ceil(num/den · total postings) — inclusive of
+    the crossing cell — instead of a fixed ``nprobe``. Fixed nprobe
+    gives every query a cell COUNT but a variable candidate mass (cells
+    are not equal-sized), and its effective coverage drifts as the
+    cell count saturates at max_centroids while N grows; the mass
+    budget pins coverage itself, which the numpy calibration (r10, 4
+    scale points) shows is what recall tracks: mass 3/10 reads
+    recall@10 0.93-0.95 FLAT across a 30× span where nprobe=8 reads
+    0.77-0.82 and drifts. All arithmetic is integer (cell sizes are
+    counts; the budget is an exact integer ceil), so the probe set is
+    engine-exact and the oracle replays the same rule. Cell sizes come
+    from a C-row aggregate of the s==0 code rows — kB-sized,
+    broadcast."""
     spaces, subv = _pq_exprs(m, dim)
     _stats = corpus.select(F.count(F.lit(1)).alias("_n"))
     _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
-    probes = _nearest_centroids(centroids, queries, id_col, vec_col, nprobe, "query_id")
+    if probe_mass is None:
+        probes = _nearest_centroids(
+            centroids, queries, id_col, vec_col, nprobe, "query_id"
+        )
+    else:
+        num, den = probe_mass
+        # posting rows per cell: one s==0 code row per (vector, cell)
+        # assignment; C rows out, map-side partial agg, broadcast
+        sizes = (
+            codes.filter(F.col("s") == 0)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+        )
+        tot = sizes.agg(F.sum("_csz").alias("_tot"))
+        ranked = _nearest_centroids(
+            centroids, queries, id_col, vec_col, 1 << 30, "query_id",
+            keep_rank=True,
+        )
+        wq = W.partitionBy("query_id").orderBy("_rn")
+        # budget = ceil(num*T/den) exactly: (num*T + den - 1) / den in
+        # doubles is exact far beyond any posting count (< 2^53), and
+        # both engines floor it identically
+        budget = F.floor(
+            (F.col("_tot") * num + (den - 1)) / float(den)
+        ).cast("long")
+        probes = (
+            ranked.join(F.broadcast(sizes), "centroid_id")
+            .withColumn("_cum", F.sum("_csz").over(wq))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("_cum") - F.col("_csz") < budget)
+            .select("query_id", "centroid_id")
+        )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     # per-(query, probed cell) coarse term: floor(dot(q, centroid)*scale)
     qc = (
@@ -1303,12 +1351,15 @@ def ivfpq_topk(
     scale: int = 1_000_000,
     pool_cap: int = 640,
     scale_ref: int = 1000,
+    probe_mass: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Composed IVF+PQ top-k (end-to-end: train coarse cells, train the
     residual codebook, encode, search). See ivfpq_build_frames for the
-    layout and ivfpq_search_frames for the serve plan. numpy
-    calibration (r9): recall@10 ~0.83 at sf0.1 / ~0.79 at sf1 — the
-    IVF candidate-coverage ceiling, delivered while the candidate scan
+    layout and ivfpq_search_frames for the serve plan (including the
+    ``probe_mass`` adaptive-probe policy, r10). numpy calibration:
+    fixed nprobe=8 reads recall@10 0.77-0.82 (the IVF coverage
+    ceiling); the mass-budgeted probe at 3/10 of the posting mass
+    reads 0.93-0.95 flat across a 30× span — the candidate scan still
     reads ~m-byte codes instead of 256-byte float vectors."""
     centroids, cb, codes, norms = ivfpq_build_frames(
         corpus, id_col=id_col, vec_col=vec_col,
@@ -1321,4 +1372,5 @@ def ivfpq_topk(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe, m=m, dim=dim,
         rerank=rerank, scale=scale, pool_cap=pool_cap, scale_ref=scale_ref,
+        probe_mass=probe_mass,
     )

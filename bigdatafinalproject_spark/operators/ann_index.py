@@ -1126,11 +1126,14 @@ def ivfpq_index_search(
     scale: int = 1_000_000,
     pool_cap: int = 640,
     scale_ref: int = 1000,
+    probe_mass: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Serve from the persisted IVFPQ index. The subspace layout
     (m, dim) comes from the MANIFEST (the single-source-of-truth
-    discipline); ``k``/``nprobe``/``rerank``/quantization knobs stay
-    caller-side. Refuses an uncommitted (mid-maintenance) index."""
+    discipline); ``k``/``nprobe``/``probe_mass``/``rerank``/
+    quantization knobs stay caller-side (search-time policy, not
+    persisted encoding). Refuses an uncommitted (mid-maintenance)
+    index."""
     from bigdatafinalproject_spark.operators.ann import ivfpq_search_frames
 
     meta = _serving_manifest(index_dir, "ivfpq")
@@ -1145,7 +1148,7 @@ def ivfpq_index_search(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
         m=m_idx, dim=dim_idx, rerank=rerank, scale=scale,
-        pool_cap=pool_cap, scale_ref=scale_ref,
+        pool_cap=pool_cap, scale_ref=scale_ref, probe_mass=probe_mass,
     )
 
 

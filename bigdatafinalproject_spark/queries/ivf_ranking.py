@@ -307,3 +307,26 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_search(
         spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE
     )
+
+
+@query("stream_ivf_index_maintenance", oracle_of="ann_ivf_index_append")
+def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trained-IVF index maintenance
+    (streaming/embeddings.stream_ivf_index_maintenance): centroids
+    trained on the base corpus and frozen; delta embeddings consumed
+    as a multi-batch stream, each micro-batch multi-assigned and its
+    postings appended exactly once (manifest-recorded batch ids; a
+    redelivered batch, simulated live after the drain, is an
+    idempotent skip). The query RAISES unless the retrain trigger
+    flips at a 0.4 appended-fraction budget and stays quiet at 0.6
+    (the stream appends exactly 1/2 of base) — the protocol evidence
+    runs in the driver-checked path (VERDICT r9 #5 extended this from
+    PQ to the whole family). Shares the batch ann_ivf_index_append
+    oracle: assignment is row-local given frozen centroids, so
+    streaming ≡ one-shot maintenance. (Registered here, not in
+    queries/streaming.py: oracle_of needs the twin registered first.)"""
+    from bigdatafinalproject_spark.streaming.embeddings import (
+        stream_ivf_index_maintenance as _impl,
+    )
+
+    return _impl(spark, sf_dir)

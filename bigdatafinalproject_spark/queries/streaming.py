@@ -385,3 +385,10 @@ def stream_pq_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _impl(spark, sf_dir)
+
+
+# stream_ivf_index_maintenance / stream_ivfpq_index_maintenance are
+# registered in queries/ivf_ranking.py and queries/ivfpq.py: they
+# share their batch append twins' oracles via oracle_of, which
+# requires the twin to be registered first (_MODULES import order —
+# "streaming" loads before "ivf_ranking"/"ivfpq").

@@ -47,12 +47,16 @@ def _appended(kind, spark, emb, queries):
 
     from bigdatafinalproject_spark.operators.ann_index import (
         ensure_ivf_index,
+        ensure_ivfpq_index,
         ensure_pq_index,
         ivf_index_append,
         ivf_index_search,
+        ivfpq_index_append,
+        ivfpq_index_search,
         pq_index_append,
         pq_index_search,
     )
+    from bigdatafinalproject_spark.queries.ivfpq import _IVFPQ_MASS
 
     base = emb.filter(F.col("vec_id") % 3 != 0)
     delta = emb.filter(F.col("vec_id") % 3 == 0)
@@ -65,6 +69,17 @@ def _appended(kind, spark, emb, queries):
         )
         ivf_index_append(spark, idx, delta)
         out = ivf_index_search(spark, idx, emb, queries, k=10, nprobe=8)
+    elif kind == "ivfpq":
+        ensure_ivfpq_index(
+            spark, base, idx, "recallscale", centroid_mod=37,
+            max_centroids=64, train_rounds=2, multi_assign=3,
+            m=16, dim=64, codeword_mod=13, max_codewords=64,
+        )
+        ivfpq_index_append(spark, idx, delta)
+        out = ivfpq_index_search(
+            spark, idx, emb, queries, k=10, probe_mass=_IVFPQ_MASS,
+            rerank=4,
+        )
     else:
         ensure_pq_index(
             spark, base, idx, "recallscale", m=16, dim=64,
@@ -93,13 +108,17 @@ def _retrained(kind, spark, emb, queries):
 
     from bigdatafinalproject_spark.operators.ann_index import (
         ensure_ivf_index,
+        ensure_ivfpq_index,
         ensure_pq_index,
         ivf_index_append,
         ivf_index_search,
+        ivfpq_index_append,
+        ivfpq_index_search,
         needs_retrain,
         pq_index_append,
         pq_index_search,
     )
+    from bigdatafinalproject_spark.queries.ivfpq import _IVFPQ_MASS
 
     base = emb.filter(F.col("vec_id") % 3 != 0)
     delta = emb.filter(F.col("vec_id") % 3 == 0)
@@ -111,6 +130,13 @@ def _retrained(kind, spark, emb, queries):
             max_centroids=64, train_rounds=2, multi_assign=3,
         )
         ivf_index_append(spark, idx, delta)
+    elif kind == "ivfpq":
+        ensure_ivfpq_index(
+            spark, base, idx, "recallscale_base", centroid_mod=37,
+            max_centroids=64, train_rounds=2, multi_assign=3,
+            m=16, dim=64, codeword_mod=13, max_codewords=64,
+        )
+        ivfpq_index_append(spark, idx, delta)
     else:
         ensure_pq_index(
             spark, base, idx, "recallscale_base", m=16, dim=64,
@@ -126,6 +152,16 @@ def _retrained(kind, spark, emb, queries):
             max_centroids=64, train_rounds=2, multi_assign=3,
         )
         out = ivf_index_search(spark, idx, emb, queries, k=10, nprobe=8)
+    elif kind == "ivfpq":
+        ensure_ivfpq_index(
+            spark, emb, idx, "recallscale_full", centroid_mod=37,
+            max_centroids=64, train_rounds=2, multi_assign=3,
+            m=16, dim=64, codeword_mod=13, max_codewords=64,
+        )
+        out = ivfpq_index_search(
+            spark, idx, emb, queries, k=10, probe_mass=_IVFPQ_MASS,
+            rerank=4,
+        )
     else:
         ensure_pq_index(
             spark, emb, idx, "recallscale_full", m=16, dim=64,
@@ -139,6 +175,16 @@ def _retrained(kind, spark, emb, queries):
     rows = out.collect()
     shutil.rmtree(idx, ignore_errors=True)
     return rows
+
+
+def _ivfpq_mass_topk(emb, queries):
+    from bigdatafinalproject_spark.queries.ivfpq import _IVFPQ_MASS
+
+    return ivfpq_topk(
+        emb, queries, k=10, train_rounds=2, multi_assign=3,
+        probe_mass=_IVFPQ_MASS, m=16, codeword_mod=13,
+        max_codewords=64, rerank=4,
+    )
 
 
 def recalls(spark, sf_dir: str) -> dict[str, float]:
@@ -167,10 +213,10 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
         # r9 composed tier: coarse trained cells + residual PQ — the
         # IVFADC layout; recall rides the IVF coverage ceiling while
         # the candidate scan reads 16-byte codes
-        "ivfpq": lambda: ivfpq_topk(
-            emb, queries, k=10, train_rounds=2, multi_assign=3,
-            nprobe=8, m=16, codeword_mod=13, max_codewords=64, rerank=4,
-        ),
+        # r10 adaptive probe (VERDICT r9 #3): mass-budgeted probing at
+        # 3/10 of the posting mass — the shipping config of the
+        # registered ivfpq queries; was fixed nprobe=8 (0.77-0.82)
+        "ivfpq": lambda: _ivfpq_mass_topk(emb, queries),
         "ivf_trained": lambda: ivf_topk(
             emb, queries, k=10, nprobe=8, train_rounds=2, multi_assign=3
         ),
@@ -183,11 +229,13 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
         # append-between-retrains drift at every scale point
         "ivf_appended": lambda: _appended("ivf", spark, emb, queries),
         "pq_appended": lambda: _appended("pq", spark, emb, queries),
+        "ivfpq_appended": lambda: _appended("ivfpq", spark, emb, queries),
         # r9 retrain-trigger lifecycle: append past the budget, watch
         # needs_retrain flip, rebuild, watch it reset — the recall row
         # must MATCH the *_trained row (retrain == full train)
         "ivf_retrained": lambda: _retrained("ivf", spark, emb, queries),
         "pq_retrained": lambda: _retrained("pq", spark, emb, queries),
+        "ivfpq_retrained": lambda: _retrained("ivfpq", spark, emb, queries),
     }
     out = {}
     for name, fn in tiers.items():
