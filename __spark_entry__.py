@@ -463,6 +463,14 @@ _R10_FRONT = (
     "stream_ivfpq_index_maintenance",
     # compaction content-neutrality for the COMPOSED layout
     "ann_ivfpq_index_compact",
+    # IVFPQ probe policy change (VERDICT r9 #3): mass-budgeted
+    # adaptive probing replaces fixed nprobe=8 — results change, the
+    # oracle replays the same integer rule
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "ann_ivfpq_index_search",
+    # exact distributed Mann-Whitney AUC (VERDICT r9 #6)
+    "eval_auc_exact",
 )
 
 _R7_FRONT = (

@@ -238,6 +238,66 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_auc_exact",
+    oracle=f"""
+    WITH {_PRED_CTE},
+    labeled AS (SELECT prediction AS score,
+                       CASE WHEN rating > 25 THEN 1 ELSE 0 END AS label
+                FROM p),
+    grp AS (SELECT score, SUM(label) AS pos, COUNT(*) AS tot
+            FROM labeled GROUP BY score),
+    cum AS (SELECT score, pos, tot,
+                   COALESCE(SUM(tot) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS below
+            FROM grp)
+    SELECT CAST(SUM(pos * (2 * below + tot + 1)) - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
+           / (2 * SUM(pos) * (SUM(tot) - SUM(pos))) AS auc
+    FROM cum
+    """,
+)
+def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold-free Mann-Whitney AUC over the full score
+    column (VERDICT r9 #6 — the documented large-N twin of the
+    256-bin ``eval_auc``): scores group by their exact value (midrank
+    tie handling falls out of the per-value pos/tot counts), the
+    tied-group prefix counts come from the DISTRIBUTED range-
+    partitioned prefix sum (operators/cumsum.running_sum — no stage
+    ever holds more than one range partition, unlike a bare global
+    ORDER BY window that funnels every distinct score through one
+    task), and the same integer closed form finishes with one double
+    division. The binned form stays the cheap fixed-size variant (its
+    window is ≤256 rows by construction); this one is exact at any
+    cardinality of distinct scores — the shape a 100 TB score column
+    needs. On the fixture corpus the distinct midpoint scores land in
+    distinct grid bins, so binned ≡ exact BIT-FOR-BIT (pinned by
+    test_eval_auc_binned_equals_exact, alongside an independent numpy
+    midrank check); in general the binned form carries the grid's
+    quantization error and this one does not."""
+    from bigdatafinalproject_spark.operators.cumsum import running_sum
+
+    p = _midpoint_predictions(spark, sf_dir)
+    labeled = p.select(
+        F.col("prediction").alias("score"),
+        F.when(F.col("rating") > 25, 1).otherwise(0).alias("label"),
+    )
+    grp = labeled.groupBy("score").agg(
+        F.sum("label").alias("pos"), F.count(F.lit(1)).alias("tot")
+    )
+    cum = running_sum(grp, "tot", [F.col("score")], out_col="_cum")
+    cum = cum.withColumn("below", F.col("_cum") - F.col("tot"))
+    return cum.agg(
+        (
+            (
+                F.sum(F.col("pos") * (2 * F.col("below") + F.col("tot") + 1))
+                - F.sum("pos") * (F.sum("pos") + 1)
+            ).cast("double")
+            / (2 * F.sum("pos") * (F.sum("tot") - F.sum("pos")))
+        ).alias("auc")
+    )
+
+
+@query(
     "eval_roc_points",
     oracle=f"""
     WITH {_PRED_CTE},

@@ -43,6 +43,10 @@ _BOUNDED_WINDOW_OK = {
     # groupBy(bin), independent of input cardinality
     "eval_auc": "window over fixed 256-bin quantized score grid",
     "eval_roc_points": "window over fixed 256-bin quantized score grid",
+    # exact Mann-Whitney AUC (r10): the prefix sum is the distributed
+    # running_sum — its only SinglePartition window is the offset
+    # window over the numPartitions per-partition partials
+    "eval_auc_exact": "offset window over numPartitions partial rows",
     # revenue share-of-total: windows partition over the nation
     # dimension (25 rows, data-model-bounded)
     "nation_revenue_share": "windows over nation dimension (25 rows)",
