@@ -89,14 +89,18 @@ _RESIDUAL = (
 # adaptive probe policy (r10, VERDICT r9 #3): a query probes its
 # cosine-ranked cells until their cumulative posting mass reaches
 # ceil(3/10 · total postings), inclusive of the crossing cell — ONE
-# constant shared by every registered ivfpq query AND the oracle CTE
-# below, so the plan and the replay can never drift. numpy-calibrated
-# across 4 scale points (sf0.1-sf3, 30×) BEFORE the Spark change:
-# recall@10 0.93-0.95 flat vs 0.77-0.82 at the old fixed nprobe=8,
-# whose effective coverage drifts as the cell count saturates at
-# max_centroids while N grows; the mass budget pins coverage itself.
-# All arithmetic integer-exact cross-engine (counts + an exact ceil).
-_IVFPQ_MASS = (3, 10)
+# constant (defined at the operator layer so non-registry callers can
+# import it cycle-free) shared by every registered ivfpq query AND
+# the oracle CTE below, so the plan and the replay can never drift.
+# numpy-calibrated across 4 scale points (sf0.1-sf3, 30×) BEFORE the
+# Spark change: recall@10 0.93-0.95 flat vs 0.77-0.82 at the old
+# fixed nprobe=8, whose effective coverage drifts as the cell count
+# saturates at max_centroids while N grows; the mass budget pins
+# coverage itself. All arithmetic integer-exact cross-engine (counts
+# + an exact ceil).
+from bigdatafinalproject_spark.operators.ann import IVFPQ_PROBE_MASS
+
+_IVFPQ_MASS = IVFPQ_PROBE_MASS
 
 
 def _ivfpq_oracle(base_pred: str = "TRUE") -> str:

@@ -364,7 +364,9 @@ def stream_ivfpq_index_maintenance(
         _IVF_MULTI,
         _IVF_ROUNDS,
     )
-    from bigdatafinalproject_spark.queries.ivfpq import _IVFPQ_MASS
+    from bigdatafinalproject_spark.operators.ann import (
+        IVFPQ_PROBE_MASS as _IVFPQ_MASS,
+    )
 
     emb, idx = _stream_index_maintenance(
         spark, sf_dir, "ivfpq", "ivfpqstreamidx",

@@ -56,7 +56,9 @@ def _appended(kind, spark, emb, queries):
         pq_index_append,
         pq_index_search,
     )
-    from bigdatafinalproject_spark.queries.ivfpq import _IVFPQ_MASS
+    from bigdatafinalproject_spark.operators.ann import (
+        IVFPQ_PROBE_MASS as _IVFPQ_MASS,
+    )
 
     base = emb.filter(F.col("vec_id") % 3 != 0)
     delta = emb.filter(F.col("vec_id") % 3 == 0)
@@ -118,7 +120,9 @@ def _retrained(kind, spark, emb, queries):
         pq_index_append,
         pq_index_search,
     )
-    from bigdatafinalproject_spark.queries.ivfpq import _IVFPQ_MASS
+    from bigdatafinalproject_spark.operators.ann import (
+        IVFPQ_PROBE_MASS as _IVFPQ_MASS,
+    )
 
     base = emb.filter(F.col("vec_id") % 3 != 0)
     delta = emb.filter(F.col("vec_id") % 3 == 0)
@@ -178,7 +182,9 @@ def _retrained(kind, spark, emb, queries):
 
 
 def _ivfpq_mass_topk(emb, queries):
-    from bigdatafinalproject_spark.queries.ivfpq import _IVFPQ_MASS
+    from bigdatafinalproject_spark.operators.ann import (
+        IVFPQ_PROBE_MASS as _IVFPQ_MASS,
+    )
 
     return ivfpq_topk(
         emb, queries, k=10, train_rounds=2, multi_assign=3,
