@@ -1228,6 +1228,7 @@ def ivfpq_search_frames(
     pool_cap: int = 640,
     scale_ref: int = 1000,
     probe_mass: tuple[int, int] | None = None,
+    cell_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """The serve half of ivfpq_topk: probe cells per query, ADC-rank
     the probed cells' codes by the exact decomposition
@@ -1249,9 +1250,15 @@ def ivfpq_search_frames(
     recall@10 0.93-0.95 FLAT across a 30× span where nprobe=8 reads
     0.77-0.82 and drifts. All arithmetic is integer (cell sizes are
     counts; the budget is an exact integer ceil), so the probe set is
-    engine-exact and the oracle replays the same rule. Cell sizes come
-    from a C-row aggregate of the s==0 code rows — kB-sized,
-    broadcast."""
+    engine-exact and the oracle replays the same rule.
+
+    ``cell_sizes`` (centroid_id, _csz — posting rows per cell) should
+    be the PERSISTED C-row table the index build/append paths maintain
+    (r10 review #2: deriving it here re-scans the codes relation — the
+    index's largest — on every search, forfeiting the probed-cells-
+    only scan the layout exists for); when absent (end-to-end plans,
+    legacy indexes) it falls back to a C-row aggregate of the s==0
+    code rows."""
     spaces, subv = _pq_exprs(m, dim)
     _stats = corpus.select(F.count(F.lit(1)).alias("_n"))
     _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
@@ -1261,10 +1268,13 @@ def ivfpq_search_frames(
         )
     else:
         num, den = probe_mass
-        # posting rows per cell: one s==0 code row per (vector, cell)
-        # assignment; C rows out, map-side partial agg, broadcast
+        # posting rows per cell: the persisted C-row table when given,
+        # else one s==0 code row per (vector, cell) assignment — C
+        # rows out, map-side partial agg, broadcast
         sizes = (
-            codes.filter(F.col("s") == 0)
+            cell_sizes
+            if cell_sizes is not None
+            else codes.filter(F.col("s") == 0)
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("_csz"))
         )
@@ -1380,6 +1390,17 @@ def ivfpq_topk(
         m=m, dim=dim, codeword_mod=codeword_mod,
         max_codewords=max_codewords,
     )
+    if probe_mass is not None:
+        from bigdatafinalproject_spark.operators.barrier import (
+            materialize_barrier,
+        )
+
+        # two plan branches consume codes in mass mode (the cell-size
+        # aggregate and the ADC scan) — without a barrier each branch
+        # re-executes the whole encode subtree (the barrier-before-
+        # fan-out rule); the persisted-index path instead passes the
+        # maintained cell_sizes table and scans codes once
+        codes = materialize_barrier(codes)
     return ivfpq_search_frames(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe, m=m, dim=dim,

@@ -90,8 +90,11 @@ _APPLOG = "_applog"
 # invalidate cached indexes (r8 review finding #2) — bump on any
 # change to ivf_build_frames / pq_build_frames / append encoding, or
 # to the manifest schema (v2: mver + base_rows/appended_rows, so every
-# served manifest carries the writer-serialization + retrain fields)
-_ALGO_VERSION = 2
+# served manifest carries the writer-serialization + retrain fields;
+# v3: ivfpq indexes persist a cell_sizes table for the mass-budgeted
+# probe — r10 review #2: deriving it at serve time re-scanned the
+# codes relation per search)
+_ALGO_VERSION = 3
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
 # are seconds each). Crashed-vs-live claimants are decided by PID
@@ -332,16 +335,25 @@ def _pid_alive(pid) -> bool:
 
 
 def _read_claim(log: str, version: int) -> dict | None:
-    """A claim entry's payload, or None if the entry does not exist.
+    """A claim entry's payload; None if the entry does not EXIST.
     Claims are payload-atomic (txlog's os.link commit), so a visible
-    entry always parses — None means the entry is GONE (pruned by the
-    winner's recommit, or released by a failed writer's cleanup),
-    never a live winner mid-write (ADVICE r9)."""
+    entry normally parses — None means the entry is GONE (pruned by
+    the winner's recommit, or released by a failed writer's cleanup),
+    never a live winner mid-write (ADVICE r9). An entry that is
+    PRESENT but unreadable (a 0-byte artifact from the pre-r10
+    create-then-write path, or an EACCES/torn legacy entry) returns a
+    sentinel dict that `_claim_alive` judges dead — distinct from
+    None, because the two demand opposite handling: a missing entry is
+    re-CASable, a corrupt one must be SKIPPED as a crashed claimant
+    (conflating them made `_claim_writer` spin forever on a corrupt
+    entry whose CAS kept failing — r10 review #1)."""
     try:
         with open(entry_path(log, version)) as f:
             return json.load(f)
-    except (OSError, ValueError):
+    except FileNotFoundError:
         return None
+    except (OSError, ValueError):
+        return {"corrupt": True}
 
 
 def _claim_alive(claim: dict | None) -> bool:
@@ -372,6 +384,7 @@ class _LeaseRenewer:
         self._payload = payload
         self._lease_s = lease_s
         self._stop = threading.Event()
+        self._release = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -390,10 +403,29 @@ class _LeaseRenewer:
                 os.replace(tmp, self._path)
             except OSError:
                 pass  # next tick retries; expiry has 3 ticks of slack
+        # release handoff (r10 review #3): if stop(release=True) timed
+        # out while a tick was blocked in I/O, that tick's os.replace
+        # may have RESURRECTED the entry after _end_claim removed it —
+        # so on a release the renewer itself removes the entry as its
+        # last act, whenever it finally unblocks. Whoever acts last
+        # (stopper or renewer) leaves the entry gone.
+        if self._release:
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
 
-    def stop(self) -> None:
+    def stop(self, release: bool = False) -> bool:
+        """Signal the renewer to stop (optionally releasing the claim
+        entry) and wait briefly. Returns True when the thread actually
+        exited — the caller may remove the entry itself then; on a
+        timeout (tick stuck in slow I/O) the caller must NOT remove
+        it, because the stuck tick could rewrite it afterward — the
+        renewer performs the removal on exit instead (see _run)."""
+        self._release = release
         self._stop.set()
         self._thread.join(timeout=5.0)
+        return not self._thread.is_alive()
 
 
 # live renewers of THIS process's lease-mode claims, keyed by entry
@@ -413,9 +445,12 @@ def _end_claim(index_dir: str, mver: int, release: bool = False) -> None:
     wait out _WRITER_WAIT_S against our own live pid)."""
     path = entry_path(os.path.join(index_dir, _APPLOG), mver)
     r = _RENEWERS.pop(path, None)
-    if r is not None:
-        r.stop()
-    if release:
+    stopped = r.stop(release) if r is not None else True
+    # only remove the entry here when no renewer tick can still be in
+    # flight (r10 review #3: a tick blocked in os.replace past the
+    # join timeout would resurrect a removed entry); on a timeout the
+    # renewer removes it itself when it unblocks
+    if release and stopped:
         try:
             os.remove(path)
         except OSError:
@@ -1085,6 +1120,8 @@ def ensure_ivfpq_index(
     install as the other kinds. Returns ``index_dir``."""
     from bigdatafinalproject_spark.operators.ann import ivfpq_build_frames
 
+    from pyspark.sql import functions as F
+
     if index_is_current(index_dir, "ivfpq", fingerprint):
         return index_dir
     tmp = _build_into_tmp(index_dir)
@@ -1098,9 +1135,23 @@ def ensure_ivfpq_index(
         cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
         codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
         norms.write.mode("overwrite").parquet(os.path.join(tmp, "norms"))
+        # persisted cell sizes (v3, r10 review #2): posting rows per
+        # cell, computed ONCE at build from the just-written codes (a
+        # 2-column scan) and maintained by appends — the mass-budgeted
+        # probe reads this C-row table instead of re-scanning the
+        # index's largest relation on every search
+        (
+            spark.read.parquet(os.path.join(tmp, "codes"))
+            .filter(F.col("s") == 0)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "cell_sizes"))
+        )
         _commit(
             tmp, "ivfpq", fingerprint,
-            ["centroids", "codebook", "codes", "norms"],
+            ["centroids", "codebook", "codes", "norms", "cell_sizes"],
             src=src,
             params=_effective_params("ivfpq", build_params, subset),
             base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
@@ -1144,11 +1195,20 @@ def ivfpq_index_search(
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    # the maintained C-row cell-size table (v3 indexes) spares the
+    # mass probe a per-search scan of the codes relation; a legacy
+    # index without it falls back to the derived aggregate
+    cell_sizes = None
+    if "cell_sizes" in meta.get("tables", []):
+        cell_sizes = spark.read.parquet(
+            os.path.join(index_dir, "cell_sizes")
+        )
     return ivfpq_search_frames(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
         m=m_idx, dim=dim_idx, rerank=rerank, scale=scale,
         pool_cap=pool_cap, scale_ref=scale_ref, probe_mass=probe_mass,
+        cell_sizes=cell_sizes,
     )
 
 
@@ -1217,12 +1277,38 @@ def ivfpq_index_append(
         )
         npath = os.path.join(index_dir, "norms")
         n_before = _footer_rows(spark, npath)
+        # maintain the persisted cell-size table (v3, r10 review #2):
+        # merge the delta's per-cell assignment counts into the C-row
+        # table, STAGED before the invalidate (full Spark jobs belong
+        # in the released-on-failure window) and swapped in with the
+        # data appends
+        cpath = os.path.join(index_dir, "cell_sizes")
+        sizes_tmp = None
+        if "cell_sizes" in meta.get("tables", []):
+            dsizes = assigned.groupBy("centroid_id").agg(
+                F.count(F.lit(1)).alias("_csz")
+            )
+            merged = (
+                spark.read.parquet(cpath)
+                .unionByName(dsizes)
+                .groupBy("centroid_id")
+                .agg(F.sum("_csz").alias("_csz"))
+            )
+            sizes_tmp = f"{cpath}.tmp.{os.getpid()}"
+            merged.coalesce(1).write.mode("overwrite").parquet(sizes_tmp)
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
     dnorms.write.mode("append").parquet(npath)
+    if sizes_tmp is not None:
+        # the .tmp. infix keeps both staging names inside clone_index's
+        # ignore patterns (a crash leaves a non-current index anyway)
+        old = f"{cpath}.tmp.old.{os.getpid()}"
+        os.rename(cpath, old)
+        os.rename(sizes_tmp, cpath)
+        shutil.rmtree(old, ignore_errors=True)
     n_delta = _footer_rows(spark, npath) - n_before
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(

@@ -86,9 +86,14 @@ def commit_exclusive(
         log_dir,
         f".claim.v{version}.{os.getpid()}.{threading.get_ident()}",
     )
-    with open(tmp, "w") as f:
-        json.dump(payload or {}, f)
     try:
+        # the payload write sits INSIDE the cleanup scope: a failure
+        # here (ENOSPC, unserializable payload) must not leak the temp
+        # file — prune() only removes v*.json names, so leaked .claim.*
+        # litter would accumulate forever in long-lived logs (r10
+        # review #4)
+        with open(tmp, "w") as f:
+            json.dump(payload or {}, f)
         os.link(tmp, path)
     except FileExistsError:
         raise ConcurrentWriteError(

@@ -835,3 +835,57 @@ def test_ivf_base_rows_exact_with_fewer_centroids_than_multi(
     ensure_ivf_index(spark, emb, idx, fp, **params)
     meta = json.load(open(_os.path.join(idx, "_meta.json")))
     assert meta["base_rows"] == n
+
+
+def test_ivfpq_cell_sizes_maintained_not_rescanned(spark, tmp_path):
+    """r10 review #2: the ivfpq index persists a C-row cell-size table
+    at build and MAINTAINS it through appends (merge of the delta's
+    per-cell assignment counts), so the mass-budgeted probe never
+    re-scans the codes relation at serve time. The maintained table
+    must equal the aggregate derived from codes after any append — and
+    the serve path must actually read it (manifest lists it)."""
+    import json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        ivfpq_index_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    params = dict(
+        centroid_mod=37, max_centroids=64, train_rounds=1,
+        multi_assign=3, m=16, dim=64, codeword_mod=13, max_codewords=64,
+    )
+    idx = str(tmp_path / "ivfpq_sizes")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **params
+    )
+    ensure_ivfpq_index(spark, base, idx, fp, **params)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert "cell_sizes" in meta["tables"]
+
+    def maintained():
+        return {
+            (r.centroid_id, r._csz)
+            for r in spark.read.parquet(f"{idx}/cell_sizes").collect()
+        }
+
+    def derived():
+        return {
+            (r.centroid_id, r.cnt)
+            for r in spark.read.parquet(f"{idx}/codes")
+            .filter(F.col("s") == 0)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    assert maintained() == derived()
+    ivfpq_index_append(spark, idx, delta, batch_id=0)
+    assert maintained() == derived()  # merge kept the table exact
