@@ -127,9 +127,12 @@ def _fit_offset(
 
 
 def main() -> None:
+    # sf10 (r10, VERDICT r9 #4): a second decade over sf0.1 — 100× —
+    # catches exponent drift the offset model could hide inside a
+    # 30× span
     default_dirs = "/root/testdata/sf0.1," + ",".join(
         str(REPO / ".scaledata" / d)
-        for d in ("sf0.3", "sf1", "sf3")
+        for d in ("sf0.3", "sf1", "sf3", "sf10")
         if (REPO / ".scaledata" / d).is_dir()
     )
     dirs = os.environ.get("SCALE_DIRS", default_dirs).split(",")
