@@ -9,11 +9,13 @@ Lloyd builder composed twice), the per-assignment residual encode, the
 exact score decomposition dot(q,x) = dot(q,c) + dot(q, x−c), and both
 rankings end-to-end: a hash match is the whole-pipeline theorem.
 
-numpy calibration first (the r8/r9 discipline): recall@10 ~0.83 at
-sf0.1 / ~0.79 at sf1 — the IVF candidate-coverage ceiling (trained IVF
-reads 0.78–0.84 on this isotropic corpus), delivered while the scan
-reads 16-byte codes instead of 256-byte float vectors. Spark matched
-the numpy prototype (0.822 at sf0.1).
+numpy calibration first (the r8/r9 discipline): the r9 fixed-nprobe=8
+config read recall@10 0.77–0.82 (the IVF candidate-coverage ceiling at
+8 of 64 cells); the r10 mass-budgeted probe (``_IVFPQ_MASS`` — probe
+ranked cells until 3/10 of the posting mass) reads **0.931–0.948 flat
+across the 30× span**, Spark matching the numpy prototype to three
+decimals at every point (RECALL_SCALE.json), while the candidate scan
+still reads 16-byte codes instead of 256-byte float vectors.
 """
 
 from __future__ import annotations
