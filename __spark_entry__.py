@@ -449,6 +449,11 @@ _R10_FRONT = (
     "ann_ivf_index_append",
     "ann_pq_index_compact",
     "ann_ivfpq_index_append",
+    # the serve queries' ensure_* build path runs under the same
+    # changed writer protocol (claims are taken for the initial build
+    # too), so they re-front with the writers
+    "ann_pq_index_search",
+    "ann_ivf_index_search",
     # streaming PQ maintenance refactored onto the shared
     # _stream_index_maintenance core (same plan and results)
     "stream_pq_index_maintenance",

@@ -340,8 +340,16 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence across the sequential argmax). The oracle replays the
     whole greedy walk with a recursive CTE over the same quantized
     scores. Scale: the k-loop only ever touches per-query bounded
-    candidate frames; the corpus-sized work stays in the ANN candidate
-    tier."""
+    candidate frames; the corpus-sized work stays in the candidate
+    tier. NOTE the registered query's growth shape (BENCH_SF1 sf10):
+    the %50 panel grows with N AND the candidate tier here is exact
+    cosine (per-query cost ~N), so the QUERY is ~N^2/50 by
+    construction — the same shape documented for ann_lsh_topk. The
+    MMR operator itself adds only bounded per-query work (12
+    candidates, k=4); production would bound the panel and feed it
+    from the trained ANN tiers (ivf/pq/ivfpq serve in ~O(probed
+    cells)), neither of which this oracle-replayable form can do
+    without giving up the exact-cosine candidate contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     from bigdatafinalproject_spark.operators.ann import mmr_diversify

@@ -260,17 +260,27 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # sf10 (r10, VERDICT r9 #4): the second decade — recall must stay
+    # flat across 100×, not just the 30× span
     default_dirs = "/root/testdata/sf0.1," + ",".join(
         str(REPO / ".scaledata" / d)
-        for d in ("sf0.3", "sf1", "sf3")
+        for d in ("sf0.3", "sf1", "sf3", "sf10")
         if (REPO / ".scaledata" / d).is_dir()
     )
     dirs = os.environ.get("SCALE_DIRS", default_dirs).split(",")
     spark = get_spark(app_name="bdfp-recall-scale")
+    # merge into the existing artifact so a single-point run (e.g.
+    # SCALE_DIRS=.scaledata/sf10 to add one decade) keeps the others
     art: dict[str, dict[str, float]] = {}
+    prior = REPO / "RECALL_SCALE.json"
+    if prior.is_file():
+        art = json.loads(prior.read_text()).get("recall_at_10", {})
     for d in dirs:
         sf = re.search(r"sf([0-9.]+)", d).group(1)
         art[f"sf{sf}"] = recalls(spark, d)
+    art = dict(
+        sorted(art.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
+    )
     payload = {"metric": "ann_recall_at_scale", "recall_at_10": art}
     (REPO / "RECALL_SCALE.json").write_text(
         json.dumps(payload, indent=1) + "\n"

@@ -141,8 +141,24 @@ def main() -> None:
         m = re.search(r"sf([0-9.]+)", d)
         points.append((float(m.group(1)), d))
     points.sort()
-    results = {sf: run_bench(d) for sf, d in points}
-    sfs = [sf for sf, _ in points]
+    # merge with the prior artifact: a single-point run (e.g.
+    # SCALE_DIRS=.scaledata/sf10 to add one decade) keeps the other
+    # points' standalone readings and refits over the union
+    results: dict[float, dict[str, float]] = {}
+    notes: dict[str, str] = {}
+    prior_path = REPO / "BENCH_SF1.json"
+    if prior_path.is_file():
+        prior = json.loads(prior_path.read_text())
+        for q, row in prior.get("queries", {}).items():
+            if "note" in row:
+                notes[q] = row["note"]
+            for key, t in row.items():
+                m = re.fullmatch(r"sf([0-9.]+)_sec", key)
+                if m and t is not None:
+                    results.setdefault(float(m.group(1)), {})[q] = t
+    for sf, d in points:
+        results[sf] = run_bench(d)
+    sfs = sorted(results)
     rows = {}
     for q in HEAVY:
         ts = [results[sf].get(q) for sf in sfs]
@@ -159,6 +175,8 @@ def main() -> None:
             entry["data_r2"] = or2
         else:
             entry["exponent"] = None
+        if q in notes:
+            entry["note"] = notes[q]
         rows[q] = entry
     art = {
         "metric": "scale_stress_exponent",
