@@ -476,6 +476,14 @@ _R10_FRONT = (
     "ann_ivfpq_index_search",
     # exact distributed Mann-Whitney AUC (VERDICT r9 #6)
     "eval_auc_exact",
+    # IVF probe policy change (the IVF half of the r10 mass-budget
+    # retune, done after the IVFPQ half shipped): mass-budgeted
+    # adaptive probing replaces fixed nprobe=8 across the whole IVF
+    # family — results change, the oracle replays the same integer
+    # rule; v4 ivf indexes persist + maintain the C-row cell_sizes
+    # table the probe reads
+    "ann_ivf_topk",
+    "ann_ivf_recall",
 )
 
 _R7_FRONT = (

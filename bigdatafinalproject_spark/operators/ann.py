@@ -36,6 +36,23 @@ from bigdatafinalproject_spark.operators.layout import spread
 # 0.77-0.82 at fixed nprobe=8.
 IVFPQ_PROBE_MASS = (3, 10)
 
+# IVF-flat adaptive probe policy (r10, second half of the mass-probe
+# retune): the same rule applied to the trained IVF tier, whose fixed
+# nprobe=8 read recall@10 0.778-0.838 DRIFTING across the 100× span
+# (nprobe pins a cell COUNT; its coverage drifts as the cell count
+# saturates at max_centroids while N grows). numpy-calibrated across
+# 5 scale points (sf0.1-sf10, 100×) before the Spark change:
+# mass 3/10 reads 0.955/0.963/0.958/0.969/0.972 — flat, +0.12-0.18
+# over nprobe=8 — at ~2× the probed-candidate mass (0.66N vs 0.33N
+# unique candidates; the numpy replication matched the recorded Spark
+# artifact rows to 3 decimals at every point). IVF reranks its
+# candidates with FULL vectors, so unlike IVFPQ the probe mass is the
+# dominant serve cost — the budget is the explicit recall-vs-scan
+# dial, and it is C-invariant AND N-invariant where nprobe is
+# neither. Kept separate from IVFPQ_PROBE_MASS: the tiers' dials are
+# independent even while both currently sit at 3/10.
+IVF_PROBE_MASS = (3, 10)
+
 
 def _dot(a: str, b: str) -> Column:
     """Sequential double dot product of two float arrays (exact
@@ -163,6 +180,7 @@ def ivf_topk(
     max_centroids: int | None = 64,
     train_rounds: int = 0,
     multi_assign: int = 1,
+    probe_mass: tuple[int, int] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: an inverted-file index with sampled
     centroids (every ``centroid_mod``-th vector up to ``max_centroids``
@@ -221,9 +239,22 @@ def ivf_topk(
         train_rounds=train_rounds,
         multi_assign=multi_assign,
     )
+    if probe_mass is not None:
+        from bigdatafinalproject_spark.operators.barrier import (
+            materialize_barrier,
+        )
+
+        # two plan branches consume postings in mass mode (the
+        # cell-size aggregate and the candidate equi-join) — without a
+        # barrier each branch re-executes the whole assignment subtree
+        # (the barrier-before-fan-out rule); the persisted-index path
+        # instead passes the maintained cell_sizes table and scans
+        # postings once
+        postings = materialize_barrier(postings)
     return ivf_search_frames(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+        probe_mass=probe_mass,
     )
 
 
@@ -261,6 +292,46 @@ def _nearest_centroids(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .select(out, "centroid_id", *(["_rn"] if keep_rank else []))
+    )
+
+
+def _mass_probes(
+    centroids: DataFrame,
+    queries: DataFrame,
+    sizes: DataFrame,
+    probe_mass: tuple[int, int],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Mass-budgeted probe set (r10, shared by the IVF and IVFPQ serve
+    plans): each query probes its cosine-ranked cells until their
+    cumulative posting mass reaches ceil(num/den · total postings),
+    inclusive of the crossing cell. ``sizes`` is the C-row
+    (centroid_id, _csz) posting-count table — the PERSISTED one for
+    index serves, a derived aggregate for end-to-end plans. All
+    arithmetic is integer (cell sizes are counts; the budget an exact
+    integer ceil), so the probe set is engine-exact and the DuckDB
+    oracles replay the identical rule. Returns (query_id,
+    centroid_id)."""
+    num, den = probe_mass
+    tot = sizes.agg(F.sum("_csz").alias("_tot"))
+    ranked = _nearest_centroids(
+        centroids, queries, id_col, vec_col, 1 << 30, "query_id",
+        keep_rank=True,
+    )
+    wq = W.partitionBy("query_id").orderBy("_rn")
+    # budget = ceil(num*T/den) exactly: (num*T + den - 1) / den in
+    # doubles is exact far beyond any posting count (< 2^53), and
+    # both engines floor it identically
+    budget = F.floor(
+        (F.col("_tot") * num + (den - 1)) / float(den)
+    ).cast("long")
+    return (
+        ranked.join(F.broadcast(sizes), "centroid_id")
+        .withColumn("_cum", F.sum("_csz").over(wq))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_cum") - F.col("_csz") < budget)
+        .select("query_id", "centroid_id")
     )
 
 
@@ -362,14 +433,44 @@ def ivf_search_frames(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 8,
+    probe_mass: tuple[int, int] | None = None,
+    cell_sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """The serve half of ivf_topk: probe the query panel's nprobe
-    nearest centroids, equi-join the postings, exact-cosine-rerank the
-    candidates against the corpus vectors. Works identically on frames
-    fresh from ivf_build_frames or reloaded from a persisted index."""
-    probes = _nearest_centroids(
-        centroids, queries, id_col, vec_col, nprobe, "query_id"
-    )
+    """The serve half of ivf_topk: probe cells per query, equi-join
+    the postings, exact-cosine-rerank the candidates against the
+    corpus vectors. Works identically on frames fresh from
+    ivf_build_frames or reloaded from a persisted index.
+
+    Probe policy (r10): with ``probe_mass=(num, den)`` a query probes
+    its cosine-ranked cells until their cumulative POSTING mass
+    reaches ceil(num/den · total postings) instead of a fixed
+    ``nprobe`` — see :data:`IVF_PROBE_MASS` for the calibration
+    (recall@10 0.955-0.972 flat across 100× vs 0.778-0.838 drifting
+    at nprobe=8). Because IVF reranks with full vectors, the budget
+    IS the serve-cost dial: ~0.66N unique candidates at 3/10 vs
+    ~0.33N at nprobe=8 on the 64-cell / 3×-assigned config.
+
+    ``cell_sizes`` (centroid_id, _csz — posting rows per cell) should
+    be the PERSISTED C-row table that v4 indexes maintain (the same
+    serve-time-scan argument as the IVFPQ table, r10 review #2 — here
+    the saved scan is the postings relation); when absent (end-to-end
+    plans, legacy indexes) it falls back to a C-row aggregate of the
+    postings."""
+    if probe_mass is None:
+        probes = _nearest_centroids(
+            centroids, queries, id_col, vec_col, nprobe, "query_id"
+        )
+    else:
+        sizes = (
+            cell_sizes
+            if cell_sizes is not None
+            else postings.groupBy("centroid_id").agg(
+                F.count(F.lit(1)).alias("_csz")
+            )
+        )
+        probes = _mass_probes(
+            centroids, queries, sizes, probe_mass, id_col, vec_col
+        )
     cand = spread(
         probes.join(postings, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1267,7 +1368,6 @@ def ivfpq_search_frames(
             centroids, queries, id_col, vec_col, nprobe, "query_id"
         )
     else:
-        num, den = probe_mass
         # posting rows per cell: the persisted C-row table when given,
         # else one s==0 code row per (vector, cell) assignment — C
         # rows out, map-side partial agg, broadcast
@@ -1278,24 +1378,8 @@ def ivfpq_search_frames(
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("_csz"))
         )
-        tot = sizes.agg(F.sum("_csz").alias("_tot"))
-        ranked = _nearest_centroids(
-            centroids, queries, id_col, vec_col, 1 << 30, "query_id",
-            keep_rank=True,
-        )
-        wq = W.partitionBy("query_id").orderBy("_rn")
-        # budget = ceil(num*T/den) exactly: (num*T + den - 1) / den in
-        # doubles is exact far beyond any posting count (< 2^53), and
-        # both engines floor it identically
-        budget = F.floor(
-            (F.col("_tot") * num + (den - 1)) / float(den)
-        ).cast("long")
-        probes = (
-            ranked.join(F.broadcast(sizes), "centroid_id")
-            .withColumn("_cum", F.sum("_csz").over(wq))
-            .crossJoin(F.broadcast(tot))
-            .filter(F.col("_cum") - F.col("_csz") < budget)
-            .select("query_id", "centroid_id")
+        probes = _mass_probes(
+            centroids, queries, sizes, probe_mass, id_col, vec_col
         )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     # per-(query, probed cell) coarse term: floor(dot(q, centroid)*scale)

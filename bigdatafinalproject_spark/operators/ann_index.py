@@ -93,8 +93,11 @@ _APPLOG = "_applog"
 # served manifest carries the writer-serialization + retrain fields;
 # v3: ivfpq indexes persist a cell_sizes table for the mass-budgeted
 # probe — r10 review #2: deriving it at serve time re-scanned the
-# codes relation per search)
-_ALGO_VERSION = 3
+# codes relation per search;
+# v4: ivf indexes persist the same C-row cell_sizes table — the IVF
+# tier moved to the mass-budgeted probe too, and deriving the sizes
+# at serve time would re-scan the postings relation per search)
+_ALGO_VERSION = 4
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
 # are seconds each). Crashed-vs-live claimants are decided by PID
@@ -648,8 +651,24 @@ def ensure_ivf_index(
         n_cent = spark.read.parquet(os.path.join(tmp, "centroids")).count()
         per_vec = max(1, min(multi, n_cent))
         n_post = spark.read.parquet(os.path.join(tmp, "postings")).count()
+        # persisted cell sizes (v4, mirroring the v3 ivfpq table):
+        # posting rows per cell, computed ONCE at build from the
+        # just-written postings and maintained by appends — the
+        # mass-budgeted probe reads this C-row table instead of
+        # re-scanning the postings relation on every search
+        from pyspark.sql import functions as F
+
+        (
+            spark.read.parquet(os.path.join(tmp, "postings"))
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "cell_sizes"))
+        )
         _commit(
-            tmp, "ivf", fingerprint, ["centroids", "postings"],
+            tmp, "ivf", fingerprint,
+            ["centroids", "postings", "cell_sizes"],
             src=src,
             params=_effective_params("ivf", build_params, subset),
             base_rows=n_post // per_vec,
@@ -707,11 +726,39 @@ def ivf_index_append(
         per_vec = max(1, min(multi, centroids.count()))
         ppath = os.path.join(index_dir, "postings")
         n_before = _footer_rows(spark, ppath)
+        # maintain the persisted cell-size table (v4, mirroring the
+        # ivfpq append): merge the delta's per-cell posting counts
+        # into the C-row table, STAGED before the invalidate (full
+        # Spark jobs belong in the released-on-failure window) and
+        # swapped in with the data append
+        from pyspark.sql import functions as F
+
+        cpath = os.path.join(index_dir, "cell_sizes")
+        sizes_tmp = None
+        if "cell_sizes" in meta.get("tables", []):
+            dsizes = postings.groupBy("centroid_id").agg(
+                F.count(F.lit(1)).alias("_csz")
+            )
+            merged = (
+                spark.read.parquet(cpath)
+                .unionByName(dsizes)
+                .groupBy("centroid_id")
+                .agg(F.sum("_csz").alias("_csz"))
+            )
+            sizes_tmp = f"{cpath}.tmp.{os.getpid()}"
+            merged.coalesce(1).write.mode("overwrite").parquet(sizes_tmp)
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     postings.write.mode("append").parquet(ppath)
+    if sizes_tmp is not None:
+        # the .tmp. infix keeps both staging names inside clone_index's
+        # ignore patterns (a crash leaves a non-current index anyway)
+        old = f"{cpath}.tmp.old.{os.getpid()}"
+        os.rename(cpath, old)
+        os.rename(sizes_tmp, cpath)
+        shutil.rmtree(old, ignore_errors=True)
     # appended rows from the postings footer delta (metadata-only),
     # divided by the exact per-vector posting count — never an extra
     # pass over the delta frame
@@ -1044,17 +1091,27 @@ def ivf_index_search(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 8,
+    probe_mass: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Serve from the persisted IVF index. ``k``/``nprobe`` are
-    genuine search-time knobs; everything structural lives in the
-    persisted frames. Refuses an uncommitted (mid-maintenance)
-    index."""
-    _serving_manifest(index_dir, "ivf")
+    """Serve from the persisted IVF index. ``k``/``nprobe``/
+    ``probe_mass`` are genuine search-time knobs; everything
+    structural lives in the persisted frames. Refuses an uncommitted
+    (mid-maintenance) index."""
+    meta = _serving_manifest(index_dir, "ivf")
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    # the maintained C-row cell-size table (v4 indexes) spares the
+    # mass probe a per-search scan of the postings relation; a legacy
+    # index without it falls back to the derived aggregate
+    cell_sizes = None
+    if "cell_sizes" in meta.get("tables", []):
+        cell_sizes = spark.read.parquet(
+            os.path.join(index_dir, "cell_sizes")
+        )
     return ivf_search_frames(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+        probe_mass=probe_mass, cell_sizes=cell_sizes,
     )
 
 

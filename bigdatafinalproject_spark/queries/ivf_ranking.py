@@ -24,7 +24,20 @@ _SEED = 42
 # (queries/_lloyd_sql.py), full-vector mode ---
 
 _IVF_MOD, _IVF_C, _IVF_ROUNDS = 37, 64, 2
-_IVF_NPROBE, _IVF_MULTI = 8, 3
+_IVF_MULTI = 3
+
+# r10 probe retune (the IVF half of the mass-budget change): probe
+# cosine-ranked cells until their cumulative posting mass reaches
+# ceil(3/10 · total postings) instead of a fixed nprobe=8. Calibrated
+# in numpy across 5 scale points (sf0.1-sf10, 100×) BEFORE the Spark
+# change: recall@10 0.955-0.972 FLAT vs 0.778-0.838 drifting at
+# nprobe=8 (the numpy replication matched the recorded Spark artifact
+# to 3 decimals at every point, so the policy comparison is exact).
+# The constant lives at the operator layer (circular-import rule);
+# the oracle CTE below replays the identical integer rule.
+from bigdatafinalproject_spark.operators.ann import IVF_PROBE_MASS
+
+_IVF_MASS = IVF_PROBE_MASS
 
 
 def _kmeans_ctes(rounds: int, base_pred: str = "TRUE") -> str:
@@ -69,17 +82,24 @@ def _ivf_oracle(kmeans_ctes: str) -> str:
                         / (ne.nrm * c.cnrm) AS cs
              FROM embeddings e CROSS JOIN cents c
              JOIN norms ne ON ne.vec_id = e.vec_id),
-    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
-                 SELECT vec_id, centroid_id,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY cs DESC, centroid_id) AS rn
-                 FROM acos) WHERE rn <= {_IVF_MULTI}),
-    probes AS (SELECT vec_id AS query_id, centroid_id FROM (
-                 SELECT vec_id, centroid_id,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY cs DESC, centroid_id) AS rn
-                 FROM acos WHERE vec_id % 50 = 0 AND vec_id < 3200)
-               WHERE rn <= {_IVF_NPROBE}),
+    ranked AS (SELECT vec_id, centroid_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rn
+               FROM acos),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id
+               FROM ranked WHERE rn <= {_IVF_MULTI}),
+    cell_sizes AS (SELECT centroid_id, COUNT(*) AS csz
+                   FROM assign GROUP BY 1),
+    post_tot AS (SELECT SUM(csz) AS t FROM cell_sizes),
+    probes AS (SELECT query_id, centroid_id FROM (
+                 SELECT r.vec_id AS query_id, r.centroid_id, s.csz,
+                        SUM(s.csz) OVER (PARTITION BY r.vec_id
+                                         ORDER BY r.rn) AS cum
+                 FROM ranked r
+                 JOIN cell_sizes s ON s.centroid_id = r.centroid_id
+                 WHERE r.vec_id % 50 = 0 AND r.vec_id < 3200), post_tot
+               WHERE cum - csz < CAST(floor(({_IVF_MASS[0]} * t
+                     + {_IVF_MASS[1] - 1}) / {_IVF_MASS[1]}.0) AS BIGINT)),
     cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
              FROM probes p JOIN assign a USING (centroid_id)
              WHERE p.query_id <> a.neighbor_id),
@@ -109,21 +129,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd rounds (decimal-mean updates — the whole training loop
     hash-matches DuckDB), every corpus vector indexed under its 3
     nearest cells (multi-assignment, the SPANN-style boundary fix),
-    nprobe=8 bucket search over the standing 64-query panel.
+    mass-budgeted probe over the standing 64-query panel (r10: probe
+    cosine-ranked cells until 3/10 of the posting mass is covered —
+    the oracle replays the identical integer rule).
 
-    Recall@10 at nprobe=8: 0.45 trainless/single-assign (r7) -> 0.84
-    at sf0.1 / 0.80 at sf1, measured flat across 30x corpus growth
-    (RECALL_SCALE.json r8). On this isotropic corpus training alone
-    contributes ~+0.07 and redundant assignment ~+0.32; at 100 TB
-    training additionally balances cell mass (tail-latency control).
+    Recall@10 lineage: 0.45 trainless/single-assign (r7) -> 0.78-0.84
+    trained at fixed nprobe=8, DRIFTING across scale (r8) ->
+    0.955-0.972 FLAT across the 100× span at mass 3/10 (r10 numpy
+    calibration, 5 points; the fixed-nprobe drift is structural —
+    a cell count pins coverage only while cells stay equal-mass).
+    The probed candidate mass is the explicit serve-cost dial
+    (~0.66N unique candidates at 3/10 vs ~0.33N at nprobe=8); the
+    trainer still dominates this end-to-end query's wall-clock.
     Costs are bounded constants: 2 extra assign passes (training), 3x
-    index rows, ~3x probed candidates — never functions of N."""
+    index rows, budget·N probed rows — never superlinear in N."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
     return ivf_topk(
-        emb, queries, k=10, centroid_mod=37, nprobe=_IVF_NPROBE,
+        emb, queries, k=10, centroid_mod=37, probe_mass=_IVF_MASS,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
     )
 
@@ -132,8 +157,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the IVF tier against the exact tier, per query —
     the driver-checkable form of the RECALL_SCALE.json evidence (the
-    artifact proved this metric is scale-invariant at fixed nprobe;
-    this query pins its level at the driver SFs every round). Same
+    artifact measures the mass-budgeted probe flat across 100×; this
+    query pins its level at the driver SFs every round). Same
     bounded-panel evaluation as ann_lsh_recall: the comparison joins
     two <= 10-row-per-query sets, so the cost is the two searches."""
     from bigdatafinalproject_spark.operators.ann import cosine_topk, ivf_topk
@@ -147,7 +172,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, exact_panel, id_col="vec_id", vec_col="embedding", k=10
     ).select("query_id", "neighbor_id")
     ap = ivf_topk(
-        emb, ivf_panel, k=10, centroid_mod=37, nprobe=_IVF_NPROBE,
+        emb, ivf_panel, k=10, centroid_mod=37, probe_mass=_IVF_MASS,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
     ).select("query_id", "neighbor_id")
     return recall_frame(ex, ap)
@@ -247,7 +272,7 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
     return ivf_index_search(
-        spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE
+        spark, idx, emb, queries, k=10, probe_mass=_IVF_MASS
     )
 
 
@@ -305,7 +330,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
     return ivf_index_search(
-        spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE
+        spark, idx, emb, queries, k=10, probe_mass=_IVF_MASS
     )
 
 

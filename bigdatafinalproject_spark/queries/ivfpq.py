@@ -45,7 +45,6 @@ from bigdatafinalproject_spark.queries.ivf_ranking import (
     _IVF_C,
     _IVF_MOD,
     _IVF_MULTI,
-    _IVF_NPROBE,
     _IVF_ROUNDS,
     _kmeans_ctes,
 )

@@ -308,10 +308,10 @@ def stream_ivf_index_maintenance(
         ivf_index_append,
         ivf_index_search,
     )
+    from bigdatafinalproject_spark.operators.ann import IVF_PROBE_MASS
     from bigdatafinalproject_spark.queries.ivf_ranking import (
         _IVF_BASE_PRED,
         _IVF_MULTI,
-        _IVF_NPROBE,
         _IVF_ROUNDS,
     )
 
@@ -328,7 +328,7 @@ def stream_ivf_index_maintenance(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
     return ivf_index_search(
-        spark, idx, emb, queries, k=10, nprobe=_IVF_NPROBE
+        spark, idx, emb, queries, k=10, probe_mass=IVF_PROBE_MASS
     )
 
 

@@ -57,6 +57,7 @@ def _appended(kind, spark, emb, queries):
         pq_index_search,
     )
     from bigdatafinalproject_spark.operators.ann import (
+        IVF_PROBE_MASS as _IVF_MASS,
         IVFPQ_PROBE_MASS as _IVFPQ_MASS,
     )
 
@@ -70,7 +71,9 @@ def _appended(kind, spark, emb, queries):
             max_centroids=64, train_rounds=2, multi_assign=3,
         )
         ivf_index_append(spark, idx, delta)
-        out = ivf_index_search(spark, idx, emb, queries, k=10, nprobe=8)
+        out = ivf_index_search(
+            spark, idx, emb, queries, k=10, probe_mass=_IVF_MASS
+        )
     elif kind == "ivfpq":
         ensure_ivfpq_index(
             spark, base, idx, "recallscale", centroid_mod=37,
@@ -121,6 +124,7 @@ def _retrained(kind, spark, emb, queries):
         pq_index_search,
     )
     from bigdatafinalproject_spark.operators.ann import (
+        IVF_PROBE_MASS as _IVF_MASS,
         IVFPQ_PROBE_MASS as _IVFPQ_MASS,
     )
 
@@ -155,7 +159,9 @@ def _retrained(kind, spark, emb, queries):
             spark, emb, idx, "recallscale_full", centroid_mod=37,
             max_centroids=64, train_rounds=2, multi_assign=3,
         )
-        out = ivf_index_search(spark, idx, emb, queries, k=10, nprobe=8)
+        out = ivf_index_search(
+            spark, idx, emb, queries, k=10, probe_mass=_IVF_MASS
+        )
     elif kind == "ivfpq":
         ensure_ivfpq_index(
             spark, emb, idx, "recallscale_full", centroid_mod=37,
@@ -179,6 +185,17 @@ def _retrained(kind, spark, emb, queries):
     rows = out.collect()
     shutil.rmtree(idx, ignore_errors=True)
     return rows
+
+
+def _ivf_mass_topk(emb, queries):
+    from bigdatafinalproject_spark.operators.ann import (
+        IVF_PROBE_MASS as _IVF_MASS,
+    )
+
+    return ivf_topk(
+        emb, queries, k=10, probe_mass=_IVF_MASS, train_rounds=2,
+        multi_assign=3,
+    )
 
 
 def _ivfpq_mass_topk(emb, queries):
@@ -223,9 +240,11 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
         # 3/10 of the posting mass — the shipping config of the
         # registered ivfpq queries; was fixed nprobe=8 (0.77-0.82)
         "ivfpq": lambda: _ivfpq_mass_topk(emb, queries),
-        "ivf_trained": lambda: ivf_topk(
-            emb, queries, k=10, nprobe=8, train_rounds=2, multi_assign=3
-        ),
+        # r10 mass-budgeted probe (the IVF half of the retune): the
+        # shipping config of the registered ann_ivf_* queries — probe
+        # until 3/10 of the posting mass; was fixed nprobe=8
+        # (0.778-0.838, drifting)
+        "ivf_trained": lambda: _ivf_mass_topk(emb, queries),
         "pq_trained": lambda: pq_topk(
             emb, queries, k=10, m=16, codeword_mod=13,
             max_codewords=64, rerank=4, train_rounds=2,
@@ -243,6 +262,16 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
         "pq_retrained": lambda: _retrained("pq", spark, emb, queries),
         "ivfpq_retrained": lambda: _retrained("ivfpq", spark, emb, queries),
     }
+    # RECALL_TIERS=a,b,c re-measures a subset (e.g. after retuning one
+    # family) — the merge below keeps every other tier's recorded row,
+    # the same single-point economics as SCALE_DIRS
+    only = os.environ.get("RECALL_TIERS")
+    if only:
+        want = {t.strip() for t in only.split(",")}
+        unknown = want - set(tiers)
+        if unknown:
+            raise SystemExit(f"RECALL_TIERS unknown: {sorted(unknown)}")
+        tiers = {k: v for k, v in tiers.items() if k in want}
     out = {}
     for name, fn in tiers.items():
         res = fn()
@@ -277,7 +306,9 @@ def main() -> None:
         art = json.loads(prior.read_text()).get("recall_at_10", {})
     for d in dirs:
         sf = re.search(r"sf([0-9.]+)", d).group(1)
-        art[f"sf{sf}"] = recalls(spark, d)
+        # per-TIER merge (not per-point replace): a RECALL_TIERS run
+        # keeps the unmeasured tiers' recorded values at this point
+        art.setdefault(f"sf{sf}", {}).update(recalls(spark, d))
     art = dict(
         sorted(art.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
     )

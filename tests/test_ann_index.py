@@ -889,3 +889,74 @@ def test_ivfpq_cell_sizes_maintained_not_rescanned(spark, tmp_path):
     assert maintained() == derived()
     ivfpq_index_append(spark, idx, delta, batch_id=0)
     assert maintained() == derived()  # merge kept the table exact
+
+
+def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
+    """v4 (IVF half of the mass-probe retune): the ivf index persists
+    the same C-row cell-size table at build and MAINTAINS it through
+    appends (merge of the delta's per-cell posting counts), so the
+    mass-budgeted probe never re-scans the postings relation at serve
+    time. The maintained table must equal the aggregate derived from
+    postings after any append — and mass-probed serves over the
+    maintained index must match a legacy serve that derives sizes
+    from postings directly (same probe rule, two size sources)."""
+    import json
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann import (
+        IVF_PROBE_MASS,
+        ivf_search_frames,
+    )
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ivf_index_append,
+        ivf_index_search,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf_sizes")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert "cell_sizes" in meta["tables"]
+
+    def maintained():
+        return {
+            (r.centroid_id, r._csz)
+            for r in spark.read.parquet(f"{idx}/cell_sizes").collect()
+        }
+
+    def derived():
+        return {
+            (r.centroid_id, r.cnt)
+            for r in spark.read.parquet(f"{idx}/postings")
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    assert maintained() == derived()
+    ivf_index_append(spark, idx, delta, batch_id=0)
+    assert maintained() == derived()  # merge kept the table exact
+
+    # served results from the maintained table == a derived-size serve
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    served = {
+        tuple(r)
+        for r in ivf_index_search(
+            spark, idx, emb, queries, k=10, probe_mass=IVF_PROBE_MASS
+        ).collect()
+    }
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    postings = spark.read.parquet(f"{idx}/postings")
+    legacy = {
+        tuple(r)
+        for r in ivf_search_frames(
+            centroids, postings, emb, queries, k=10,
+            probe_mass=IVF_PROBE_MASS,
+        ).collect()
+    }
+    assert served == legacy and len(served) > 0
