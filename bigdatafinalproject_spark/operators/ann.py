@@ -189,8 +189,19 @@ def ivf_topk(
 
     1. assign every corpus vector to its nearest centroid (one pass,
        centroids broadcast — the IVF build);
-    2. each query probes its ``nprobe`` nearest centroids;
+    2. each query probes cells: its ``nprobe`` nearest centroids, or —
+       with ``probe_mass=(num, den)`` (r10, the shipping config of the
+       registered IVF queries via :data:`IVF_PROBE_MASS`) — its
+       cosine-ranked cells until ceil(num/den · total postings) of the
+       posting mass is covered;
     3. exact cosine only within the probed buckets.
+
+    In mass mode the probed posting rows are budget-proportional
+    (num/den · 3N at multi_assign=3 — ~0.66N unique candidates at
+    3/10), NOT |Q|·nprobe·N/C: the budget is the explicit
+    recall-vs-scan dial, and it holds coverage (hence recall) constant
+    under both corpus growth and centroid-count changes, which a fixed
+    nprobe does not (see IVF_PROBE_MASS for the 100×-span numbers).
 
     Scale shape: the centroid count must be BOUNDED, not proportional
     to N — an uncapped every-mod-th sample makes the broadcast assign
@@ -203,13 +214,16 @@ def ivf_topk(
     a plain equi-join on centroid_id. Returns (query_id, neighbor_id,
     cosine, rank).
 
-    Recall is SCALE-INVARIANT at fixed nprobe (RECALL_SCALE.json:
-    recall@10 tracks the probed corpus fraction nprobe/C, measured
-    flat from N=2k to N=20k), so nprobe is the recall dial and costs
-    only a constant factor of the linear probe stage — default 8
-    (~0.45 recall@10 on the unstructured synthetic corpus; 2 gave
-    ~0.22). At production C (2^16) the same nprobe probes a far
-    smaller fraction; raise nprobe with C, never with N.
+    On nprobe as the recall dial: it tracks the probed corpus
+    fraction, which is APPROXIMATELY nprobe/C only while cells stay
+    equal-mass — the 100× calibration (see IVF_PROBE_MASS) measured
+    recall@10 at fixed nprobe=8 wandering 0.778-0.838 as training
+    rebalances cells at each scale. The mass budget replaces the
+    proxy (cell count) with the quantity recall actually tracks
+    (covered posting mass); prefer ``probe_mass`` wherever the probe
+    set must stay comparable across corpus versions. At production C
+    (2^16) a given budget probes the same corpus FRACTION regardless
+    of C — raise the budget for recall, never nprobe with N.
 
     Two r8 quality upgrades (the r7 verdict's top item), both off by
     default so the historical trainless plan is untouched:

@@ -736,6 +736,15 @@ def ivf_index_append(
         cpath = os.path.join(index_dir, "cell_sizes")
         sizes_tmp = None
         if "cell_sizes" in meta.get("tables", []):
+            # two actions consume the delta assignment in this mode
+            # (the staged sizes merge and the postings append) —
+            # barrier it so the N_delta × C crossJoin + window runs
+            # once per micro-batch, not twice (r10 review)
+            from bigdatafinalproject_spark.operators.barrier import (
+                materialize_barrier,
+            )
+
+            postings = materialize_barrier(postings)
             dsizes = postings.groupBy("centroid_id").agg(
                 F.count(F.lit(1)).alias("_csz")
             )
@@ -1313,6 +1322,19 @@ def ivfpq_index_append(
         assigned = _nearest_centroids(
             centroids, delta, id_col, vec_col, multi, "neighbor_id"
         )
+        if "cell_sizes" in meta.get("tables", []):
+            # two actions consume the delta assignment when the
+            # cell-size table is maintained (the staged sizes merge
+            # and the residual-encode → codes append) — barrier it at
+            # creation so the N_delta × C crossJoin + window runs once
+            # per micro-batch, not twice (r10 review; binding it here,
+            # before dcodes captures the plan, is what makes both
+            # consumers read the checkpoint)
+            from bigdatafinalproject_spark.operators.barrier import (
+                materialize_barrier,
+            )
+
+            assigned = materialize_barrier(assigned)
         dvec = delta.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         )

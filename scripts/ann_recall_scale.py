@@ -267,7 +267,9 @@ def recalls(spark, sf_dir: str) -> dict[str, float]:
     # the same single-point economics as SCALE_DIRS
     only = os.environ.get("RECALL_TIERS")
     if only:
-        want = {t.strip() for t in only.split(",")}
+        # ignore empty tokens (trailing comma, stray spaces) instead
+        # of aborting on an "unknown" '' tier
+        want = {t.strip() for t in only.split(",") if t.strip()}
         unknown = want - set(tiers)
         if unknown:
             raise SystemExit(f"RECALL_TIERS unknown: {sorted(unknown)}")
@@ -304,11 +306,17 @@ def main() -> None:
     prior = REPO / "RECALL_SCALE.json"
     if prior.is_file():
         art = json.loads(prior.read_text()).get("recall_at_10", {})
+    subset_run = bool(os.environ.get("RECALL_TIERS"))
     for d in dirs:
         sf = re.search(r"sf([0-9.]+)", d).group(1)
-        # per-TIER merge (not per-point replace): a RECALL_TIERS run
-        # keeps the unmeasured tiers' recorded values at this point
-        art.setdefault(f"sf{sf}", {}).update(recalls(spark, d))
+        if subset_run:
+            # per-TIER merge: a RECALL_TIERS run keeps the unmeasured
+            # tiers' recorded values at this point
+            art.setdefault(f"sf{sf}", {}).update(recalls(spark, d))
+        else:
+            # full sweep REPLACES the point, so renamed/removed tiers
+            # can't persist as stale rows forever (r10 review)
+            art[f"sf{sf}"] = recalls(spark, d)
     art = dict(
         sorted(art.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
     )

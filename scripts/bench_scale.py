@@ -70,11 +70,26 @@ HEAVY = [
 ]
 
 
+def _selected_queries() -> list[str]:
+    """SCALE_QUERIES=a,b re-measures a subset (e.g. after retuning one
+    operator) — the per-point merge in main() keeps every other heavy
+    query's recorded reading, the same economics as SCALE_DIRS /
+    RECALL_TIERS. Empty tokens are ignored; unknown names abort."""
+    only = os.environ.get("SCALE_QUERIES")
+    if not only:
+        return HEAVY
+    want = [t.strip() for t in only.split(",") if t.strip()]
+    unknown = set(want) - set(HEAVY)
+    if unknown:
+        raise SystemExit(f"SCALE_QUERIES not in HEAVY: {sorted(unknown)}")
+    return want
+
+
 def run_bench(sf_dir: str) -> dict[str, float]:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
-        BENCH_QUERIES=",".join(HEAVY),
+        BENCH_QUERIES=",".join(_selected_queries()),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -156,8 +171,14 @@ def main() -> None:
                 m = re.fullmatch(r"sf([0-9.]+)_sec", key)
                 if m and t is not None:
                     results.setdefault(float(m.group(1)), {})[q] = t
+    subset_run = bool(os.environ.get("SCALE_QUERIES"))
     for sf, d in points:
-        results[sf] = run_bench(d)
+        if subset_run:
+            # per-QUERY merge: keep the unmeasured heavies' recorded
+            # readings at this point
+            results.setdefault(sf, {}).update(run_bench(d))
+        else:
+            results[sf] = run_bench(d)
     sfs = sorted(results)
     rows = {}
     for q in HEAVY:
