@@ -484,6 +484,16 @@ _R10_FRONT = (
     # table the probe reads
     "ann_ivf_topk",
     "ann_ivf_recall",
+    # persisted DEDUP index lifecycle (net-new): the ANN family's
+    # index machinery (manifest build, CAS writers, batch idempotence,
+    # compaction, streaming maintenance) applied to the dedup family's
+    # digest/band tables; all four share the doc_incremental_dedup
+    # oracle — persistence / maintenance / compaction / streaming
+    # theorems respectively
+    "doc_dedup_index_check",
+    "doc_dedup_index_append",
+    "doc_dedup_index_compact",
+    "stream_dedup_index_maintenance",
 )
 
 _R7_FRONT = (

@@ -127,6 +127,9 @@ _APPEND_TABLES = {
     "ivf": ("postings",),
     "pq": ("codes", "norms"),
     "ivfpq": ("codes", "norms"),
+    # the dedup index appends one file set per ingested crawl batch —
+    # the same compaction target shape as the ANN kinds
+    "dedup": ("digests", "bands"),
 }
 
 
@@ -143,6 +146,8 @@ _BUILD_DEFAULTS = {
     "ivfpq": dict(centroid_mod=37, max_centroids=64, train_rounds=2,
                   multi_assign=3, m=16, dim=64, codeword_mod=13,
                   max_codewords=64),
+    "dedup": dict(text_col="text", id_col="doc_id", n=8,
+                  num_hashes=16, bands=4),
 }
 
 
@@ -1399,3 +1404,170 @@ def ivfpq_index_append(
     )
     prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
     return index_dir
+
+
+def ensure_dedup_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    fingerprint: str,
+    src: str | None = None,
+    subset: str | None = None,
+    **build_params,
+) -> str:
+    """Build the persisted DEDUP index iff absent/stale — the index
+    lifecycle machinery (manifest-committed build, fingerprint
+    invalidation, CAS-serialized maintenance writers, compaction)
+    applied to the dedup family's production shape: a crawl pipeline
+    keeps the corpus's DISTINCT exact digests and DISTINCT MinHash
+    (band, band_digest) rows persisted between runs and dedups each
+    incoming batch by semi-joining them
+    (operators/dedup.incremental_dedup derives the same two frames
+    in-query; reference behavior: the corpus-side of duplicates.py,
+    see SURVEY §2 A8). Two tables:
+
+    - ``digests``: (digest) — md5 of the normalized text, distinct;
+    - ``bands``:   (band, band_digest) — banded MinHash rows, distinct.
+
+    Unlike the ANN kinds there is NO trained quantizer, so appends
+    carry no drift: build(base) ⊎ append(delta) has exactly the same
+    DISTINCT content as build(base ∪ delta), and the check is
+    invariant to duplicate index rows (left_semi joins). base_rows
+    records the distinct digest count (capacity accounting only —
+    needs_retrain is meaningless for an exact index)."""
+    from bigdatafinalproject_spark.operators.dedup import (
+        minhash_band_digests,
+        norm_text,
+    )
+    from pyspark.sql import functions as F
+
+    if index_is_current(index_dir, "dedup", fingerprint):
+        return index_dir
+    p = _effective_params("dedup", build_params, subset)
+    text_col, id_col = p["text_col"], p["id_col"]
+    tmp = _build_into_tmp(index_dir)
+    try:
+        (
+            corpus.select(F.md5(norm_text(F.col(text_col))).alias("digest"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "digests"))
+        )
+        (
+            minhash_band_digests(
+                corpus, text_col, id_col,
+                int(p["n"]), int(p["num_hashes"]), int(p["bands"]),
+            )
+            .select("band", "band_digest")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "bands"))
+        )
+        _commit(
+            tmp, "dedup", fingerprint, ["digests", "bands"],
+            src=src, params=p,
+            base_rows=_footer_rows(spark, os.path.join(tmp, "digests")),
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    out = _install_build(tmp, index_dir, "dedup", fingerprint)
+    _gc_superseded(out, "dedup", src, subset)
+    return out
+
+
+def dedup_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    delta: DataFrame,
+    batch_id: int | None = None,
+) -> str:
+    """Incremental dedup-index maintenance: append an ingested batch's
+    distinct digests and banded MinHash rows (column/shingle/band
+    params from the MANIFEST, never the caller) under the same writer
+    protocol as the ANN kinds — ``_applog`` CAS claim, invalidate-
+    then-recommit across BOTH table appends, footer-delta accounting,
+    batch-id idempotence, log prune. Appended rows may duplicate
+    existing index rows (a batch re-crawling known text); that is
+    CORRECT by construction — the check joins are left_semi, and
+    DISTINCT(build(base) ⊎ append(delta)) ≡ DISTINCT(base ∪ delta)
+    because digest/band extraction is row-local. compact_index
+    rewrites the accreted per-batch file sets."""
+    from bigdatafinalproject_spark.operators.dedup import (
+        minhash_band_digests,
+        norm_text,
+    )
+    from pyspark.sql import functions as F
+
+    txn = _writer_txn(index_dir, batch_id, "append")
+    if txn is None:
+        return index_dir  # redelivered batch: idempotent skip
+    meta, mver = txn
+    # claim→invalidate failures release the claim (slot never
+    # consumed; see ivf_index_append — ADVICE r9)
+    try:
+        applied = list(meta.get("applied_batches", []))
+        p = meta.get("params", {})
+        text_col = p.get("text_col", "text")
+        id_col = p.get("id_col", "doc_id")
+        ddg = delta.select(
+            F.md5(norm_text(F.col(text_col))).alias("digest")
+        ).distinct()
+        dbd = (
+            minhash_band_digests(
+                delta, text_col, id_col,
+                int(p.get("n", 8)), int(p.get("num_hashes", 16)),
+                int(p.get("bands", 4)),
+            )
+            .select("band", "band_digest")
+            .distinct()
+        )
+        dpath = os.path.join(index_dir, "digests")
+        n_before = _footer_rows(spark, dpath)
+    except BaseException:
+        _end_claim(index_dir, mver, release=True)
+        raise
+    os.remove(os.path.join(index_dir, _META))  # invalidate during append
+    ddg.write.mode("append").parquet(dpath)
+    dbd.write.mode("append").parquet(os.path.join(index_dir, "bands"))
+    n_delta = _footer_rows(spark, dpath) - n_before
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
+    _commit(
+        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
+        src=meta.get("src"), params=p,
+        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
+        mver=mver, base_rows=meta.get("base_rows"),
+        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
+    )
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
+    return index_dir
+
+
+def dedup_index_check(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+) -> DataFrame:
+    """Dedup an incoming batch against the PERSISTED index: exact
+    digest tier, then MinHash band-collision tier, via left_semi joins
+    of the batch's row-local digests/bands against the two persisted
+    tables. All extraction params come from the MANIFEST (the
+    single-source-of-truth discipline — a batch hashed under different
+    shingle/band params would silently miss every collision), and the
+    check shares operators/dedup.dedup_status_against_index with the
+    in-query twin, so serve and twin cannot diverge. Refuses an
+    uncommitted (mid-maintenance) index. Returns (id, status)."""
+    from bigdatafinalproject_spark.operators.dedup import (
+        dedup_status_against_index,
+    )
+
+    meta = _serving_manifest(index_dir, "dedup")
+    p = meta.get("params", {})
+    digests = spark.read.parquet(os.path.join(index_dir, "digests"))
+    band_index = spark.read.parquet(os.path.join(index_dir, "bands"))
+    return dedup_status_against_index(
+        batch, digests, band_index,
+        p.get("text_col", "text"), p.get("id_col", "doc_id"),
+        int(p.get("n", 8)), int(p.get("num_hashes", 16)),
+        int(p.get("bands", 4)),
+    )

@@ -432,16 +432,41 @@ def incremental_dedup(
     cd = corpus.select(
         F.md5(norm_text(F.col(text_col))).alias("digest")
     ).distinct()
-    bd = batch.select(
-        F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("digest")
-    )
-    exact_ids = bd.join(cd, "digest", "left_semi").select(id_col)
     cb = minhash_band_digests(
         corpus, text_col, id_col, n, num_hashes, bands
     ).select("band", "band_digest").distinct()
+    return dedup_status_against_index(
+        batch, cd, cb, text_col, id_col, n, num_hashes, bands
+    )
+
+
+def dedup_status_against_index(
+    batch: DataFrame,
+    digests: DataFrame,
+    band_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The check half of :func:`incremental_dedup`, against an index
+    given as FRAMES — (digests (digest), band_index (band,
+    band_digest)) — so the in-query twin (which derives the frames
+    from the corpus) and the persisted-index serve path
+    (operators/ann_index.dedup_index_check) share one definition and
+    cannot diverge (the encode_against_codebook pattern). Duplicate
+    rows in either index frame are harmless: both joins are
+    left_semi. Returns (id, status)."""
+    bd = batch.select(
+        F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("digest")
+    )
+    exact_ids = bd.join(digests, "digest", "left_semi").select(id_col)
     bb = minhash_band_digests(batch, text_col, id_col, n, num_hashes, bands)
     near_ids = (
-        bb.join(cb, ["band", "band_digest"], "left_semi").select(id_col).distinct()
+        bb.join(band_index, ["band", "band_digest"], "left_semi")
+        .select(id_col)
+        .distinct()
     )
     return (
         batch.select(id_col)

@@ -561,3 +561,184 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return D.incremental_dedup(corpus, batch, "text", "doc_id")
+
+
+# --- persisted dedup index lifecycle (the index-machinery pattern the
+# ANN family established, applied to the dedup family: build/serve
+# split, CAS-serialized maintenance, compaction, streaming) ---
+#
+# All four queries share the doc_incremental_dedup oracle: digest and
+# band extraction are row-local, so (a) serving the persisted index
+# equals deriving it in-query (persistence theorem), (b) build(base) ⊎
+# append(delta) equals build(corpus) after DISTINCT — and the check is
+# left_semi, invariant to duplicate index rows (maintenance theorem),
+# (c) streaming appends equal one-shot appends (streaming theorem),
+# (d) compaction is content-neutral (compaction theorem). Each green
+# driver row is the corresponding theorem checked end-to-end.
+
+_DEDUP_IDX = dict(text_col="text", id_col="doc_id", n=8,
+                  num_hashes=16, bands=4)
+
+
+@query("doc_dedup_index_check", oracle_of="doc_incremental_dedup")
+def doc_dedup_index_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-dedup-index serve path: the corpus's distinct
+    digest/band tables are built ONCE per corpus fingerprint
+    (operators/ann_index.ensure_dedup_index, cross-process cache) and
+    the batch is deduped against the PERSISTED index — the production
+    crawl-dedup shape, where the index outlives any single run and
+    the corpus is never re-hashed per batch. Shares the
+    doc_incremental_dedup oracle (persistence theorem)."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        dedup_index_check,
+        ensure_dedup_index,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.streaming.dedup import (
+        DEDUP_BATCH_PRED,
+        DEDUP_CORPUS_PRED,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(DEDUP_CORPUS_PRED))
+    batch = docs.filter(F.expr(DEDUP_BATCH_PRED))
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "documents"), base_pred=DEDUP_CORPUS_PRED,
+        **_DEDUP_IDX,
+    )
+    idx = ensure_dedup_index(
+        spark, corpus, shared_index_dir("dedup", fp), fp,
+        src=table_path(sf_dir, "documents"), subset=DEDUP_CORPUS_PRED,
+        **_DEDUP_IDX,
+    )
+    return dedup_index_check(spark, idx, batch)
+
+
+@query("doc_dedup_index_append", oracle_of="doc_incremental_dedup")
+def doc_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the persisted dedup index: the index
+    is built on a BASE subset of the corpus (2/3 of it), the remaining
+    corpus docs arrive as two append batches (CAS-claimed writers,
+    batch-id idempotence, footer-delta accounting), and the standing
+    batch is deduped against the maintained index. Because extraction
+    is row-local and the check is left_semi, the maintained index
+    answers EXACTLY like one built on the full corpus — the shared
+    oracle (maintenance theorem). Unlike the ANN kinds there is no
+    drift: nothing is trained, so append-between-rebuilds is lossless,
+    which is why dedup indexes at 100 TB are append-only plus
+    occasional compaction, never retrained."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
+        corpus_fingerprint,
+        dedup_index_append,
+        dedup_index_check,
+        ensure_dedup_index,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+    from bigdatafinalproject_spark.streaming.dedup import (
+        DEDUP_BASE_PRED,
+        DEDUP_BATCH_PRED,
+        DEDUP_DELTA_PRED,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.expr(DEDUP_BASE_PRED))
+    delta = docs.filter(F.expr(DEDUP_DELTA_PRED))
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "documents"), base_pred=DEDUP_BASE_PRED,
+        **_DEDUP_IDX,
+    )
+    cached = ensure_dedup_index(
+        spark, base, shared_index_dir("dedup", fp), fp,
+        src=table_path(sf_dir, "documents"), subset=DEDUP_BASE_PRED,
+        **_DEDUP_IDX,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "dedupappendidx"))
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 == 0), batch_id=0
+    )
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 != 0), batch_id=1
+    )
+    batch = docs.filter(F.expr(DEDUP_BATCH_PRED))
+    return dedup_index_check(spark, idx, batch)
+
+
+@query("doc_dedup_index_compact", oracle_of="doc_incremental_dedup")
+def doc_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction of the appended dedup index: the per-batch digest/
+    band file sets rewrite into size-targeted files under the same CAS
+    claim + invalidate-then-recommit protocol (compact_index covers
+    the dedup kind through _APPEND_TABLES), then the standing batch is
+    deduped against the compacted index. RAISES unless compaction
+    reduced the digest-table file count; shares the
+    doc_incremental_dedup oracle (content-neutrality theorem for the
+    dedup layout)."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
+        compact_index,
+        corpus_fingerprint,
+        dedup_index_append,
+        dedup_index_check,
+        ensure_dedup_index,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+    from bigdatafinalproject_spark.streaming.dedup import (
+        DEDUP_BASE_PRED,
+        DEDUP_BATCH_PRED,
+        DEDUP_DELTA_PRED,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.expr(DEDUP_BASE_PRED))
+    delta = docs.filter(F.expr(DEDUP_DELTA_PRED))
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "documents"), base_pred=DEDUP_BASE_PRED,
+        **_DEDUP_IDX,
+    )
+    cached = ensure_dedup_index(
+        spark, base, shared_index_dir("dedup", fp), fp,
+        src=table_path(sf_dir, "documents"), subset=DEDUP_BASE_PRED,
+        **_DEDUP_IDX,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "dedupcompactidx"))
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 == 0), batch_id=0
+    )
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 != 0), batch_id=1
+    )
+    stats = compact_index(spark, idx)
+    before, after = stats["digests"]
+    if after >= before:
+        raise RuntimeError(
+            f"dedup compaction did not reduce digest files: {before} -> {after}"
+        )
+    batch = docs.filter(F.expr(DEDUP_BATCH_PRED))
+    return dedup_index_check(spark, idx, batch)
+
+
+@query("stream_dedup_index_maintenance", oracle_of="doc_incremental_dedup")
+def stream_dedup_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING dedup-index maintenance
+    (streaming/dedup.stream_dedup_index_maintenance): the delta
+    documents arrive as a multi-batch file stream, each micro-batch's
+    digests/bands appended exactly once (manifest batch ids; a live
+    post-drain redelivery of chunk 0 is an idempotent skip), then the
+    standing batch is deduped against the maintained index. No
+    retrain-trigger protocol, deliberately: nothing is trained, so
+    appends carry zero drift (see the streaming module docstring).
+    Shares the doc_incremental_dedup oracle (streaming theorem)."""
+    from bigdatafinalproject_spark.streaming.dedup import (
+        stream_dedup_index_maintenance as _impl,
+    )
+
+    return _impl(spark, sf_dir)

@@ -960,3 +960,58 @@ def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
         ).collect()
     }
     assert served == legacy and len(served) > 0
+
+
+def test_dedup_index_lifecycle_idempotence_and_refusal(spark, tmp_path):
+    """The dedup kind under the shared index machinery: (a) a
+    redelivered batch id is an idempotent SKIP (footer counts and
+    applied_batches unchanged); (b) the maintained base+delta index
+    answers exactly like one built on the full corpus (row-local
+    extraction + left_semi checks — the maintenance theorem the
+    driver oracle also proves); (c) a manifest-less (mid-maintenance)
+    index refuses to serve."""
+    import json
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        dedup_index_append,
+        dedup_index_check,
+        ensure_dedup_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    base = corpus.filter(F.col("doc_id") % 3 != 0)
+    delta = corpus.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    params = dict(text_col="text", id_col="doc_id", n=8,
+                  num_hashes=16, bands=4)
+
+    idx = str(tmp_path / "dedup_idx")
+    ensure_dedup_index(spark, base, idx, "fp_base", **params)
+    dedup_index_append(spark, idx, delta, batch_id=7)
+    meta1 = json.load(open(_os.path.join(idx, "_meta.json")))
+    rows1 = spark.read.parquet(f"{idx}/digests").count()
+    # redelivery: same batch id must be a no-op
+    dedup_index_append(spark, idx, delta, batch_id=7)
+    meta2 = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta2["applied_batches"] == meta1["applied_batches"] == [7]
+    assert spark.read.parquet(f"{idx}/digests").count() == rows1
+
+    maintained = {
+        (r.doc_id, r.status)
+        for r in dedup_index_check(spark, idx, batch).collect()
+    }
+    full = str(tmp_path / "dedup_full")
+    ensure_dedup_index(spark, corpus, full, "fp_full", **params)
+    fresh = {
+        (r.doc_id, r.status)
+        for r in dedup_index_check(spark, full, batch).collect()
+    }
+    assert maintained == fresh and len(maintained) > 0
+
+    _os.remove(_os.path.join(idx, "_meta.json"))
+    with _pytest.raises(ValueError, match="no committed dedup index"):
+        dedup_index_check(spark, idx, batch)

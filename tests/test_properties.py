@@ -572,3 +572,46 @@ def test_attribution_credit_is_conserved_to_the_micro_dollar(spark):
         .first()[0]
     )
     assert total_credit == total_purchases
+
+
+def test_mass_probes_rule_hand_computed(spark):
+    """Pin the mass-budget probe rule on a hand-built 3-cell frame:
+    probe cosine-ranked cells until cumulative posting mass reaches
+    ceil(num/den · T), INCLUSIVE of the crossing cell, per query.
+    Covers: per-query adaptivity (same budget, different cell counts),
+    the inclusive-crossing boundary, and the budget-covers-all case."""
+    from bigdatafinalproject_spark.operators.ann import _mass_probes
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id int, _cent array<float>",
+    )
+    # posting mass: c0=5, c1=3, c2=2 -> T=10
+    sizes = spark.createDataFrame(
+        [(0, 5), (1, 3), (2, 2)], "centroid_id int, _csz long"
+    )
+    # q100 ranks c0 > c1 > c2; q200 ranks c2 > c1 > c0
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.5, 0.1, 0.0]), (200, [0.1, 0.2, 0.9, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+
+    def probes(num, den):
+        rows = _mass_probes(
+            centroids, queries, sizes, (num, den), "vec_id", "embedding"
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.centroid_id)
+        return out
+
+    # budget ceil(3/10·10)=3: q100 stops after c0 (cum 5 >= 3 at the
+    # first cell); q200 needs c2 (cum 2 < 3) AND c1 (crossing cell,
+    # included) — same budget, different probe counts
+    assert probes(3, 10) == {100: {0}, 200: {2, 1}}
+    # budget 6: q100 takes c0 then c1 (5 < 6, crossing at 8)
+    assert probes(3, 5) == {100: {0, 1}, 200: {2, 1, 0}}
+    # budget = T: every cell probed for every query
+    assert probes(1, 1) == {100: {0, 1, 2}, 200: {0, 1, 2}}
