@@ -150,6 +150,13 @@ _BUILD_DEFAULTS = {
                   num_hashes=16, bands=4),
 }
 
+# the ONE copy of the dedup extraction params (r10 review: the
+# quintuple was hand-copied at four sites; a drift in any one — e.g.
+# bands=8 in a query module only — would split the shared index cache
+# between the batch and streaming queries and surface only as an
+# opaque oracle hash mismatch). Callers build their kwargs from this.
+DEDUP_INDEX_PARAMS = _BUILD_DEFAULTS["dedup"]
+
 
 def _effective_params(kind: str, build_params: dict, subset) -> dict:
     out = dict(_BUILD_DEFAULTS[kind], **build_params)

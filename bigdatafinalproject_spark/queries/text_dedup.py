@@ -576,8 +576,62 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (d) compaction is content-neutral (compaction theorem). Each green
 # driver row is the corresponding theorem checked end-to-end.
 
-_DEDUP_IDX = dict(text_col="text", id_col="doc_id", n=8,
-                  num_hashes=16, bands=4)
+# the ONE copy of the extraction params lives at the operator layer
+# (operators/ann_index.DEDUP_INDEX_PARAMS — r10 review: a drift in a
+# hand-copied quintuple would split the shared index cache and surface
+# only as an opaque oracle hash mismatch)
+
+
+def _dedup_idx_params() -> dict:
+    from bigdatafinalproject_spark.operators.ann_index import (
+        DEDUP_INDEX_PARAMS,
+    )
+
+    return dict(DEDUP_INDEX_PARAMS)
+
+
+def _maintained_dedup_clone(spark: SparkSession, sf_dir: str, scratch: str) -> str:
+    """Shared maintenance history for the append and compact queries
+    (r10 review: the build-base/clone/two-appends choreography was
+    duplicated, so a one-sided edit would make the two theorems test
+    different histories): build the base index once per corpus
+    fingerprint, clone it writer-private, append the delta as two
+    even/odd batches. Returns the maintained index dir."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
+        corpus_fingerprint,
+        dedup_index_append,
+        ensure_dedup_index,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+    from bigdatafinalproject_spark.streaming.dedup import (
+        DEDUP_BASE_PRED,
+        DEDUP_DELTA_PRED,
+    )
+
+    params = _dedup_idx_params()
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.expr(DEDUP_BASE_PRED))
+    delta = docs.filter(F.expr(DEDUP_DELTA_PRED))
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "documents"), base_pred=DEDUP_BASE_PRED,
+        **params,
+    )
+    cached = ensure_dedup_index(
+        spark, base, shared_index_dir("dedup", fp), fp,
+        src=table_path(sf_dir, "documents"), subset=DEDUP_BASE_PRED,
+        **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, scratch))
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 == 0), batch_id=0
+    )
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 != 0), batch_id=1
+    )
+    return idx
 
 
 @query("doc_dedup_index_check", oracle_of="doc_incremental_dedup")
@@ -601,17 +655,18 @@ def doc_dedup_index_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEDUP_CORPUS_PRED,
     )
 
+    params = _dedup_idx_params()
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.expr(DEDUP_CORPUS_PRED))
     batch = docs.filter(F.expr(DEDUP_BATCH_PRED))
     fp = corpus_fingerprint(
         table_path(sf_dir, "documents"), base_pred=DEDUP_CORPUS_PRED,
-        **_DEDUP_IDX,
+        **params,
     )
     idx = ensure_dedup_index(
         spark, corpus, shared_index_dir("dedup", fp), fp,
         src=table_path(sf_dir, "documents"), subset=DEDUP_CORPUS_PRED,
-        **_DEDUP_IDX,
+        **params,
     )
     return dedup_index_check(spark, idx, batch)
 
@@ -629,41 +684,13 @@ def doc_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift: nothing is trained, so append-between-rebuilds is lossless,
     which is why dedup indexes at 100 TB are append-only plus
     occasional compaction, never retrained."""
-    from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann_index import (
-        clone_index,
-        corpus_fingerprint,
-        dedup_index_append,
         dedup_index_check,
-        ensure_dedup_index,
-        shared_index_dir,
     )
-    from bigdatafinalproject_spark.queries.layout import _scratch
-    from bigdatafinalproject_spark.streaming.dedup import (
-        DEDUP_BASE_PRED,
-        DEDUP_BATCH_PRED,
-        DEDUP_DELTA_PRED,
-    )
+    from bigdatafinalproject_spark.streaming.dedup import DEDUP_BATCH_PRED
 
+    idx = _maintained_dedup_clone(spark, sf_dir, "dedupappendidx")
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.filter(F.expr(DEDUP_BASE_PRED))
-    delta = docs.filter(F.expr(DEDUP_DELTA_PRED))
-    fp = corpus_fingerprint(
-        table_path(sf_dir, "documents"), base_pred=DEDUP_BASE_PRED,
-        **_DEDUP_IDX,
-    )
-    cached = ensure_dedup_index(
-        spark, base, shared_index_dir("dedup", fp), fp,
-        src=table_path(sf_dir, "documents"), subset=DEDUP_BASE_PRED,
-        **_DEDUP_IDX,
-    )
-    idx = clone_index(cached, _scratch(sf_dir, "dedupappendidx"))
-    dedup_index_append(
-        spark, idx, delta.filter(F.col("doc_id") % 2 == 0), batch_id=0
-    )
-    dedup_index_append(
-        spark, idx, delta.filter(F.col("doc_id") % 2 != 0), batch_id=1
-    )
     batch = docs.filter(F.expr(DEDUP_BATCH_PRED))
     return dedup_index_check(spark, idx, batch)
 
@@ -678,42 +705,14 @@ def doc_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced the digest-table file count; shares the
     doc_incremental_dedup oracle (content-neutrality theorem for the
     dedup layout)."""
-    from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann_index import (
-        clone_index,
         compact_index,
-        corpus_fingerprint,
-        dedup_index_append,
         dedup_index_check,
-        ensure_dedup_index,
-        shared_index_dir,
     )
-    from bigdatafinalproject_spark.queries.layout import _scratch
-    from bigdatafinalproject_spark.streaming.dedup import (
-        DEDUP_BASE_PRED,
-        DEDUP_BATCH_PRED,
-        DEDUP_DELTA_PRED,
-    )
+    from bigdatafinalproject_spark.streaming.dedup import DEDUP_BATCH_PRED
 
+    idx = _maintained_dedup_clone(spark, sf_dir, "dedupcompactidx")
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.filter(F.expr(DEDUP_BASE_PRED))
-    delta = docs.filter(F.expr(DEDUP_DELTA_PRED))
-    fp = corpus_fingerprint(
-        table_path(sf_dir, "documents"), base_pred=DEDUP_BASE_PRED,
-        **_DEDUP_IDX,
-    )
-    cached = ensure_dedup_index(
-        spark, base, shared_index_dir("dedup", fp), fp,
-        src=table_path(sf_dir, "documents"), subset=DEDUP_BASE_PRED,
-        **_DEDUP_IDX,
-    )
-    idx = clone_index(cached, _scratch(sf_dir, "dedupcompactidx"))
-    dedup_index_append(
-        spark, idx, delta.filter(F.col("doc_id") % 2 == 0), batch_id=0
-    )
-    dedup_index_append(
-        spark, idx, delta.filter(F.col("doc_id") % 2 != 0), batch_id=1
-    )
     stats = compact_index(spark, idx)
     before, after = stats["digests"]
     if after >= before:

@@ -110,43 +110,22 @@ def stream_lsh_index(
 def _chunked_delta_dir(sf_dir: str, n_chunks: int = 4) -> str:
     """Stage the DELTA embeddings (vec_id % 3 == 0) as n_chunks FLAT
     parquet files (pyarrow-written — the file source treats nested
-    Spark output dirs as partition dirs, not batch files; same staging
-    discipline as streaming/cdc._chunked_orders_dir) so
+    Spark output dirs as partition dirs, not batch files) so
     maxFilesPerTrigger=1 delivers a multi-batch maintenance stream.
-    Chunk = (vec_id // 3) % n, deterministic and replayable."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    Chunk = (vec_id // 3) % n, deterministic and replayable. The
+    shared stager (streaming/staging.py, r10 review) keys the cache
+    on the full split identity."""
+    from bigdatafinalproject_spark.streaming.staging import (
+        chunked_delta_dir,
+    )
 
-    import pyarrow.parquet as pq
-
-    src = os.path.abspath(table_path(sf_dir, "embeddings"))
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}|delta|{n_chunks}".encode()
-    ).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"bdfp_embdelta_{tag}")
-    if os.path.exists(os.path.join(d, "_STAGED")):
-        return d
-    t = pq.read_table(src)
-    vid = t.column("vec_id").to_numpy()
-    mask = (vid % 3) == 0
-    delta = t.filter(mask)
-    chunk_of = (vid[mask] // 3) % n_chunks
-    tmp = d + f".tmp{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    for c in range(n_chunks):
-        pq.write_table(
-            delta.filter(chunk_of == c),
-            os.path.join(tmp, f"chunk{c}.parquet"),
-        )
-    open(os.path.join(tmp, "_STAGED"), "w").write(src)
-    try:
-        os.rename(tmp, d)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return d
+    return chunked_delta_dir(
+        sf_dir, "embeddings", "vec_id", "embdelta",
+        mask_fn=lambda k: (k % 3) == 0,
+        chunk_fn=lambda k: (k // 3) % n_chunks,
+        identity="vec_id % 3 == 0 | chunk=(vec_id//3)%n",
+        n_chunks=n_chunks,
+    )
 
 
 def _stream_index_maintenance(
@@ -158,6 +137,9 @@ def _stream_index_maintenance(
     append_fn,
     params: dict,
     base_pred: str,
+    table: str = "embeddings",
+    delta_dir_fn=None,
+    check_retrain: bool = True,
 ):
     """Shared streaming-maintenance core for every persisted index
     kind (PQ / IVF / IVFPQ — VERDICT r9 #1/#5 made the protocol
@@ -185,10 +167,18 @@ def _stream_index_maintenance(
       extended this from PQ to IVF/IVFPQ). Raised, not asserted, so
       the evidence survives -O.
 
-    Returns (embeddings frame, maintained index dir); the caller runs
-    its kind's search. Crash honesty: a death mid-append leaves the
-    manifest removed, so the next run sees a non-current index and
-    rebuilds from base (loud, never a partially-appended serve)."""
+    Returns (source-table frame, maintained index dir); the caller
+    runs its kind's search. Crash honesty: a death mid-append leaves
+    the manifest removed, so the next run sees a non-current index and
+    rebuilds from base (loud, never a partially-appended serve).
+
+    Generalized for non-embeddings kinds (r10 review: the dedup
+    maintenance path had re-implemented this scaffold): ``table``
+    names the source table, ``delta_dir_fn(sf_dir)`` stages its delta
+    chunks (defaults to the embeddings stager), and
+    ``check_retrain=False`` skips the retrain-trigger protocol for
+    kinds with nothing trained (the dedup index's appends carry zero
+    drift, so a retrain budget is meaningless there)."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -202,26 +192,26 @@ def _stream_index_maintenance(
     )
     from bigdatafinalproject_spark.queries.layout import _scratch
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, table)
     # ONE constant defines the base subset — as the split predicate
     # AND the fingerprint salt (r9 review #6: a hand-copied predicate
     # string would let the cache key silently stop describing the
     # real training subset if either copy drifted)
     base = emb.filter(F.expr(base_pred))
     fp = corpus_fingerprint(
-        table_path(sf_dir, "embeddings"), base_pred=base_pred, **params
+        table_path(sf_dir, table), base_pred=base_pred, **params
     )
     cached = ensure_fn(
         spark, base, shared_index_dir(kind, fp), fp,
-        src=table_path(sf_dir, "embeddings"), subset=base_pred,
+        src=table_path(sf_dir, table), subset=base_pred,
         **params,
     )
     idx = clone_index(cached, _scratch(sf_dir, scratch_name))
 
-    d = _chunked_delta_dir(sf_dir)
+    d = (delta_dir_fn or _chunked_delta_dir)(sf_dir)
     raw = (
         spark.readStream.schema(
-            footer_read_schema(table_path(sf_dir, "embeddings"))
+            footer_read_schema(table_path(sf_dir, table))
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
@@ -235,16 +225,17 @@ def _stream_index_maintenance(
     replay = spark.read.parquet(_os.path.join(d, "chunk0.parquet"))
     append_fn(spark, idx, replay, batch_id=0)
 
-    if not needs_retrain(idx, max_appended_frac=0.4):
-        raise RuntimeError(
-            "retrain trigger failed to flip: appended 1/2 of base "
-            "exceeds a 0.4 budget"
-        )
-    if needs_retrain(idx, max_appended_frac=0.6):
-        raise RuntimeError(
-            "retrain trigger flipped early: appended 1/2 of base is "
-            "within a 0.6 budget"
-        )
+    if check_retrain:
+        if not needs_retrain(idx, max_appended_frac=0.4):
+            raise RuntimeError(
+                "retrain trigger failed to flip: appended 1/2 of base "
+                "exceeds a 0.4 budget"
+            )
+        if needs_retrain(idx, max_appended_frac=0.6):
+            raise RuntimeError(
+                "retrain trigger flipped early: appended 1/2 of base is "
+                "within a 0.6 budget"
+            )
     return emb, idx
 
 
