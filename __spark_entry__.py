@@ -494,6 +494,9 @@ _R10_FRONT = (
     "doc_dedup_index_append",
     "doc_dedup_index_compact",
     "stream_dedup_index_maintenance",
+    # winnowed MOSS span fingerprints (net-new): alignment-robust
+    # cross-doc span duplication with the w+k-1 guarantee; full oracle
+    "doc_winnow_spans",
 )
 
 _R7_FRONT = (

@@ -549,3 +549,125 @@ def segment_dedup(
         F.count(F.lit(1)).cast("int").alias("n_segs"),
         F.count(F.when(F.col("_b").isNull(), 1)).cast("int").alias("n_kept"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed token-k-gram fingerprints — the MOSS document
+    fingerprinting scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every k-token gram at every position, then for each window of
+    ``w`` consecutive gram hashes select the minimum (ties to the
+    RIGHTMOST position — the paper's rule); the selected (position,
+    hash) pairs, distinct, are the document's fingerprints.
+
+    The winnowing guarantee: any shared token run of at least
+    w + k - 1 tokens between two documents yields at least one COMMON
+    fingerprint (the all-inside window of w identical hashes selects
+    the same relative argmin in both docs), at an expected fingerprint
+    density of only 2/(w+1) of positions — the principled sweet spot
+    between exact-substring suffix arrays (stride 1, quadratic-ish
+    memory at corpus scale) and fixed SEGMENT dedup
+    (:func:`segment_dedup`), which misses any duplicated span that
+    straddles a segment boundary or sits at a different alignment.
+
+    Engine-exact: gram hashes are the portable 60-bit md5 hash, the
+    per-window argmin is min over a (hash, -pos, pos) struct — pure
+    integer lexicographic comparison both engines implement
+    identically — and trailing truncated windows (the last w-1
+    positions) only ADD selections, preserving the guarantee.
+
+    100 TB shape: gram explosion and window-min are per-doc (one
+    shuffle on the doc id at most — the window partitions by doc);
+    fingerprint density bounds the output at ~2/(w+1) of token count.
+    Returns (id, fp_pos, fp).
+    """
+    from pyspark.sql import Window as W
+
+    d = spread(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")),
+        id_col,
+    ).filter(F.size("_toks") >= k)
+    grams = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {k - 1}),"
+                f" i -> array_join(slice(_toks, i, {k}), ' '))"
+            )
+        ).alias("_p0", "_g"),
+    )
+    scored = grams.select(
+        F.col(id_col),
+        (F.col("_p0") + 1).alias("pos"),
+        _hash64(F.col("_g"), seed="win").alias("_h"),
+    )
+    win = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    )
+    sel = scored.withColumn(
+        "_sel",
+        F.min(
+            F.struct(
+                F.col("_h"), (-F.col("pos")).alias("_np"), F.col("pos")
+            )
+        ).over(win),
+    )
+    return sel.select(
+        F.col(id_col),
+        F.col("_sel.pos").alias("fp_pos"),
+        F.col("_sel._h").alias("fp"),
+    ).distinct()
+
+
+def winnow_shared_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Cross-document shared-span statistics over winnowed
+    fingerprints: per document, how many fingerprints it carries and
+    how many of them also appear in at least one OTHER document — the
+    span-level duplication signal (boilerplate, quotations, templated
+    text) that document-level dedup misses and segment dedup only
+    catches at fixed alignments. A fingerprint shared by any shared
+    span of >= w + k - 1 tokens is guaranteed present (see
+    :func:`winnow_fingerprints`).
+
+    Returns (id, n_fp, n_shared, shared_frac). Never materializes doc
+    pairs: 'shared' is a groupBy on the fingerprint hash with a
+    distinct-doc count — map-side partial aggregation — joined back as
+    a flag.
+    """
+    fps = materialize_barrier(
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("fp", F.lit(1).alias("_s"))
+    )
+    return (
+        fps.join(shared, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(
+                F.when(F.col("_s").isNotNull(), 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_fp"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (F.col("n_shared").cast("double") / F.col("n_fp"))
+            .alias("shared_frac"),
+        )
+    )

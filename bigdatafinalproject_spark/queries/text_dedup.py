@@ -741,3 +741,56 @@ def stream_dedup_index_maintenance(
     )
 
     return _impl(spark, sf_dir)
+
+
+# --- winnowed span-level dedup (MOSS fingerprinting) ---
+
+_WIN_K, _WIN_W = 5, 4  # k-token grams, winnow window (guarantee: 8 tokens)
+_WIN_HASH = (
+    "('0x' || substr(md5(concat_ws('|', 'win', "
+    "array_to_string(list_slice(t, u.i, u.i + {hi}), ' '))), 1, 15))::BIGINT"
+).format(hi=_WIN_K - 1)
+
+
+@query(
+    "doc_winnow_spans",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                WHERE len({_TOKS}) >= {_WIN_K}),
+    grams AS (SELECT doc_id, CAST(u.i AS INT) AS pos, {_WIN_HASH} AS h
+              FROM tk, LATERAL unnest(range(1, len(t) - {_WIN_K - 2})) AS u(i)),
+    sel AS (SELECT doc_id,
+                   min({{'h': h, 'np': -pos, 'pos': pos}}) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS s
+            FROM grams),
+    fps AS (SELECT DISTINCT doc_id, s.pos AS fp_pos, s.h AS fp FROM sel),
+    shared AS (SELECT fp FROM fps GROUP BY fp
+               HAVING COUNT(DISTINCT doc_id) > 1),
+    agg AS (SELECT fps.doc_id, COUNT(*) AS n_fp,
+                   SUM(CASE WHEN shared.fp IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_shared
+            FROM fps LEFT JOIN shared ON shared.fp = fps.fp
+            GROUP BY fps.doc_id)
+    SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared AS DOUBLE) / n_fp AS shared_frac
+    FROM agg
+    """,
+)
+def doc_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SPAN-level duplication via winnowed MOSS
+    fingerprints (operators/dedup.winnow_fingerprints): every shared
+    token run of >= w+k-1 = 8 tokens between any two documents is
+    GUARANTEED to surface as a common fingerprint, at a fingerprint
+    density of only ~2/(w+1) of positions — the alignment-robust tier
+    between exact-substring suffix arrays (which don't distribute) and
+    fixed segment dedup (doc_segment_dedup, which misses spans that
+    straddle segment boundaries or sit at different alignments).
+    Returns per doc: fingerprint count, fingerprints shared with any
+    other doc, shared fraction. The oracle replays gram hashing, the
+    per-window (hash, -pos) struct argmin, fingerprint distinct-ing,
+    and the shared-count aggregation verbatim — all integer arithmetic
+    except the final exact-int double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnow_shared_spans(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)

@@ -47,6 +47,12 @@ HEAVY = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_index_append",
+    # persisted dedup index: base build + two delta appends + check —
+    # the maintenance-heaviest query of the new dedup lifecycle family
+    "doc_dedup_index_append",
+    # winnowed MOSS span fingerprints: corpus-wide gram explode +
+    # per-doc window argmin + shared-fp aggregation
+    "doc_winnow_spans",
     # graph family
     "part_pagerank",
     "part_triangle_count",

@@ -615,3 +615,42 @@ def test_mass_probes_rule_hand_computed(spark):
     assert probes(3, 5) == {100: {0, 1}, 200: {2, 1, 0}}
     # budget = T: every cell probed for every query
     assert probes(1, 1) == {100: {0, 1, 2}, 200: {0, 1, 2}}
+
+
+def test_winnow_guarantee_and_negative(spark):
+    """The MOSS winnowing theorem on hand-built docs (k=5, w=4 →
+    guarantee threshold t = w + k - 1 = 8 tokens): two docs sharing an
+    8-token run at DIFFERENT alignments must share >= 1 fingerprint;
+    docs with no common 5-token gram must share none. Also pins the
+    density bound loosely (fingerprints <= positions)."""
+    from bigdatafinalproject_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_shared_spans,
+    )
+
+    shared_run = "s1 s2 s3 s4 s5 s6 s7 s8"  # exactly t = 8 tokens
+    doc_a = f"a1 a2 a3 {shared_run} a4 a5"
+    doc_b = f"b1 {shared_run} b2 b3 b4 b5 b6"   # different offset
+    doc_c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"   # no shared gram
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id int, text string"
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed common fingerprint missing"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density sanity: selections cannot exceed gram positions
+    n_pos_a = len(doc_a.split()) - 4
+    assert len({(r.fp_pos, r.fp) for r in fps if r.doc_id == 1}) <= n_pos_a
+
+    stats = {
+        r.doc_id: r for r in winnow_shared_spans(
+            df, "text", "doc_id", k=5, w=4
+        ).collect()
+    }
+    assert stats[1].n_shared > 0 and stats[2].n_shared > 0
+    assert stats[3].n_shared == 0 and stats[3].shared_frac == 0.0
+    for r in stats.values():
+        assert 0 < r.n_fp and 0.0 <= r.shared_frac <= 1.0
