@@ -75,8 +75,9 @@ def bucket(*cols: Column | str, k: int, seed: int = 0) -> Column:
 ORACLE_DEC = _DEC
 
 
-def oracle_hash64(sql_expr: str, seed: int = 0) -> str:
-    """DuckDB SQL text mirroring :func:`portable_hash64`."""
+def oracle_hash64(sql_expr: str, seed: int | str = 0) -> str:
+    """DuckDB SQL text mirroring :func:`portable_hash64` (string seeds
+    mirror the operator layer's per-purpose seed labels, e.g. 'win')."""
     return f"(('0x' || substr(md5(concat_ws('|', '{seed}', {sql_expr})), 1, 15))::BIGINT)"
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table
-from bigdatafinalproject_spark.functions import oracle_bucket
+from bigdatafinalproject_spark.functions import oracle_bucket, oracle_hash64
 from bigdatafinalproject_spark.operators import dedup as D
 from bigdatafinalproject_spark.operators import text as T
 from bigdatafinalproject_spark.registry import query
@@ -746,10 +746,13 @@ def stream_dedup_index_maintenance(
 # --- winnowed span-level dedup (MOSS fingerprinting) ---
 
 _WIN_K, _WIN_W = 5, 4  # k-token grams, winnow window (guarantee: 8 tokens)
-_WIN_HASH = (
-    "('0x' || substr(md5(concat_ws('|', 'win', "
-    "array_to_string(list_slice(t, u.i, u.i + {hi}), ' '))), 1, 15))::BIGINT"
-).format(hi=_WIN_K - 1)
+# the shared portable-hash SQL helper (r10 review: a hand-built copy
+# of the 60-bit construction would silently diverge if the helper's
+# digit count ever changed)
+_WIN_HASH = oracle_hash64(
+    f"array_to_string(list_slice(t, u.i, u.i + {_WIN_K - 1}), ' ')",
+    seed="win",
+)
 
 
 @query(
