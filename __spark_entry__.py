@@ -497,6 +497,9 @@ _R10_FRONT = (
     # winnowed MOSS span fingerprints (net-new): alignment-robust
     # cross-doc span duplication with the w+k-1 guarantee; full oracle
     "doc_winnow_spans",
+    # span-level benchmark decontamination over the same fingerprints
+    # (the GPT-3/PaLM n-gram-overlap rule with the winnow guarantee)
+    "doc_winnow_contamination",
 )
 
 _R7_FRONT = (

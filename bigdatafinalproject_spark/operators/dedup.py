@@ -671,3 +671,47 @@ def winnow_shared_spans(
             .alias("shared_frac"),
         )
     )
+
+
+def winnow_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_benchmark: Column,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Span-level benchmark decontamination over winnowed fingerprints
+    — the token-n-gram overlap check production pipelines run against
+    eval suites (the GPT-3/PaLM-style 13-gram rule), here with the
+    winnowing guarantee instead of full gram density: any train doc
+    sharing a token run of >= w + k - 1 tokens with ANY benchmark doc
+    is caught, while only ~2/(w+1) of gram positions are indexed
+    (:func:`winnow_fingerprints`). The char-shingle variant
+    (:func:`contamination`) measures full-density surface overlap;
+    this tier targets verbatim SPANS at ~40% of the index size.
+
+    Same scale shape as contamination: the benchmark fingerprint set
+    is distinct-reduced and broadcast (eval suites are small by
+    construction); the train side never shuffles. Returns
+    (id, n_fp, n_hit, hit_frac) for train docs with >= k tokens.
+    """
+    bench = (
+        winnow_fingerprints(df.filter(is_benchmark), text_col, id_col, k, w)
+        .select("fp")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = winnow_fingerprints(
+        df.filter(~is_benchmark), text_col, id_col, k, w
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_fp")
+    return (
+        train.join(F.broadcast(bench), "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(id_col, "n_fp", "n_hit", frac.alias("hit_frac"))
+    )

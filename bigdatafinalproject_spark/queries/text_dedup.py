@@ -755,10 +755,11 @@ _WIN_HASH = oracle_hash64(
 )
 
 
-@query(
-    "doc_winnow_spans",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents
+# shared winnow CTE chain tk -> grams -> sel -> fps (fingerprints of
+# EVERY document; winnowing is per-doc, so downstream oracles split by
+# doc attributes after the fact — identical to filtering first)
+_WIN_FPS_CTES = f"""
+    tk AS (SELECT doc_id, {_TOKS} AS t FROM documents
                 WHERE len({_TOKS}) >= {_WIN_K}),
     grams AS (SELECT doc_id, CAST(u.i AS INT) AS pos, {_WIN_HASH} AS h
               FROM tk, LATERAL unnest(range(1, len(t) - {_WIN_K - 2})) AS u(i)),
@@ -767,7 +768,13 @@ _WIN_HASH = oracle_hash64(
                        (PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS s
             FROM grams),
-    fps AS (SELECT DISTINCT doc_id, s.pos AS fp_pos, s.h AS fp FROM sel),
+    fps AS (SELECT DISTINCT doc_id, s.pos AS fp_pos, s.h AS fp FROM sel)"""
+
+
+@query(
+    "doc_winnow_spans",
+    oracle=f"""
+    WITH {_WIN_FPS_CTES},
     shared AS (SELECT fp FROM fps GROUP BY fp
                HAVING COUNT(DISTINCT doc_id) > 1),
     agg AS (SELECT fps.doc_id, COUNT(*) AS n_fp,
@@ -797,3 +804,43 @@ def doc_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the final exact-int double division."""
     docs = load_table(spark, sf_dir, "documents")
     return D.winnow_shared_spans(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)
+
+
+@query(
+    "doc_winnow_contamination",
+    oracle=f"""
+    WITH {_WIN_FPS_CTES},
+    bfp AS (SELECT DISTINCT f.fp FROM fps f
+            JOIN documents d ON d.doc_id = f.doc_id
+            WHERE d.source = 'src0'),
+    tr AS (SELECT f.doc_id, f.fp FROM fps f
+           JOIN documents d ON d.doc_id = f.doc_id
+           WHERE d.source <> 'src0')
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN bfp.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN bfp.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS hit_frac
+    FROM tr LEFT JOIN bfp ON bfp.fp = tr.fp
+    GROUP BY tr.doc_id
+    """,
+)
+def doc_winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination
+    (operators/dedup.winnow_contamination): the token-n-gram overlap
+    check production pipelines run against eval suites (the
+    GPT-3/PaLM 13-gram rule), with the winnowing guarantee — any
+    train doc sharing a run of >= 8 tokens with the benchmark slice
+    (source = 'src0', the doc_contamination split) is caught at only
+    ~2/(w+1) of full gram density; the char-shingle variant
+    (doc_contamination) measures full-density surface overlap, this
+    tier targets verbatim spans at ~40% of the index size. Benchmark
+    fingerprints distinct-reduced and broadcast, train side never
+    shuffles. The oracle computes fingerprints once over all docs and
+    splits by source afterwards — identical to filtering first
+    because winnowing is per-doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.winnow_contamination(
+        d, "text", "doc_id", F.col("source") == "src0",
+        k=_WIN_K, w=_WIN_W,
+    )
