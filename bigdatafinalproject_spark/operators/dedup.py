@@ -74,6 +74,39 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _broadcast_overlap_stats(
+    train_units: DataFrame,
+    bench_units: DataFrame,
+    id_col: str,
+    unit_col: str,
+    n_name: str,
+    hit_name: str,
+    frac_name: str,
+) -> DataFrame:
+    """Shared benchmark-overlap skeleton (r10 review: contamination and
+    winnow_contamination carried hand-copied twins of this body):
+    distinct-reduce the benchmark units, BROADCAST them (eval suites
+    are small by construction; if a benchmark outgrows the broadcast
+    threshold, drop the hint and Catalyst falls back to a shuffle join
+    with identical semantics), left-join-flag the train units, and
+    aggregate per train id to (n, hits, hit fraction). The count/sum
+    shapes are the oracle-replayed forms — change them here and both
+    callers' oracles together."""
+    bench = (
+        bench_units.select(unit_col).distinct().withColumn("_hit", F.lit(1))
+    )
+    frac = F.col(hit_name).cast("double") / F.col(n_name)
+    return (
+        train_units.join(F.broadcast(bench), unit_col, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias(hit_name),
+        )
+        .select(id_col, n_name, hit_name, frac.alias(frac_name))
+    )
+
+
 def contamination(
     df: DataFrame,
     text_col: str,
@@ -96,28 +129,15 @@ def contamination(
     """
     # filter BEFORE shingling: each branch explodes only its own docs
     # (the benchmark slice is a small fraction), and no doc-flag join
-    bench_set = (
-        shingles(df.filter(is_benchmark), text_col, id_col, n)
-        .select("shingle")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
+    stats = _broadcast_overlap_stats(
+        shingles(df.filter(~is_benchmark), text_col, id_col, n),
+        shingles(df.filter(is_benchmark), text_col, id_col, n),
+        id_col, "shingle",
+        "n_shingles", "n_contaminated", "contaminated_frac",
     )
-    train_sh = shingles(df.filter(~is_benchmark), text_col, id_col, n)
-    marked = train_sh.join(F.broadcast(bench_set), "shingle", "left")
-    frac = F.col("n_contaminated").cast("double") / F.col("n_shingles")
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"),
-        )
-        .select(
-            id_col,
-            "n_shingles",
-            "n_contaminated",
-            frac.alias("contaminated_frac"),
-            (frac >= flag_threshold).cast("int").alias("contaminated"),
-        )
+    return stats.withColumn(
+        "contaminated",
+        (F.col("contaminated_frac") >= flag_threshold).cast("int"),
     )
 
 
@@ -696,22 +716,8 @@ def winnow_contamination(
     construction); the train side never shuffles. Returns
     (id, n_fp, n_hit, hit_frac) for train docs with >= k tokens.
     """
-    bench = (
-        winnow_fingerprints(df.filter(is_benchmark), text_col, id_col, k, w)
-        .select("fp")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    train = winnow_fingerprints(
-        df.filter(~is_benchmark), text_col, id_col, k, w
-    )
-    frac = F.col("n_hit").cast("double") / F.col("n_fp")
-    return (
-        train.join(F.broadcast(bench), "fp", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_fp"),
-            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
-        )
-        .select(id_col, "n_fp", "n_hit", frac.alias("hit_frac"))
+    return _broadcast_overlap_stats(
+        winnow_fingerprints(df.filter(~is_benchmark), text_col, id_col, k, w),
+        winnow_fingerprints(df.filter(is_benchmark), text_col, id_col, k, w),
+        id_col, "fp", "n_fp", "n_hit", "hit_frac",
     )

@@ -654,3 +654,36 @@ def test_winnow_guarantee_and_negative(spark):
     assert stats[3].n_shared == 0 and stats[3].shared_frac == 0.0
     for r in stats.values():
         assert 0 < r.n_fp and 0.0 <= r.shared_frac <= 1.0
+
+
+def test_winnow_contamination_join_path(spark):
+    """The benchmark-overlap join path of winnow_contamination on
+    hand-built docs: a train doc sharing an 8-token span with the
+    benchmark is flagged (n_hit >= 1); a clean train doc reads
+    n_hit = 0 (the coalesce on the left-join flag), never NULL; the
+    benchmark doc itself never appears in the output."""
+    from bigdatafinalproject_spark.operators.dedup import (
+        winnow_contamination,
+    )
+    from pyspark.sql import functions as F
+
+    span = "q1 q2 q3 q4 q5 q6 q7 q8"  # 8 tokens = the guarantee bound
+    df = spark.createDataFrame(
+        [
+            (1, f"bench intro {span} bench outro x y", "bench"),
+            (2, f"t1 t2 {span} t3 t4 t5", "train"),       # contaminated
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "train"),  # clean
+        ],
+        "doc_id int, text string, src string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in winnow_contamination(
+            df, "text", "doc_id", F.col("src") == "bench", k=5, w=4
+        ).collect()
+    }
+    assert set(rows) == {2, 3}
+    assert rows[2].n_hit >= 1 and rows[2].hit_frac > 0.0
+    assert rows[3].n_hit == 0 and rows[3].hit_frac == 0.0
+    for r in rows.values():
+        assert r.n_fp >= 1 and r.n_hit is not None
