@@ -67,6 +67,7 @@ import json
 import os
 import shutil
 import time
+import types
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -155,7 +156,11 @@ _BUILD_DEFAULTS = {
 # bands=8 in a query module only — would split the shared index cache
 # between the batch and streaming queries and surface only as an
 # opaque oracle hash mismatch). Callers build their kwargs from this.
-DEDUP_INDEX_PARAMS = _BUILD_DEFAULTS["dedup"]
+# Exported as a read-only view (r10 advice): a live alias of the
+# mutable defaults dict would let any caller that mutates instead of
+# copying silently change build defaults process-wide — the exact
+# param-drift class this constant exists to prevent.
+DEDUP_INDEX_PARAMS = types.MappingProxyType(_BUILD_DEFAULTS["dedup"])
 
 
 def _effective_params(kind: str, build_params: dict, subset) -> dict:
@@ -617,6 +622,20 @@ def _writer_txn(
 
 
 
+def _swap_sizes(cpath: str, sizes_tmp: str) -> None:
+    """Swap the staged cell_sizes table into place. The old-dir name is
+    unique PER SWAP (monotonic-clock suffix, r10 advice): a pid-stable
+    name can collide with a leftover from a prior append in the same
+    long-lived process (rmtree ignore_errors can fail partially), and
+    the collision would raise AFTER the manifest invalidate — leaving
+    the index non-current until a full rebuild. The .tmp. infix keeps
+    both staging names inside clone_index's ignore patterns."""
+    old = f"{cpath}.tmp.old.{os.getpid()}.{time.monotonic_ns()}"
+    os.rename(cpath, old)
+    os.rename(sizes_tmp, cpath)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _footer_rows(spark: SparkSession, path: str) -> int:
     """Row count from parquet FOOTERS (metadata-only scan of a
     count(*)-pruned read) — how the maintenance paths measure appended
@@ -774,12 +793,7 @@ def ivf_index_append(
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     postings.write.mode("append").parquet(ppath)
     if sizes_tmp is not None:
-        # the .tmp. infix keeps both staging names inside clone_index's
-        # ignore patterns (a crash leaves a non-current index anyway)
-        old = f"{cpath}.tmp.old.{os.getpid()}"
-        os.rename(cpath, old)
-        os.rename(sizes_tmp, cpath)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_sizes(cpath, sizes_tmp)
     # appended rows from the postings footer delta (metadata-only),
     # divided by the exact per-vector posting count — never an extra
     # pass over the delta frame
@@ -1394,12 +1408,7 @@ def ivfpq_index_append(
     dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
     dnorms.write.mode("append").parquet(npath)
     if sizes_tmp is not None:
-        # the .tmp. infix keeps both staging names inside clone_index's
-        # ignore patterns (a crash leaves a non-current index anyway)
-        old = f"{cpath}.tmp.old.{os.getpid()}"
-        os.rename(cpath, old)
-        os.rename(sizes_tmp, cpath)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_sizes(cpath, sizes_tmp)
     n_delta = _footer_rows(spark, npath) - n_before
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(

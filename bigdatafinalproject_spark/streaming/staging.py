@@ -73,4 +73,10 @@ def chunked_delta_dir(
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        # the rename loses only to a concurrent publisher of the SAME
+        # content-keyed dir; any other failure (cross-device tempdir,
+        # permissions) must surface HERE, not as a missing-path error
+        # in the caller's readStream far from the cause (r10 advice)
+        if not os.path.exists(os.path.join(d, "_STAGED")):
+            raise
     return d
