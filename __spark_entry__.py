@@ -502,6 +502,78 @@ _R10_FRONT = (
     "doc_winnow_contamination",
 )
 
+# driver-checked in r10 (CORRECTNESS_r10.json keys, 50/50 green) —
+# union below
+_R10_DRIVER_CHECKED = (
+    'ann_pq_index_append', 'ann_ivf_index_append', 'ann_pq_index_compact',
+    'ann_ivfpq_index_append', 'ann_pq_index_search', 'ann_ivf_index_search',
+    'stream_pq_index_maintenance', 'stream_orders_cdc_apply',
+    'stream_ivf_index_maintenance', 'stream_ivfpq_index_maintenance',
+    'ann_ivfpq_index_compact', 'ann_ivfpq_topk', 'ann_ivfpq_recall',
+    'ann_ivfpq_index_search', 'eval_auc_exact', 'ann_ivf_topk',
+    'ann_ivf_recall', 'doc_dedup_index_check', 'doc_dedup_index_append',
+    'doc_dedup_index_compact', 'stream_dedup_index_maintenance',
+    'doc_winnow_spans', 'doc_winnow_contamination', 'popular_parts',
+    'clean_project', 'case_when_priority', 'distinct_pairs',
+    'null_handling', 'scalar_functions', 'set_operations',
+    'customers_with_orders_semi', 'customers_without_orders_anti',
+    'left_join_order_counts', 'star_join_revenue_by_nation',
+    'full_outer_join', 'broadcast_dim_join', 'null_safe_join',
+    'pricing_summary', 'top_orders_by_revenue', 'summary_stats',
+    'pivot_status', 'rollup_revenue', 'distinct_counts',
+    'corr_covar_portable', 'topk_per_group', 'window_analytics',
+    'window_distribution', 'sessionize', 'events_session_window',
+    'dense_customer_ids',
+)
+
+_R11_FRONT = (
+    # (a) changed in round 11
+    # the IVF policy became fully adaptive (the r10 verdict's top
+    # item): centroid count C = min(512, 64·ceil(sqrt(N/2000)))
+    # derived in-plan, probe budget steps down with the same scale
+    # step (IVF_MASS_SCHEDULE, probe_mass="auto") — results change at
+    # scaled SFs, the oracles replay both integer rules; the whole
+    # IVF family re-fronts
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_ivf_index_search",
+    "ann_ivf_index_append",
+    "stream_ivf_index_maintenance",
+    # the dedup index gained the winnow_fps table (params + manifest
+    # tables changed => fresh fingerprints and builds; results
+    # identical for the digest/band tiers) — the whole family
+    # re-fronts
+    "doc_dedup_index_check",
+    "doc_dedup_index_append",
+    "doc_dedup_index_compact",
+    "stream_dedup_index_maintenance",
+    # lease-mode claims became the DEFAULT (pid behind the env flag)
+    # and the claim machinery moved to operators/txlog as one shared
+    # self-describing shape (VERDICT r10 #5) — results identical,
+    # writer protocol changed, so every maintained-index/txlog writer
+    # re-fronts (the r10 bar for protocol changes)
+    "ann_pq_index_append",
+    "ann_pq_index_search",
+    "ann_pq_index_compact",
+    "ann_ivfpq_index_append",
+    "ann_ivfpq_index_search",
+    "ann_ivfpq_index_compact",
+    "stream_pq_index_maintenance",
+    "stream_ivfpq_index_maintenance",
+    "stream_orders_cdc_apply",
+    "orders_write_audit_publish",
+    # (b) new in round 11
+    # the ACTING tier over winnowed spans: span-level dedup by the
+    # min-id rule (drop a doc when > half its fingerprints are
+    # pre-owned by a lower-id doc); full oracle
+    "doc_winnow_dedup",
+    # persisted span-level decontamination: the benchmark suite's
+    # winnowed fingerprints ride the dedup index (build + append +
+    # check); shares the in-query oracle (persistence+maintenance
+    # theorem for the decontamination tier)
+    "doc_winnow_index_contamination",
+)
+
 _R7_FRONT = (
     # (a) changed in round 7
     # IVF centroid + PQ codebook sampling now RELATIVE to min(id)
@@ -534,8 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R7_DRIVER_CHECKED)
         | set(_R8_DRIVER_CHECKED)
         | set(_R9_DRIVER_CHECKED)
+        | set(_R10_DRIVER_CHECKED)
     )
-    front = [n for n in _R10_FRONT if n in registry.QUERIES]
+    front = [n for n in _R11_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

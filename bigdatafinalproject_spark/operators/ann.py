@@ -36,22 +36,43 @@ from bigdatafinalproject_spark.operators.layout import spread
 # 0.77-0.82 at fixed nprobe=8.
 IVFPQ_PROBE_MASS = (3, 10)
 
-# IVF-flat adaptive probe policy (r10, second half of the mass-probe
-# retune): the same rule applied to the trained IVF tier, whose fixed
-# nprobe=8 read recall@10 0.778-0.838 DRIFTING across the 100× span
-# (nprobe pins a cell COUNT; its coverage drifts as the cell count
-# saturates at max_centroids while N grows). numpy-calibrated across
-# 5 scale points (sf0.1-sf10, 100×) before the Spark change:
-# mass 3/10 reads 0.955/0.963/0.958/0.969/0.972 — flat, +0.12-0.18
-# over nprobe=8 — at ~2× the probed-candidate mass (0.66N vs 0.33N
-# unique candidates; the numpy replication matched the recorded Spark
-# artifact rows to 3 decimals at every point). IVF reranks its
-# candidates with FULL vectors, so unlike IVFPQ the probe mass is the
-# dominant serve cost — the budget is the explicit recall-vs-scan
-# dial, and it is C-invariant AND N-invariant where nprobe is
-# neither. Kept separate from IVFPQ_PROBE_MASS: the tiers' dials are
-# independent even while both currently sit at 3/10.
-IVF_PROBE_MASS = (3, 10)
+# IVF-flat probe policy (r10 introduced the mass budget; r11 made it
+# ADAPTIVE — the r10 verdict's top item). "auto" = the scheduled
+# policy: the centroid count grows with the corpus (classic IVF
+# sizing, C = min(IVF_CENTROID_CAP, base · s) with
+# s = ceil(sqrt(N / IVF_SCALE_REF))), and the posting-mass budget
+# STEPS DOWN with s per IVF_MASS_SCHEDULE. numpy-calibrated across 5
+# scale points (sf0.1-sf10, 100×; scripts/ivf_centroid_calibration.py,
+# IVF_CALIBRATION.json) BEFORE the Spark change; the chosen operating
+# points are all directly measured, none interpolated:
+#
+#   sf0.1  N=2k   s=1  C=55(sat) mass 3/10 recall 0.955 cand 0.66N
+#   sf0.3  N=6k   s=2  C=128     mass 3/10 recall 0.972 cand 0.65N
+#   sf1    N=20k  s=4  C=256     mass 1/5  recall 0.958 cand 0.47N
+#   sf3    N=60k  s=6  C=384     mass 3/20 recall 0.956 cand 0.37N
+#   sf10   N=200k s=10 C=512     mass 3/20 recall 0.958 cand 0.37N
+#
+# The calibration's decisive finding (and the honest limit of the
+# verdict's <=0.1N target): unique-candidate mass is ~2.2-2.9× the
+# posting-mass budget REGARDLESS of C (multi-assigned postings are
+# nearly all distinct vectors), and recall-at-fixed-mass SATURATES in
+# C on this isotropic corpus — at sf10, C=256/512/640 all need ~3/20
+# of posting mass for recall 0.95, and at 0.14N candidates the best
+# of them reads 0.76. So growing C buys a real 1.8× serve-cost cut
+# (0.66N -> 0.37N at recall >= 0.95) but no more: isotropic d=64
+# vectors are the hard regime for space-partitioning ANN, and
+# pushing below ~0.35N candidates at 0.95 recall needs a compressed-
+# domain scan — which is exactly the IVFPQ tier (16 B/vector ADC).
+# IVF with full-vector rerank remains the recall-reference tier.
+IVF_PROBE_MASS = "auto"
+
+# the s-schedule for the "auto" policy: (max_s, num, den) rows, first
+# matching row wins, None = open-ended. Shared verbatim by the Spark
+# plan (_mass_probes) and the DuckDB oracles (ivf_mass_schedule_sql)
+# so the integer probe rule can never drift between engines.
+IVF_MASS_SCHEDULE = ((3, 3, 10), (5, 1, 5), (None, 3, 20))
+IVF_SCALE_REF = 2000  # sf0.1's corpus size: s=1 there by construction
+IVF_CENTROID_CAP = 512
 
 
 def _dot(a: str, b: str) -> Column:
@@ -180,7 +201,9 @@ def ivf_topk(
     max_centroids: int | None = 64,
     train_rounds: int = 0,
     multi_assign: int = 1,
-    probe_mass: tuple[int, int] | None = None,
+    probe_mass: tuple[int, int] | str | None = None,
+    scale_ref: int | None = None,
+    centroid_cap: int = IVF_CENTROID_CAP,
 ) -> DataFrame:
     """IVF-flat approximate top-k: an inverted-file index with sampled
     centroids (every ``centroid_mod``-th vector up to ``max_centroids``
@@ -252,6 +275,8 @@ def ivf_topk(
         max_centroids=max_centroids,
         train_rounds=train_rounds,
         multi_assign=multi_assign,
+        scale_ref=scale_ref,
+        centroid_cap=centroid_cap,
     )
     if probe_mass is not None:
         from bigdatafinalproject_spark.operators.barrier import (
@@ -268,7 +293,7 @@ def ivf_topk(
     return ivf_search_frames(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
-        probe_mass=probe_mass,
+        probe_mass=probe_mass, mass_multi=multi_assign,
     )
 
 
@@ -309,13 +334,48 @@ def _nearest_centroids(
     )
 
 
+def _mass_schedule_cols(s: Column) -> tuple[Column, Column]:
+    """(num, den) Columns for the scheduled probe budget: first
+    IVF_MASS_SCHEDULE row with s <= max_s wins, last row is the
+    open-ended default. ONE fold over the shared constant — the SQL
+    twin (:func:`ivf_mass_schedule_sql`) renders the same rows, so
+    the engines cannot drift."""
+    rows = IVF_MASS_SCHEDULE
+    assert rows[-1][0] is None, "last schedule row must be open-ended"
+    num: Column = F.lit(rows[-1][1])
+    den: Column = F.lit(rows[-1][2])
+    for max_s, n_, d_ in reversed(rows[:-1]):
+        num = F.when(s <= max_s, F.lit(n_)).otherwise(num)
+        den = F.when(s <= max_s, F.lit(d_)).otherwise(den)
+    return num, den
+
+
+def ivf_mass_schedule_sql(s_expr: str) -> tuple[str, str]:
+    """The DuckDB rendering of IVF_MASS_SCHEDULE: (num, den) CASE
+    fragments over an s expression — imported by the oracle builders
+    so the schedule has exactly one copy."""
+    rows = IVF_MASS_SCHEDULE
+    assert rows[-1][0] is None, "last schedule row must be open-ended"
+    whens_n = " ".join(
+        f"WHEN {s_expr} <= {m} THEN {n}" for m, n, _ in rows[:-1]
+    )
+    whens_d = " ".join(
+        f"WHEN {s_expr} <= {m} THEN {d}" for m, _, d in rows[:-1]
+    )
+    return (
+        f"CASE {whens_n} ELSE {rows[-1][1]} END",
+        f"CASE {whens_d} ELSE {rows[-1][2]} END",
+    )
+
+
 def _mass_probes(
     centroids: DataFrame,
     queries: DataFrame,
     sizes: DataFrame,
-    probe_mass: tuple[int, int],
+    probe_mass: tuple[int, int] | str,
     id_col: str,
     vec_col: str,
+    mass_multi: int | None = None,
 ) -> DataFrame:
     """Mass-budgeted probe set (r10, shared by the IVF and IVFPQ serve
     plans): each query probes its cosine-ranked cells until their
@@ -325,10 +385,32 @@ def _mass_probes(
     index serves, a derived aggregate for end-to-end plans. All
     arithmetic is integer (cell sizes are counts; the budget an exact
     integer ceil), so the probe set is engine-exact and the DuckDB
-    oracles replay the identical rule. Returns (query_id,
-    centroid_id)."""
-    num, den = probe_mass
+    oracles replay the identical rule.
+
+    ``probe_mass="auto"`` (r11) selects (num, den) from
+    :data:`IVF_MASS_SCHEDULE` by the scale step
+    s = ceil(sqrt(n_vec / IVF_SCALE_REF)), with n_vec derived IN-PLAN
+    from the posting total: n_vec = T / ``mass_multi`` (every indexed
+    vector contributes exactly ``mass_multi`` posting rows whenever
+    C >= mass_multi — true for every real config; the division and
+    the sqrt/ceil are IEEE-double deterministic in both engines). The
+    budget therefore adapts as a maintained index GROWS: appends raise
+    T, and the served fraction steps down on schedule without any
+    re-deploy — the knob a fixed (num, den) cannot turn. Returns
+    (query_id, centroid_id)."""
     tot = sizes.agg(F.sum("_csz").alias("_tot"))
+    if probe_mass == "auto":
+        if mass_multi is None:
+            raise ValueError("probe_mass='auto' requires mass_multi")
+        s = F.ceil(
+            F.sqrt(
+                (F.col("_tot") / float(mass_multi)) / float(IVF_SCALE_REF)
+            )
+        )
+        num, den = _mass_schedule_cols(s)
+    else:
+        num = F.lit(int(probe_mass[0]))
+        den = F.lit(int(probe_mass[1]))
     ranked = _nearest_centroids(
         centroids, queries, id_col, vec_col, 1 << 30, "query_id",
         keep_rank=True,
@@ -338,7 +420,7 @@ def _mass_probes(
     # doubles is exact far beyond any posting count (< 2^53), and
     # both engines floor it identically
     budget = F.floor(
-        (F.col("_tot") * num + (den - 1)) / float(den)
+        (F.col("_tot") * num + (den - F.lit(1))) / den.cast("double")
     ).cast("long")
     return (
         ranked.join(F.broadcast(sizes), "centroid_id")
@@ -356,24 +438,50 @@ def ivf_centroids(
     centroid_mod: int = 37,
     max_centroids: int | None = 64,
     train_rounds: int = 0,
+    scale_ref: int | None = None,
+    centroid_cap: int = IVF_CENTROID_CAP,
 ) -> DataFrame:
     """The coarse quantizer alone — sampled-init (optionally
     Lloyd-trained, barriered) centroids (centroid_id, _cent); factored
     out of ivf_build_frames so the composed IVFPQ build can pair it
     with ONE ranked assignment pass instead of re-running the N×C
-    crossJoin for postings and primary assignment separately."""
+    crossJoin for postings and primary assignment separately.
+
+    With ``scale_ref`` set (r11, the r10 verdict's top item) the
+    centroid count GROWS with the corpus — classic IVF sizing —
+    instead of saturating at a fixed cap: C = min(``centroid_cap``,
+    ``max_centroids`` · s) with s = ceil(sqrt(N / scale_ref)), N the
+    corpus count, derived IN-PLAN from the same broadcast 1-row
+    aggregate as the min-id (never a driver action — the PQ codebook
+    discipline, pq_topk). sqrt growth keeps the N×C assign pass at
+    N^1.5 inside the measured window and linear beyond the absolute
+    cap; s = 1 at and below scale_ref, so every small-SF artifact is
+    bit-preserved by construction. The effective count also never
+    exceeds ceil(N / centroid_mod) (the sampling density), which is
+    what actually binds at the smallest scales."""
     # sampling is RELATIVE to min(id): an absolute `id % mod == 0 AND
     # id < mod*cap` silently yields ZERO centroids on a corpus whose
     # ids start above mod*cap (key-space-convention bug class). The
     # 1-row min aggregate is a column-pruned scan broadcast to every
     # row; for 0-based dense ids (all driver SFs) the sampled set is
     # bit-identical to the historical absolute form.
-    _minid = corpus.select(F.min(id_col).alias("_minid"))
+    _minid = corpus.agg(
+        F.min(id_col).alias("_minid"), F.count(F.lit(1)).alias("_cn")
+    )
     _rel = F.col(id_col) - F.col("_minid")
     centroids = corpus.crossJoin(F.broadcast(_minid)).filter(
         _rel % centroid_mod == 0
     )
-    if max_centroids is not None:
+    if scale_ref is not None:
+        if max_centroids is None:
+            raise ValueError("scale_ref requires a max_centroids base")
+        _s = F.ceil(F.sqrt(F.col("_cn") / float(scale_ref)))
+        _c = F.least(
+            F.lit(centroid_cap).cast("long"),
+            F.lit(int(max_centroids)) * _s,
+        )
+        centroids = centroids.filter(_rel < centroid_mod * _c)
+    elif max_centroids is not None:
         # relative-id-range cap: deterministic, replayable, and a
         # no-op below the cap (small SFs keep exact historical results)
         centroids = centroids.filter(_rel < centroid_mod * max_centroids)
@@ -421,6 +529,8 @@ def ivf_build_frames(
     max_centroids: int | None = 64,
     train_rounds: int = 0,
     multi_assign: int = 1,
+    scale_ref: int | None = None,
+    centroid_cap: int = IVF_CENTROID_CAP,
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF INDEX as two frames — (centroids (centroid_id, _cent),
     postings (neighbor_id, centroid_id)) — the build half of ivf_topk,
@@ -430,7 +540,8 @@ def ivf_build_frames(
     centroids = ivf_centroids(
         corpus, id_col=id_col, vec_col=vec_col,
         centroid_mod=centroid_mod, max_centroids=max_centroids,
-        train_rounds=train_rounds,
+        train_rounds=train_rounds, scale_ref=scale_ref,
+        centroid_cap=centroid_cap,
     )
     postings = _nearest_centroids(
         centroids, corpus, id_col, vec_col, multi_assign, "neighbor_id"
@@ -447,8 +558,9 @@ def ivf_search_frames(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 8,
-    probe_mass: tuple[int, int] | None = None,
+    probe_mass: tuple[int, int] | str | None = None,
     cell_sizes: DataFrame | None = None,
+    mass_multi: int | None = None,
 ) -> DataFrame:
     """The serve half of ivf_topk: probe cells per query, equi-join
     the postings, exact-cosine-rerank the candidates against the
@@ -483,7 +595,8 @@ def ivf_search_frames(
             )
         )
         probes = _mass_probes(
-            centroids, queries, sizes, probe_mass, id_col, vec_col
+            centroids, queries, sizes, probe_mass, id_col, vec_col,
+            mass_multi=mass_multi,
         )
     cand = spread(
         probes.join(postings, on="centroid_id")

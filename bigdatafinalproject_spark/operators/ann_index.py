@@ -78,10 +78,16 @@ from bigdatafinalproject_spark.operators.ann import (
     pq_search_frames,
 )
 from bigdatafinalproject_spark.operators.txlog import (
+    CLAIM_MODE_ENV as _CLAIM_MODE_ENV,
     ConcurrentWriteError,
+    LeaseRenewer as _LeaseRenewer,
+    claim_alive as _claim_alive,
+    claim_mode as _claim_mode,
     commit_exclusive,
     entry_path,
+    lease_seconds as _lease_seconds,
     prune,
+    read_claim,
 )
 
 _META = "_meta.json"
@@ -101,28 +107,18 @@ _APPLOG = "_applog"
 _ALGO_VERSION = 4
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
-# are seconds each). Crashed-vs-live claimants are decided by PID
-# liveness, never by claim age: the claim→invalidate window contains
-# full Spark jobs (delta counts, compaction rewrites), so any time
-# heuristic would eventually judge a live writer dead and re-open the
-# concurrent-writer race this log exists to close (r9 review #1) —
-# while pid probing is exact for this log's scope (O_EXCL is a
-# same-host primitive; an object-store port swaps both for leases)
+# are seconds each). Crashed-vs-live claimants are decided by each
+# claim's OWN liveness rule — renewed lease expiry (the DEFAULT since
+# r11, cluster/object-store-portable) or pid probe (opt-in via
+# BDFP_ANN_CLAIM_MODE=pid, exact for the same-host O_EXCL scope) —
+# NEVER by claim age: the claim→invalidate window contains full Spark
+# jobs (delta counts, compaction rewrites), so any time heuristic
+# would eventually judge a live writer dead and re-open the
+# concurrent-writer race this log exists to close (r9 review #1).
+# The machinery lives in operators/txlog (claim_payload/claim_alive/
+# LeaseRenewer) so every commit_exclusive user shares one copy
+# (VERDICT r10 #5).
 _WRITER_WAIT_S = 300.0
-# claim-liveness mode (VERDICT r9 #2): "pid" (default) probes the
-# claimant's pid — exact for the same-host O_EXCL scope this sandbox
-# has; "lease" records an expiry the claimant RENEWS from a background
-# thread while its Spark work runs — the cluster/object-store-portable
-# protocol (kill(pid,0) is meaningless across hosts; put-if-absent +
-# leases is how Delta/Iceberg writers arbitrate there). Each claim is
-# SELF-DESCRIBING (records its own mode), so mixed-mode writers judge
-# every claim by the rule its writer chose. Renewal is a thread, not a
-# checkpoint, so a lease can only lapse on real process death — never
-# because a guarded Spark job outran a grace period (the r9 review #1
-# failure mode that killed the time-based design).
-_CLAIM_MODE_ENV = "BDFP_ANN_CLAIM_MODE"
-_LEASE_S_ENV = "BDFP_ANN_LEASE_S"
-_LEASE_S_DEFAULT = 30.0
 
 _APPEND_TABLES = {
     "ivf": ("postings",),
@@ -130,7 +126,7 @@ _APPEND_TABLES = {
     "ivfpq": ("codes", "norms"),
     # the dedup index appends one file set per ingested crawl batch —
     # the same compaction target shape as the ANN kinds
-    "dedup": ("digests", "bands"),
+    "dedup": ("digests", "bands", "winnow_fps"),
 }
 
 
@@ -141,14 +137,20 @@ _APPEND_TABLES = {
 # maintenance invariant for default-params callers)
 _BUILD_DEFAULTS = {
     "ivf": dict(centroid_mod=37, max_centroids=64, train_rounds=0,
-                multi_assign=1),
+                multi_assign=1, scale_ref=None, centroid_cap=512),
     "pq": dict(m=8, dim=64, codeword_mod=13, max_codewords=16,
                codebook_cap=64, scale_ref=1000, train_rounds=0),
     "ivfpq": dict(centroid_mod=37, max_centroids=64, train_rounds=2,
                   multi_assign=3, m=16, dim=64, codeword_mod=13,
                   max_codewords=64),
+    # win_k/win_w/benchmark_pred (r11): the persisted winnowed
+    # benchmark-fingerprint table — a production pipeline
+    # decontaminates every incoming crawl batch against a FIXED eval
+    # suite, so the suite's span fingerprints belong in the persisted
+    # index, not recomputed per run (VERDICT r10 #4)
     "dedup": dict(text_col="text", id_col="doc_id", n=8,
-                  num_hashes=16, bands=4),
+                  num_hashes=16, bands=4,
+                  win_k=5, win_w=4, benchmark_pred="source = 'src0'"),
 }
 
 # the ONE copy of the dedup extraction params (r10 review: the
@@ -344,108 +346,9 @@ def _build_into_tmp(index_dir: str):
     return tmp
 
 
-def _pid_alive(pid) -> bool:
-    try:
-        os.kill(int(pid), 0)
-        return True
-    except (ProcessLookupError, TypeError, ValueError):
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-
-
-def _read_claim(log: str, version: int) -> dict | None:
-    """A claim entry's payload; None if the entry does not EXIST.
-    Claims are payload-atomic (txlog's os.link commit), so a visible
-    entry normally parses — None means the entry is GONE (pruned by
-    the winner's recommit, or released by a failed writer's cleanup),
-    never a live winner mid-write (ADVICE r9). An entry that is
-    PRESENT but unreadable (a 0-byte artifact from the pre-r10
-    create-then-write path, or an EACCES/torn legacy entry) returns a
-    sentinel dict that `_claim_alive` judges dead — distinct from
-    None, because the two demand opposite handling: a missing entry is
-    re-CASable, a corrupt one must be SKIPPED as a crashed claimant
-    (conflating them made `_claim_writer` spin forever on a corrupt
-    entry whose CAS kept failing — r10 review #1)."""
-    try:
-        with open(entry_path(log, version)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return None
-    except (OSError, ValueError):
-        return {"corrupt": True}
-
-
-def _claim_alive(claim: dict | None) -> bool:
-    """Is this claim's writer still live, judged by the claim's OWN
-    recorded mode: lease claims live until their (renewed) expiry
-    lapses; pid claims live while their pid does."""
-    if claim is None:
-        return False
-    if claim.get("mode") == "lease":
-        try:
-            return float(claim.get("lease_expiry", 0)) > time.time()
-        except (TypeError, ValueError):
-            return False
-    return _pid_alive(claim.get("pid"))
-
-
-class _LeaseRenewer:
-    """Background renewal for a lease-mode claim: rewrites the entry
-    with a fresh expiry every lease/3 via an atomic os.replace, so the
-    lease lapses only on real process death — a long Spark job inside
-    the guarded window can never outlive it (the failure mode that
-    disqualified claim-age heuristics, r9 review #1)."""
-
-    def __init__(self, path: str, payload: dict, lease_s: float):
-        import threading
-
-        self._path = path
-        self._payload = payload
-        self._lease_s = lease_s
-        self._stop = threading.Event()
-        self._release = False
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
-
-    def _run(self) -> None:
-        while not self._stop.wait(self._lease_s / 3.0):
-            tmp = f"{self._path}.renew.{os.getpid()}"
-            try:
-                with open(tmp, "w") as f:
-                    json.dump(
-                        dict(
-                            self._payload,
-                            lease_expiry=time.time() + self._lease_s,
-                        ),
-                        f,
-                    )
-                os.replace(tmp, self._path)
-            except OSError:
-                pass  # next tick retries; expiry has 3 ticks of slack
-        # release handoff (r10 review #3): if stop(release=True) timed
-        # out while a tick was blocked in I/O, that tick's os.replace
-        # may have RESURRECTED the entry after _end_claim removed it —
-        # so on a release the renewer itself removes the entry as its
-        # last act, whenever it finally unblocks. Whoever acts last
-        # (stopper or renewer) leaves the entry gone.
-        if self._release:
-            try:
-                os.remove(self._path)
-            except OSError:
-                pass
-
-    def stop(self, release: bool = False) -> bool:
-        """Signal the renewer to stop (optionally releasing the claim
-        entry) and wait briefly. Returns True when the thread actually
-        exited — the caller may remove the entry itself then; on a
-        timeout (tick stuck in slow I/O) the caller must NOT remove
-        it, because the stuck tick could rewrite it afterward — the
-        renewer performs the removal on exit instead (see _run)."""
-        self._release = release
-        self._stop.set()
-        self._thread.join(timeout=5.0)
-        return not self._thread.is_alive()
+# _read_claim stays as the log-scoped alias the maintenance paths use
+def _read_claim(log: str, version: int):
+    return read_claim(log, version)
 
 
 # live renewers of THIS process's lease-mode claims, keyed by entry
@@ -488,9 +391,9 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
     The slot number comes from the MANIFEST (the OCC read snapshot),
     not from listing the log: two writers that read the same manifest
     race for the SAME slot, so exactly one proceeds. A contended slot
-    whose claimant PID is dead (claims record their writer pid; the
-    log's O_EXCL primitive is same-host, so pid liveness is exact
-    here) is a claimant that crashed in the claim→invalidate window —
+    whose claimant is dead (judged by the claim's OWN recorded mode —
+    lapsed renewed lease by default, pid probe in opt-in pid mode) is
+    a claimant that crashed in the claim→invalidate window —
     the index is still fully serveable; the dead slot is skipped,
     never reused. A LIVE claimant always wins the contention, however
     long its Spark work runs (never a time heuristic — r9 review #1:
@@ -498,8 +401,8 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
     rewrite, and guessing wrong re-opens the lost-update race)."""
     log = os.path.join(index_dir, _APPLOG)
     target = int(meta.get("mver", 0)) + 1
-    mode = os.environ.get(_CLAIM_MODE_ENV, "pid")
-    lease_s = float(os.environ.get(_LEASE_S_ENV, _LEASE_S_DEFAULT))
+    mode = _claim_mode()
+    lease_s = _lease_seconds()
     while True:
         p = dict(payload, pid=os.getpid(), mode=mode)
         if mode == "lease":
@@ -587,7 +490,8 @@ def _writer_txn(
         # no manifest: either a live writer is mid-append (a claim
         # from a LIVE pid exists — wait for its recommit, however long
         # its Spark job runs) or the index crashed / was never built.
-        # Liveness is pid-probed, never time-based (r9 review #1/#3);
+        # Liveness is claim-mode-judged (lease/pid), never
+        # claim-AGE-based (r9 review #1/#3);
         # a live writer outlasting the deadline raises a WAIT error
         # naming it — never the 'rebuild it' remedy, which would point
         # a scheduler at destroying a healthy mid-append index.
@@ -992,6 +896,10 @@ def compact_index(
         tmps: dict[str, str] = {}
         for t in tables:
             src = os.path.join(index_dir, t)
+            if not os.path.isdir(src):
+                # a legacy index predating the table (e.g. dedup
+                # without winnow_fps): nothing to rewrite
+                continue
             before = sum(
                 1 for n in os.listdir(src) if n.endswith(".parquet")
             )
@@ -1126,12 +1034,15 @@ def ivf_index_search(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 8,
-    probe_mass: tuple[int, int] | None = None,
+    probe_mass: tuple[int, int] | str | None = None,
 ) -> DataFrame:
     """Serve from the persisted IVF index. ``k``/``nprobe``/
     ``probe_mass`` are genuine search-time knobs; everything
     structural lives in the persisted frames. Refuses an uncommitted
-    (mid-maintenance) index."""
+    (mid-maintenance) index. With ``probe_mass="auto"`` the scheduled
+    budget derives n_vec from the maintained posting total and the
+    MANIFEST's multi_assign (the single-source-of-truth discipline) —
+    so the served fraction steps down as appends grow the index."""
     meta = _serving_manifest(index_dir, "ivf")
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -1147,6 +1058,7 @@ def ivf_index_search(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
         probe_mass=probe_mass, cell_sizes=cell_sizes,
+        mass_multi=int(meta.get("params", {}).get("multi_assign", 1)),
     )
 
 
@@ -1454,6 +1366,7 @@ def ensure_dedup_index(
     from bigdatafinalproject_spark.operators.dedup import (
         minhash_band_digests,
         norm_text,
+        winnow_fingerprints,
     )
     from pyspark.sql import functions as F
 
@@ -1479,8 +1392,27 @@ def ensure_dedup_index(
             .write.mode("overwrite")
             .parquet(os.path.join(tmp, "bands"))
         )
+        # the benchmark suite's winnowed span fingerprints (r11,
+        # VERDICT r10 #4): distinct fp values of the corpus docs
+        # matching benchmark_pred — the fixed eval suite every
+        # incoming crawl batch is decontaminated against. Extraction
+        # is per-doc and the check distinct-reduces, so the table
+        # obeys the same build(base) ⊎ append(delta) ≡ build(all)
+        # theorem as digests/bands
+        (
+            winnow_fingerprints(
+                corpus.filter(F.expr(p["benchmark_pred"])),
+                text_col, id_col,
+                k=int(p["win_k"]), w=int(p["win_w"]),
+            )
+            .select("fp")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "winnow_fps"))
+        )
         _commit(
-            tmp, "dedup", fingerprint, ["digests", "bands"],
+            tmp, "dedup", fingerprint,
+            ["digests", "bands", "winnow_fps"],
             src=src, params=p,
             base_rows=_footer_rows(spark, os.path.join(tmp, "digests")),
         )
@@ -1538,6 +1470,26 @@ def dedup_index_append(
             .select("band", "band_digest")
             .distinct()
         )
+        # the delta's benchmark-slice winnow fingerprints (a legacy
+        # index without the table skips — manifests are the single
+        # source of truth for what the index carries)
+        dwf = None
+        if "winnow_fps" in meta.get("tables", []):
+            from bigdatafinalproject_spark.operators.dedup import (
+                winnow_fingerprints,
+            )
+
+            dwf = (
+                winnow_fingerprints(
+                    delta.filter(
+                        F.expr(p.get("benchmark_pred", "source = 'src0'"))
+                    ),
+                    text_col, id_col,
+                    k=int(p.get("win_k", 5)), w=int(p.get("win_w", 4)),
+                )
+                .select("fp")
+                .distinct()
+            )
         dpath = os.path.join(index_dir, "digests")
         n_before = _footer_rows(spark, dpath)
     except BaseException:
@@ -1546,6 +1498,10 @@ def dedup_index_append(
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     ddg.write.mode("append").parquet(dpath)
     dbd.write.mode("append").parquet(os.path.join(index_dir, "bands"))
+    if dwf is not None:
+        dwf.write.mode("append").parquet(
+            os.path.join(index_dir, "winnow_fps")
+        )
     n_delta = _footer_rows(spark, dpath) - n_before
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
@@ -1586,4 +1542,44 @@ def dedup_index_check(
         p.get("text_col", "text"), p.get("id_col", "doc_id"),
         int(p.get("n", 8)), int(p.get("num_hashes", 16)),
         int(p.get("bands", 4)),
+    )
+
+
+def dedup_index_contamination(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+) -> DataFrame:
+    """Span-level decontamination of an incoming TRAIN batch against
+    the PERSISTED benchmark fingerprints (r11, VERDICT r10 #4): the
+    batch's winnowed fingerprints (params from the MANIFEST — a batch
+    winnowed under different k/w would silently miss every span) are
+    overlap-checked against the index's ``winnow_fps`` table through
+    the same broadcast skeleton as the in-query twin
+    (operators/dedup._broadcast_overlap_stats), so persisted ≡
+    in-query by construction: extraction is per-doc, the check
+    distinct-reduces the benchmark units, and appends union
+    distinct-compatible fp sets. Refuses an uncommitted index and an
+    index built before the winnow_fps table existed. Returns
+    (id, n_fp, n_hit, hit_frac) for batch docs with >= k tokens."""
+    from bigdatafinalproject_spark.operators.dedup import (
+        _broadcast_overlap_stats,
+        winnow_fingerprints,
+    )
+
+    meta = _serving_manifest(index_dir, "dedup")
+    if "winnow_fps" not in meta.get("tables", []):
+        raise ValueError(
+            f"index at {index_dir!r} carries no winnow_fps table "
+            "(pre-r11 build) — rebuild under the current params"
+        )
+    p = meta.get("params", {})
+    bench_fps = spark.read.parquet(os.path.join(index_dir, "winnow_fps"))
+    return _broadcast_overlap_stats(
+        winnow_fingerprints(
+            batch, p.get("text_col", "text"), p.get("id_col", "doc_id"),
+            k=int(p.get("win_k", 5)), w=int(p.get("win_w", 4)),
+        ),
+        bench_fps,
+        p.get("id_col", "doc_id"), "fp", "n_fp", "n_hit", "hit_frac",
     )

@@ -721,3 +721,66 @@ def winnow_contamination(
         winnow_fingerprints(df.filter(is_benchmark), text_col, id_col, k, w),
         id_col, "fp", "n_fp", "n_hit", "hit_frac",
     )
+
+
+def winnow_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """The ACTING tier over winnowed fingerprints (r10 verdict #3:
+    :func:`winnow_shared_spans` reports span duplication but nothing
+    drops): span-level dedup that KEEPS a document iff at most
+    ``max_dup_frac`` of its fingerprints already appear in a
+    LOWER-ID document. Canonicalization by min-id — the first doc of
+    any duplicated-span family survives, later near-verbatim copies
+    (shared-span mass above the threshold) are dropped — the same
+    keep-the-smallest-id rule :func:`exact_duplicates` uses, lifted
+    from whole-doc digests to alignment-robust spans (any shared run
+    of >= w + k - 1 tokens is guaranteed visible, see
+    :func:`winnow_fingerprints`).
+
+    Deliberately SINGLE-PASS, not iterative-greedy: a dropped earlier
+    doc still suppresses later copies of its spans (its fingerprints
+    stay in the reference set), matching how a production pipeline
+    dedups an append-ordered corpus against everything already
+    ingested — and keeping the rule engine-replayable (one min() per
+    fingerprint, no fixpoint).
+
+    Documents with fewer than ``k`` tokens carry no fingerprints and
+    are kept with ``dup_frac`` 0.0 (nothing to judge them on).
+
+    100 TB shape: one groupBy on the fingerprint hash (min doc id),
+    one join back, one per-doc aggregate — never doc pairs; the
+    threshold comparison is exact (counts and an exact-int double
+    division). Returns (id, n_fp, n_dup, dup_frac, kept) for EVERY
+    input document — callers drop ``kept = 0`` rows.
+    """
+    fps = materialize_barrier(
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    )
+    first = fps.groupBy("fp").agg(F.min(id_col).alias("_first"))
+    stats = (
+        fps.join(first, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(
+                F.when(F.col("_first") < F.col(id_col), 1).otherwise(0)
+            ).cast("long").alias("n_dup"),
+        )
+    )
+    all_docs = df.select(F.col(id_col)).join(stats, id_col, "left")
+    dup_frac = F.when(
+        F.coalesce(F.col("n_fp"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.col("n_dup").cast("double") / F.col("n_fp"))
+    return all_docs.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= max_dup_frac).cast("int").alias("kept"),
+    )

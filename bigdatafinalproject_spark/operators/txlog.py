@@ -26,11 +26,161 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first; the loser must
     abort (staged output kept for inspection, serving copy untouched)."""
+
+
+# --- claim liveness (r11: promoted here from operators/ann_index so
+# every commit_exclusive user shares ONE self-describing claim shape
+# and ONE liveness judgement — VERDICT r10 #5) ---
+#
+# Two modes, each claim recording its OWN (so mixed-mode writers judge
+# every claim by the rule its writer chose):
+#
+# - "lease" (DEFAULT since r11): the claim records an expiry its
+#   writer RENEWS from a background thread (LeaseRenewer) while its
+#   guarded work runs — the cluster/object-store-portable protocol
+#   (put-if-absent + leases is how Delta/Iceberg writers arbitrate;
+#   kill(pid, 0) is meaningless across hosts). Renewal is a thread,
+#   not a checkpoint, so a lease lapses only on real process death —
+#   never because a guarded Spark job outran a grace period (the r9
+#   failure mode that disqualified claim-age heuristics).
+# - "pid" (opt-in via BDFP_ANN_CLAIM_MODE=pid): probes the claimant
+#   pid — exact for the same-host O_EXCL scope, zero moving parts;
+#   the single-host-sandbox fast path, never a multi-host protocol.
+
+CLAIM_MODE_ENV = "BDFP_ANN_CLAIM_MODE"
+LEASE_S_ENV = "BDFP_ANN_LEASE_S"
+LEASE_S_DEFAULT = 30.0
+
+
+def claim_mode() -> str:
+    return os.environ.get(CLAIM_MODE_ENV, "lease")
+
+
+def lease_seconds() -> float:
+    return float(os.environ.get(LEASE_S_ENV, LEASE_S_DEFAULT))
+
+
+def claim_payload(extra: dict | None = None) -> dict:
+    """A self-describing claim payload: writer pid + liveness mode (+
+    initial lease expiry in lease mode), merged over ``extra``. Every
+    commit_exclusive caller that may need liveness arbitration later
+    should commit THIS shape."""
+    p = dict(extra or {}, pid=os.getpid(), mode=claim_mode())
+    if p["mode"] == "lease":
+        p["lease_expiry"] = time.time() + lease_seconds()
+    return p
+
+
+def _pid_alive(pid) -> bool:
+    try:
+        os.kill(int(pid), 0)
+        return True
+    except (ProcessLookupError, TypeError, ValueError):
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
+def read_claim(log_dir: str, version: int) -> dict | None:
+    """A claim entry's payload; None if the entry does not EXIST.
+    Claims are payload-atomic (the os.link commit), so a visible entry
+    normally parses — None means the entry is GONE (pruned by the
+    winner's recommit, or released by a failed writer's cleanup),
+    never a live winner mid-write (ADVICE r9). An entry that is
+    PRESENT but unreadable (a 0-byte artifact from a pre-r10
+    create-then-write log, or an EACCES/torn legacy entry) returns a
+    sentinel dict that :func:`claim_alive` judges dead — distinct from
+    None, because the two demand opposite handling: a missing entry is
+    re-CASable, a corrupt one must be SKIPPED as a crashed claimant
+    (conflating them made the writer loop spin forever on a corrupt
+    entry whose CAS kept failing — r10 review #1)."""
+    try:
+        with open(_entry(log_dir, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+    except (OSError, ValueError):
+        return {"corrupt": True}
+
+
+def claim_alive(claim: dict | None) -> bool:
+    """Is this claim's writer still live, judged by the claim's OWN
+    recorded mode: lease claims live until their (renewed) expiry
+    lapses; pid claims live while their pid does. A claim recording
+    NEITHER a known mode nor a pid (legacy ``writer_pid``-only
+    payloads) falls back to the pid probe on ``writer_pid``."""
+    if claim is None:
+        return False
+    if claim.get("mode") == "lease":
+        try:
+            return float(claim.get("lease_expiry", 0)) > time.time()
+        except (TypeError, ValueError):
+            return False
+    return _pid_alive(claim.get("pid", claim.get("writer_pid")))
+
+
+class LeaseRenewer:
+    """Background renewal for a lease-mode claim: rewrites the entry
+    with a fresh expiry every lease/3 via an atomic os.replace, so the
+    lease lapses only on real process death — a long Spark job inside
+    the guarded window can never outlive it (the failure mode that
+    disqualified claim-age heuristics, r9 review #1)."""
+
+    def __init__(self, path: str, payload: dict, lease_s: float):
+        import threading
+
+        self._path = path
+        self._payload = payload
+        self._lease_s = lease_s
+        self._stop = threading.Event()
+        self._release = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._lease_s / 3.0):
+            tmp = f"{self._path}.renew.{os.getpid()}"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump(
+                        dict(
+                            self._payload,
+                            lease_expiry=time.time() + self._lease_s,
+                        ),
+                        f,
+                    )
+                os.replace(tmp, self._path)
+            except OSError:
+                pass  # next tick retries; expiry has 3 ticks of slack
+        # release handoff (r10 review #3): if stop(release=True) timed
+        # out while a tick was blocked in I/O, that tick's os.replace
+        # may have RESURRECTED the entry after the caller removed it —
+        # so on a release the renewer itself removes the entry as its
+        # last act, whenever it finally unblocks. Whoever acts last
+        # (stopper or renewer) leaves the entry gone.
+        if self._release:
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
+
+    def stop(self, release: bool = False) -> bool:
+        """Signal the renewer to stop (optionally releasing the claim
+        entry) and wait briefly. Returns True when the thread actually
+        exited — the caller may remove the entry itself then; on a
+        timeout (tick stuck in slow I/O) the caller must NOT remove
+        it, because the stuck tick could rewrite it afterward — the
+        renewer performs the removal on exit instead (see _run)."""
+        self._release = release
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        return not self._thread.is_alive()
 
 
 def _entry(log_dir: str, version: int) -> str:

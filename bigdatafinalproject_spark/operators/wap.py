@@ -35,6 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatafinalproject_spark.operators.txlog import (
+    claim_payload,
     commit_exclusive,
     latest_version,
 )
@@ -116,8 +117,13 @@ def write_audit_publish(
         )
     # CAS: claim the version fixed at txn start; the loser aborts here
     # with dest untouched and its staged copy kept
+    # self-describing claim payload (r11, shared shape from txlog):
+    # liveness mode + lease expiry ride along so any future arbiter
+    # judges this writer by its own rule; writer_pid kept for
+    # compatibility with pre-r11 log readers
     commit_exclusive(
-        log, version, {"writer_pid": os.getpid(), "staged": staged}
+        log, version,
+        claim_payload({"writer_pid": os.getpid(), "staged": staged}),
     )
     vdir = _vdir(dest, version)
     os.rename(staged, vdir)  # immutable version slot, unique per CAS win

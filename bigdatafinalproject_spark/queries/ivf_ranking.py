@@ -26,36 +26,65 @@ _SEED = 42
 _IVF_MOD, _IVF_C, _IVF_ROUNDS = 37, 64, 2
 _IVF_MULTI = 3
 
-# r10 probe retune (the IVF half of the mass-budget change): probe
-# cosine-ranked cells until their cumulative posting mass reaches
-# ceil(3/10 · total postings) instead of a fixed nprobe=8. Calibrated
-# in numpy across 5 scale points (sf0.1-sf10, 100×) BEFORE the Spark
-# change: recall@10 0.955-0.972 FLAT vs 0.778-0.838 drifting at
-# nprobe=8 (the numpy replication matched the recorded Spark artifact
-# to 3 decimals at every point, so the policy comparison is exact).
-# The constant lives at the operator layer (circular-import rule);
-# the oracle CTE below replays the identical integer rule.
-from bigdatafinalproject_spark.operators.ann import IVF_PROBE_MASS
+# r10 introduced the mass-budgeted probe; r11 made the whole policy
+# ADAPTIVE (the r10 verdict's top item): the centroid count grows
+# C = min(512, 64·ceil(sqrt(N/2000))) — classic IVF sizing — and the
+# probe budget STEPS DOWN with the same scale step s per
+# IVF_MASS_SCHEDULE ("auto"). numpy-calibrated across 5 scale points
+# BEFORE the Spark change (scripts/ivf_centroid_calibration.py,
+# IVF_CALIBRATION.json): recall@10 at the shipped operating points
+# 0.955/0.972/0.958/0.956/0.958 (sf0.1→sf10), every point directly
+# measured, while the unique-candidate serve mass falls 0.66N→0.37N
+# at sf3+. The calibration also pins the honest frontier: recall at
+# fixed candidate mass SATURATES in C on this isotropic corpus
+# (C=256/512/640 all need ~3/20 posting mass for 0.95 at sf10), so
+# sub-0.35N serve cost at 0.95 recall needs the compressed-domain
+# scan — the IVFPQ tier. Constants live at the operator layer
+# (circular-import rule); the oracle CTEs below replay the identical
+# integer rules.
+from bigdatafinalproject_spark.operators.ann import (
+    IVF_CENTROID_CAP,
+    IVF_PROBE_MASS,
+    IVF_SCALE_REF,
+    ivf_mass_schedule_sql,
+)
 
-_IVF_MASS = IVF_PROBE_MASS
+_IVF_MASS = IVF_PROBE_MASS  # "auto": the scheduled policy
 
 
-def _kmeans_ctes(rounds: int, base_pred: str = "TRUE") -> str:
+def _scaled_c_sql(base_pred: str) -> str:
+    """The oracle's rendering of the in-plan centroid-count rule:
+    C = min(cap, base · ceil(sqrt(N / scale_ref))) with N counted
+    under ``base_pred`` — the same IEEE-double sqrt/ceil both engines
+    evaluate identically (operators/ann.ivf_centroids)."""
+    n = f"(SELECT COUNT(*) FROM embeddings WHERE {base_pred})"
+    return (
+        f"LEAST({IVF_CENTROID_CAP}, {_IVF_C} * "
+        f"CAST(ceil(sqrt({n} / {IVF_SCALE_REF}.0)) AS BIGINT))"
+    )
+
+
+def _kmeans_ctes(
+    rounds: int, base_pred: str = "TRUE", scaled: bool = False
+) -> str:
     """CTE chain kc0 -> kc{rounds}: Lloyd updates over the embeddings
     table from the sampled-centroid init (one assign + one decimal-mean
     update per round, both bit-portable). ``base_pred`` restricts init
     sampling AND training to a base subset (the train-on-base mode of
-    the incremental-maintenance oracle)."""
+    the incremental-maintenance oracle). ``scaled`` switches the init
+    cap from the fixed 64 (the IVFPQ coarse quantizer) to the r11
+    corpus-scaled count (the IVF tier)."""
     from bigdatafinalproject_spark.queries._lloyd_sql import lloyd_ctes
 
     base_min = f"(SELECT MIN(vec_id) FROM embeddings WHERE {base_pred})"
+    cap = _scaled_c_sql(base_pred) if scaled else str(_IVF_C)
     init = f"""
     kc0 AS (SELECT vec_id AS cid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
             FROM embeddings
             WHERE ({base_pred})
               AND (vec_id - {base_min}) % {_IVF_MOD} = 0
-              AND (vec_id - {base_min}) < {_IVF_MOD} * {_IVF_C})"""
+              AND (vec_id - {base_min}) < {_IVF_MOD} * ({cap}))"""
     return lloyd_ctes(
         rounds,
         prefix="k",
@@ -70,7 +99,11 @@ def _kmeans_ctes(rounds: int, base_pred: str = "TRUE") -> str:
 def _ivf_oracle(kmeans_ctes: str) -> str:
     """Full IVF search oracle over a given trained-centroid CTE chain
     (assign ALL embeddings under multi-assignment, probe the panel,
-    exact rerank)."""
+    exact rerank). The probe budget replays the r11 scheduled policy:
+    s from the posting total, (num, den) from the SHARED
+    IVF_MASS_SCHEDULE rendering, budget = ceil(num·T/den) in the same
+    integer arithmetic as the Spark plan."""
+    num_case, den_case = ivf_mass_schedule_sql("s")
     return f"""
     WITH {_NORMS_CTE},
     {kmeans_ctes},
@@ -91,15 +124,20 @@ def _ivf_oracle(kmeans_ctes: str) -> str:
     cell_sizes AS (SELECT centroid_id, COUNT(*) AS csz
                    FROM assign GROUP BY 1),
     post_tot AS (SELECT SUM(csz) AS t FROM cell_sizes),
+    bud AS (SELECT t, CAST(floor((num * t + (den - 1)) / CAST(den AS DOUBLE))
+                           AS BIGINT) AS b
+            FROM (SELECT t, {num_case} AS num, {den_case} AS den
+                  FROM (SELECT t, CAST(ceil(sqrt((t / {_IVF_MULTI}.0)
+                             / {IVF_SCALE_REF}.0)) AS BIGINT) AS s
+                        FROM post_tot))),
     probes AS (SELECT query_id, centroid_id FROM (
                  SELECT r.vec_id AS query_id, r.centroid_id, s.csz,
                         SUM(s.csz) OVER (PARTITION BY r.vec_id
                                          ORDER BY r.rn) AS cum
                  FROM ranked r
                  JOIN cell_sizes s ON s.centroid_id = r.centroid_id
-                 WHERE r.vec_id % 50 = 0 AND r.vec_id < 3200), post_tot
-               WHERE cum - csz < CAST(floor(({_IVF_MASS[0]} * t
-                     + {_IVF_MASS[1] - 1}) / {_IVF_MASS[1]}.0) AS BIGINT)),
+                 WHERE r.vec_id % 50 = 0 AND r.vec_id < 3200), bud
+               WHERE cum - csz < b),
     cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
              FROM probes p JOIN assign a USING (centroid_id)
              WHERE p.query_id <> a.neighbor_id),
@@ -121,7 +159,7 @@ def _ivf_oracle(kmeans_ctes: str) -> str:
     """
 
 
-@query("ann_ivf_topk", oracle=_ivf_oracle(_kmeans_ctes(_IVF_ROUNDS)))
+@query("ann_ivf_topk", oracle=_ivf_oracle(_kmeans_ctes(_IVF_ROUNDS, scaled=True)))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-10, TRAINED + redundantly assigned
     (the r7 verdict's top item): sampled init centroids (capped at 64,
@@ -150,6 +188,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, k=10, centroid_mod=37, probe_mass=_IVF_MASS,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        scale_ref=IVF_SCALE_REF,
     )
 
 
@@ -174,6 +213,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = ivf_topk(
         emb, ivf_panel, k=10, centroid_mod=37, probe_mass=_IVF_MASS,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        scale_ref=IVF_SCALE_REF,
     ).select("query_id", "neighbor_id")
     return recall_frame(ex, ap)
 
@@ -260,6 +300,7 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = dict(
         centroid_mod=37, max_centroids=64,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        scale_ref=IVF_SCALE_REF,
     )
     fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
     # cross-process cache keyed by fingerprint: the build runs once
@@ -281,7 +322,9 @@ _IVF_BASE_PRED = "vec_id % 3 <> 0"
 
 @query(
     "ann_ivf_index_append",
-    oracle=_ivf_oracle(_kmeans_ctes(_IVF_ROUNDS, base_pred=_IVF_BASE_PRED)),
+    oracle=_ivf_oracle(
+        _kmeans_ctes(_IVF_ROUNDS, base_pred=_IVF_BASE_PRED, scaled=True)
+    ),
 )
 def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of the TRAINED IVF index (the IVF twin
@@ -311,6 +354,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = dict(
         centroid_mod=37, max_centroids=64,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        scale_ref=IVF_SCALE_REF,
     )
     # snapshot-then-mutate (r9): the base-trained index is built ONCE
     # per corpus fingerprint (base_pred-salted, ADVICE r8) in the

@@ -745,7 +745,17 @@ def stream_dedup_index_maintenance(
 
 # --- winnowed span-level dedup (MOSS fingerprinting) ---
 
-_WIN_K, _WIN_W = 5, 4  # k-token grams, winnow window (guarantee: 8 tokens)
+# k-token grams, winnow window (guarantee: w+k-1 = 8 tokens). Tied to
+# the persisted-index params (r11): the in-query tier and the
+# dedup-index winnow_fps table must winnow identically or the
+# persisted-check theorem (doc_winnow_index_contamination sharing the
+# in-query oracle) breaks — one source of truth, like the
+# digest/band quintuple.
+from bigdatafinalproject_spark.operators.ann_index import (
+    DEDUP_INDEX_PARAMS as _DIP,
+)
+
+_WIN_K, _WIN_W = int(_DIP["win_k"]), int(_DIP["win_w"])
 # the shared portable-hash SQL helper (r10 review: a hand-built copy
 # of the 60-bit construction would silently diverge if the helper's
 # digit count ever changed)
@@ -806,6 +816,55 @@ def doc_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_shared_spans(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)
 
 
+_WIN_DUP_FRAC = 0.5  # drop a doc when > half its fingerprints are pre-owned
+
+
+@query(
+    "doc_winnow_dedup",
+    oracle=f"""
+    WITH {_WIN_FPS_CTES},
+    first AS (SELECT fp, MIN(doc_id) AS fid FROM fps GROUP BY fp),
+    agg AS (SELECT fps.doc_id, COUNT(*) AS n_fp,
+                   SUM(CASE WHEN first.fid < fps.doc_id THEN 1 ELSE 0 END)
+                       AS n_dup
+            FROM fps JOIN first USING (fp)
+            GROUP BY fps.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN COALESCE(a.n_fp, 0) = 0 THEN 0.0
+                ELSE a.n_dup / CAST(a.n_fp AS DOUBLE) END AS dup_frac,
+           CAST(CASE WHEN COALESCE(a.n_fp, 0) = 0 THEN 1
+                     WHEN a.n_dup / CAST(a.n_fp AS DOUBLE)
+                          <= {_WIN_DUP_FRAC} THEN 1
+                     ELSE 0 END AS INT) AS kept
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def doc_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTING tier over winnowed spans (r10 verdict #3:
+    doc_winnow_spans reports, nothing drops): span-level dedup that
+    KEEPS a document iff at most half its fingerprints already appear
+    in a LOWER-ID document (operators/dedup.winnow_dedup) — the
+    min-id canonicalization of doc_exact_dups lifted from whole-doc
+    digests to alignment-robust spans: the first doc of any
+    duplicated-span family survives; later near-verbatim copies drop.
+    Single-pass by design (a dropped earlier doc still suppresses
+    later copies — how a production pipeline dedups an append-ordered
+    corpus against everything already ingested, and the only form
+    that is engine-replayable without a fixpoint). Short docs
+    (< k tokens, no fingerprints) are kept with dup_frac 0. At the
+    driver SFs the 0.5 threshold drops ~24 of 500 docs — the planted
+    near-duplicate tail. The oracle replays gram hashing, window
+    argmin, the min-id-per-fingerprint rule, and the exact threshold
+    comparison verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnow_dedup(
+        docs, "text", "doc_id", k=_WIN_K, w=_WIN_W,
+        max_dup_frac=_WIN_DUP_FRAC,
+    )
+
+
 @query(
     "doc_winnow_contamination",
     oracle=f"""
@@ -844,3 +903,61 @@ def doc_winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", F.col("source") == "src0",
         k=_WIN_K, w=_WIN_W,
     )
+
+
+_WINNOW_IDX_BASE_PRED = "doc_id % 3 <> 0"  # predicate AND cache salt
+
+
+@query(
+    "doc_winnow_index_contamination",
+    oracle_of="doc_winnow_contamination",
+)
+def doc_winnow_index_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSISTED span-level decontamination (VERDICT r10 #4): a
+    production pipeline decontaminates every incoming crawl batch
+    against a FIXED eval suite, so the suite's winnowed fingerprints
+    live in the persisted dedup index (the r11 ``winnow_fps`` table)
+    rather than being recomputed per run. The index is built on a
+    base corpus subset, the rest arrives as two append batches (CAS
+    writers, batch idempotence — fingerprints of appended benchmark
+    docs join the table), and the full train slice is checked against
+    the MAINTAINED table. Shares the in-query oracle
+    (doc_winnow_contamination): extraction is per-doc and the check
+    distinct-reduces, so persisted ≡ maintained ≡ in-query — the same
+    persistence+maintenance theorem the r10 dedup index proved for
+    digests/bands, now for the decontamination tier."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        clone_index,
+        corpus_fingerprint,
+        dedup_index_append,
+        dedup_index_contamination,
+        ensure_dedup_index,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    params = _dedup_idx_params()
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.expr(_WINNOW_IDX_BASE_PRED))
+    delta = docs.filter(~F.expr(_WINNOW_IDX_BASE_PRED))
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "documents"),
+        base_pred=_WINNOW_IDX_BASE_PRED, **params,
+    )
+    cached = ensure_dedup_index(
+        spark, base, shared_index_dir("dedup", fp), fp,
+        src=table_path(sf_dir, "documents"),
+        subset=_WINNOW_IDX_BASE_PRED, **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "winnowcontamidx"))
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 == 0), batch_id=0
+    )
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 != 0), batch_id=1
+    )
+    batch = docs.filter(F.col("source") != "src0")
+    return dedup_index_contamination(spark, idx, batch)

@@ -339,6 +339,7 @@ def apply_cdc_batch(
       it rebuilds the store from scratch; see that docstring.)
     """
     from bigdatafinalproject_spark.operators.txlog import (
+        claim_payload,
         commit_exclusive,
         has_version,
     )
@@ -369,7 +370,9 @@ def apply_cdc_batch(
     else:
         merged = delta
     merged.write.mode("overwrite").parquet(vpath)
-    commit_exclusive(log_dir, bid, {"writer_pid": os.getpid()})
+    # self-describing claim payload (r11): mode + lease expiry ride
+    # along; writer_pid kept for pre-r11 compatibility
+    commit_exclusive(log_dir, bid, claim_payload({"writer_pid": os.getpid()}))
 
 
 def stream_cdc_latest_store(

@@ -299,7 +299,10 @@ def stream_ivf_index_maintenance(
         ivf_index_append,
         ivf_index_search,
     )
-    from bigdatafinalproject_spark.operators.ann import IVF_PROBE_MASS
+    from bigdatafinalproject_spark.operators.ann import (
+        IVF_PROBE_MASS,
+        IVF_SCALE_REF,
+    )
     from bigdatafinalproject_spark.queries.ivf_ranking import (
         _IVF_BASE_PRED,
         _IVF_MULTI,
@@ -312,6 +315,7 @@ def stream_ivf_index_maintenance(
         dict(
             centroid_mod=37, max_centroids=64,
             train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+            scale_ref=IVF_SCALE_REF,
         ),
         _IVF_BASE_PRED,
     )

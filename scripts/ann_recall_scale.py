@@ -58,6 +58,7 @@ def _appended(kind, spark, emb, queries):
     )
     from bigdatafinalproject_spark.operators.ann import (
         IVF_PROBE_MASS as _IVF_MASS,
+        IVF_SCALE_REF as _IVF_SCALE_REF,
         IVFPQ_PROBE_MASS as _IVFPQ_MASS,
     )
 
@@ -69,6 +70,7 @@ def _appended(kind, spark, emb, queries):
         ensure_ivf_index(
             spark, base, idx, "recallscale", centroid_mod=37,
             max_centroids=64, train_rounds=2, multi_assign=3,
+            scale_ref=_IVF_SCALE_REF,
         )
         ivf_index_append(spark, idx, delta)
         out = ivf_index_search(
@@ -125,6 +127,7 @@ def _retrained(kind, spark, emb, queries):
     )
     from bigdatafinalproject_spark.operators.ann import (
         IVF_PROBE_MASS as _IVF_MASS,
+        IVF_SCALE_REF as _IVF_SCALE_REF,
         IVFPQ_PROBE_MASS as _IVFPQ_MASS,
     )
 
@@ -136,6 +139,7 @@ def _retrained(kind, spark, emb, queries):
         ensure_ivf_index(
             spark, base, idx, "recallscale_base", centroid_mod=37,
             max_centroids=64, train_rounds=2, multi_assign=3,
+            scale_ref=_IVF_SCALE_REF,
         )
         ivf_index_append(spark, idx, delta)
     elif kind == "ivfpq":
@@ -158,6 +162,7 @@ def _retrained(kind, spark, emb, queries):
         ensure_ivf_index(
             spark, emb, idx, "recallscale_full", centroid_mod=37,
             max_centroids=64, train_rounds=2, multi_assign=3,
+            scale_ref=_IVF_SCALE_REF,
         )
         out = ivf_index_search(
             spark, idx, emb, queries, k=10, probe_mass=_IVF_MASS
@@ -192,9 +197,11 @@ def _ivf_mass_topk(emb, queries):
         IVF_PROBE_MASS as _IVF_MASS,
     )
 
+    from bigdatafinalproject_spark.operators.ann import IVF_SCALE_REF
+
     return ivf_topk(
         emb, queries, k=10, probe_mass=_IVF_MASS, train_rounds=2,
-        multi_assign=3,
+        multi_assign=3, scale_ref=IVF_SCALE_REF,
     )
 
 
@@ -208,6 +215,51 @@ def _ivfpq_mass_topk(emb, queries):
         probe_mass=_IVFPQ_MASS, m=16, codeword_mod=13,
         max_codewords=64, rerank=4,
     )
+
+
+def ivf_cand_frac(spark, sf_dir: str) -> float:
+    """Measured unique-candidate fraction of the SHIPPED ivf_trained
+    config (scaled C + "auto" mass schedule) — the serve-cost number
+    the r11 retune dials (VERDICT r10 #1 asked for the measured
+    candidate mass beside every recall row). Mean over the standing
+    query panel of |distinct probed candidates| / N."""
+    from bigdatafinalproject_spark.operators.ann import (
+        IVF_PROBE_MASS as _MASS,
+        IVF_SCALE_REF as _SREF,
+        _mass_probes,
+        ivf_build_frames,
+    )
+    from bigdatafinalproject_spark.operators.barrier import (
+        materialize_barrier,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    centroids, postings = ivf_build_frames(
+        emb, centroid_mod=37, max_centroids=64, train_rounds=2,
+        multi_assign=3, scale_ref=_SREF,
+    )
+    postings = materialize_barrier(postings)
+    sizes = postings.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_csz")
+    )
+    probes = _mass_probes(
+        centroids, queries, sizes, _MASS, "vec_id", "embedding",
+        mass_multi=3,
+    )
+    per_q = (
+        probes.join(postings, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .groupBy("query_id")
+        .count()
+        .agg(F.avg("count").alias("c"))
+        .collect()[0].c
+    )
+    return round(float(per_q) / emb.count(), 4)
 
 
 def recalls(spark, sf_dir: str) -> dict[str, float]:
@@ -320,7 +372,22 @@ def main() -> None:
     art = dict(
         sorted(art.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
     )
-    payload = {"metric": "ann_recall_at_scale", "recall_at_10": art}
+    # measured serve-cost beside the recall rows (merge like recall)
+    cand: dict[str, float] = {}
+    if prior.is_file():
+        cand = json.loads(prior.read_text()).get("ivf_candidate_frac", {})
+    if os.environ.get("RECALL_CAND_FRAC", "1") != "0":
+        for d in dirs:
+            sf = re.search(r"sf([0-9.]+)", d).group(1)
+            cand[f"sf{sf}"] = ivf_cand_frac(spark, d)
+    cand = dict(
+        sorted(cand.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
+    )
+    payload = {
+        "metric": "ann_recall_at_scale",
+        "recall_at_10": art,
+        "ivf_candidate_frac": cand,
+    }
     (REPO / "RECALL_SCALE.json").write_text(
         json.dumps(payload, indent=1) + "\n"
     )

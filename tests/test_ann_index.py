@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_spark.catalog import load_table, table_path
@@ -181,14 +182,17 @@ def _build_pq_base(spark, tmp_path, name):
     return emb, base, delta, idx
 
 
+@pytest.mark.parametrize("mode", ["lease", "pid"])
 def test_threaded_two_appender_race_both_batches_land_exactly_once(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch, mode
 ):
     """VERDICT r8 #1: two CONCURRENT appenders of different batches.
     The _applog CAS serializes them — the loser waits for the winner's
     recommit and re-reads, so whatever the interleaving both batches
     land exactly once (applied_batches = both ids, codes/norms counts
-    = base + each delta once, manifest never loses an entry)."""
+    = base + each delta once, manifest never loses an entry). Raced
+    in BOTH claim modes (r11: lease became the default, pid the
+    opt-in) so neither liveness rule can silently rot."""
     import json
     import threading
 
@@ -196,7 +200,8 @@ def test_threaded_two_appender_race_both_batches_land_exactly_once(
         pq_index_append,
     )
 
-    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_race")
+    monkeypatch.setenv("BDFP_ANN_CLAIM_MODE", mode)
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, f"pq_race_{mode}")
     d0 = delta.filter(F.col("vec_id") % 2 == 0)
     d1 = delta.filter(F.col("vec_id") % 2 != 0)
     n_base = base.count()
@@ -957,6 +962,7 @@ def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
         for r in ivf_search_frames(
             centroids, postings, emb, queries, k=10,
             probe_mass=IVF_PROBE_MASS,
+            mass_multi=_PARAMS["multi_assign"],
         ).collect()
     }
     assert served == legacy and len(served) > 0
@@ -1015,3 +1021,63 @@ def test_dedup_index_lifecycle_idempotence_and_refusal(spark, tmp_path):
     _os.remove(_os.path.join(idx, "_meta.json"))
     with _pytest.raises(ValueError, match="no committed dedup index"):
         dedup_index_check(spark, idx, batch)
+
+
+def test_dedup_index_winnow_fps_lifecycle(spark, tmp_path):
+    """The r11 winnow_fps table through the index lifecycle: (a) the
+    maintained base+appends table serves contamination stats exactly
+    like an index built on the full corpus AND like the in-query
+    operator (per-doc extraction + distinct-reduced check =>
+    persisted ≡ maintained ≡ in-query); (b) an index whose manifest
+    predates the table refuses the contamination serve with a
+    rebuild message instead of a missing-path error."""
+    import json
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        DEDUP_INDEX_PARAMS,
+        dedup_index_append,
+        dedup_index_contamination,
+        ensure_dedup_index,
+    )
+    from bigdatafinalproject_spark.operators.dedup import (
+        winnow_contamination,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    train = docs.filter(F.col("source") != "src0")
+    params = dict(DEDUP_INDEX_PARAMS)
+
+    idx = str(tmp_path / "dedup_win_idx")
+    ensure_dedup_index(spark, base, idx, "fp_base", **params)
+    dedup_index_append(spark, idx, delta, batch_id=0)
+    maintained = {
+        tuple(r)
+        for r in dedup_index_contamination(spark, idx, train).collect()
+    }
+    full = str(tmp_path / "dedup_win_full")
+    ensure_dedup_index(spark, docs, full, "fp_full", **params)
+    fresh = {
+        tuple(r)
+        for r in dedup_index_contamination(spark, full, train).collect()
+    }
+    in_query = {
+        tuple(r)
+        for r in winnow_contamination(
+            docs, "text", "doc_id", F.col("source") == "src0",
+            k=int(params["win_k"]), w=int(params["win_w"]),
+        ).collect()
+    }
+    assert maintained == fresh == in_query and len(maintained) > 0
+
+    # legacy-index refusal: strip the table from the manifest
+    mpath = _os.path.join(full, "_meta.json")
+    meta = json.load(open(mpath))
+    meta["tables"] = ["digests", "bands"]
+    json.dump(meta, open(mpath, "w"))
+    with _pytest.raises(ValueError, match="no winnow_fps table"):
+        dedup_index_contamination(spark, full, train)

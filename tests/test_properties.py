@@ -656,6 +656,42 @@ def test_winnow_guarantee_and_negative(spark):
         assert 0 < r.n_fp and 0.0 <= r.shared_frac <= 1.0
 
 
+def test_winnow_dedup_drops_straddling_copy(spark):
+    """The ACTING tier (r10 verdict #3): a later near-verbatim copy
+    whose duplicated span sits at a DIFFERENT alignment — the case
+    fixed-segment dedup structurally misses — is caught and dropped,
+    the min-id original survives, a clean doc survives, and a short
+    (< k tokens) doc is kept with zero fingerprints. Also pins the
+    single-pass rule: a THIRD copy drops too even though the second
+    (its nearest earlier copy) was itself dropped — dropped docs keep
+    suppressing later copies, no fixpoint."""
+    from bigdatafinalproject_spark.operators.dedup import winnow_dedup
+
+    body = " ".join(f"w{i}" for i in range(1, 25))  # 24 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{body} o1 o2 o3"),          # the original (min id)
+            (2, f"z1 z2 {body}"),             # shifted copy: drop
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),  # clean
+            (4, "tiny doc here"),             # < k tokens: no fps
+            (5, f"y1 {body} y2"),             # third copy: still drops
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in winnow_dedup(
+            df, "text", "doc_id", k=5, w=4, max_dup_frac=0.5
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1].kept == 1 and rows[1].n_dup == 0
+    assert rows[2].kept == 0 and rows[2].dup_frac > 0.5
+    assert rows[3].kept == 1 and rows[3].n_dup == 0
+    assert rows[4].kept == 1 and rows[4].n_fp == 0 and rows[4].dup_frac == 0.0
+    assert rows[5].kept == 0, "single-pass: dropped doc 2 still suppresses"
+
+
 def test_winnow_contamination_join_path(spark):
     """The benchmark-overlap join path of winnow_contamination on
     hand-built docs: a train doc sharing an 8-token span with the
