@@ -294,6 +294,7 @@ def ivf_topk(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
         probe_mass=probe_mass, mass_multi=multi_assign,
+        sched_ref=scale_ref,
     )
 
 
@@ -376,6 +377,7 @@ def _mass_probes(
     id_col: str,
     vec_col: str,
     mass_multi: int | None = None,
+    sched_ref: int | None = None,
 ) -> DataFrame:
     """Mass-budgeted probe set (r10, shared by the IVF and IVFPQ serve
     plans): each query probes its cosine-ranked cells until their
@@ -396,18 +398,31 @@ def _mass_probes(
     the sqrt/ceil are IEEE-double deterministic in both engines). The
     budget therefore adapts as a maintained index GROWS: appends raise
     T, and the served fraction steps down on schedule without any
-    re-deploy — the knob a fixed (num, den) cannot turn. Returns
-    (query_id, centroid_id)."""
+    re-deploy — the knob a fixed (num, den) cannot turn.
+
+    ``sched_ref`` must be the BUILD's centroid scale_ref (r11 review
+    #5): the schedule and the C-growth rule were calibrated JOINTLY —
+    stepping the budget down over an UNSCALED index (C saturated at
+    the base count) lands on a measured-bad operating point
+    (IVF_CALIBRATION.json: C=64 at 3/20 mass reads ~0.87, not 0.95).
+    With sched_ref=None (unscaled build) "auto" therefore holds the
+    base 3/10 budget — the r10-calibrated saturated-C point — instead
+    of scheduling. Returns (query_id, centroid_id)."""
     tot = sizes.agg(F.sum("_csz").alias("_tot"))
     if probe_mass == "auto":
         if mass_multi is None:
             raise ValueError("probe_mass='auto' requires mass_multi")
-        s = F.ceil(
-            F.sqrt(
-                (F.col("_tot") / float(mass_multi)) / float(IVF_SCALE_REF)
+        if sched_ref is None:
+            base = IVF_MASS_SCHEDULE[0]
+            num = F.lit(base[1])
+            den = F.lit(base[2])
+        else:
+            s = F.ceil(
+                F.sqrt(
+                    (F.col("_tot") / float(mass_multi)) / float(sched_ref)
+                )
             )
-        )
-        num, den = _mass_schedule_cols(s)
+            num, den = _mass_schedule_cols(s)
     else:
         num = F.lit(int(probe_mass[0]))
         den = F.lit(int(probe_mass[1]))
@@ -561,6 +576,7 @@ def ivf_search_frames(
     probe_mass: tuple[int, int] | str | None = None,
     cell_sizes: DataFrame | None = None,
     mass_multi: int | None = None,
+    sched_ref: int | None = None,
 ) -> DataFrame:
     """The serve half of ivf_topk: probe cells per query, equi-join
     the postings, exact-cosine-rerank the candidates against the
@@ -596,7 +612,7 @@ def ivf_search_frames(
         )
         probes = _mass_probes(
             centroids, queries, sizes, probe_mass, id_col, vec_col,
-            mass_multi=mass_multi,
+            mass_multi=mass_multi, sched_ref=sched_ref,
         )
     cand = spread(
         probes.join(postings, on="centroid_id")

@@ -83,6 +83,7 @@ from bigdatafinalproject_spark.operators.txlog import (
     LeaseRenewer as _LeaseRenewer,
     claim_alive as _claim_alive,
     claim_mode as _claim_mode,
+    claim_payload,
     commit_exclusive,
     entry_path,
     lease_seconds as _lease_seconds,
@@ -196,6 +197,27 @@ def _commit(
     # write must be atomic — a crash mid-write must read as "no
     # manifest" (rebuild), never as a torn half-manifest
     path = os.path.join(index_dir, _META)
+    # recommit fence (r11 review #2): a maintenance recommit that
+    # finds a manifest ALREADY present with mver >= its own slot lost
+    # an arbitration it never saw — e.g. a lease-mode writer whose
+    # whole process was paused past its lease (SIGSTOP, VM freeze) and
+    # whose slot a contender judged dead and advanced past. Writing
+    # our stale meta over the contender's recommit would silently drop
+    # its applied_batches entry (the r8 lost-update shape); raising
+    # leaves the newer manifest standing and surfaces the conflict.
+    # (The fence closes the resume-after-the-contender-recommitted
+    # window; a zombie resuming DURING the contender's own invalidate
+    # window still interleaves — that residual needs fenced storage,
+    # which a plain POSIX dir cannot express. pid mode is immune on a
+    # single host and stays one env flag away.)
+    if mver:
+        cur = _manifest(index_dir)
+        if cur is not None and int(cur.get("mver", 0)) >= mver:
+            raise ConcurrentWriteError(
+                f"recommit fenced at {index_dir!r}: manifest already "
+                f"at mver {cur.get('mver')} >= claimed slot {mver} "
+                f"(this writer's claim lapsed while it was stalled)"
+            )
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(
@@ -404,9 +426,10 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
     mode = _claim_mode()
     lease_s = _lease_seconds()
     while True:
-        p = dict(payload, pid=os.getpid(), mode=mode)
-        if mode == "lease":
-            p["lease_expiry"] = time.time() + lease_s
+        # the ONE self-describing claim shape (txlog.claim_payload) —
+        # r11 review #4: an inline copy here would let a future field
+        # silently miss the highest-traffic claim producer
+        p = claim_payload(payload, mode=mode)
         try:
             commit_exclusive(log, target, p)
         except ConcurrentWriteError:
@@ -911,10 +934,14 @@ def compact_index(
         _end_claim(index_dir, mver, release=True)
         raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during swap
-    for t in tables:
+    # swap exactly the tables the rewrite loop produced (r11 review
+    # #1: iterating `tables` here crashed AFTER the invalidate on a
+    # legacy index missing a newer kind table — e.g. a pre-r11 dedup
+    # index without winnow_fps — leaving it non-current for good)
+    for t, tmp in tmps.items():
         old = os.path.join(index_dir, f"{t}.compact.old.{os.getpid()}")
         os.rename(os.path.join(index_dir, t), old)
-        os.rename(tmps[t], os.path.join(index_dir, t))
+        os.rename(tmp, os.path.join(index_dir, t))
         shutil.rmtree(old, ignore_errors=True)
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
@@ -1054,11 +1081,14 @@ def ivf_index_search(
         cell_sizes = spark.read.parquet(
             os.path.join(index_dir, "cell_sizes")
         )
+    p = meta.get("params", {})
+    sref = p.get("scale_ref")
     return ivf_search_frames(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
         probe_mass=probe_mass, cell_sizes=cell_sizes,
-        mass_multi=int(meta.get("params", {}).get("multi_assign", 1)),
+        mass_multi=int(p.get("multi_assign", 1)),
+        sched_ref=int(sref) if sref is not None else None,
     )
 
 

@@ -46,9 +46,16 @@ class ConcurrentWriteError(RuntimeError):
 #   guarded work runs — the cluster/object-store-portable protocol
 #   (put-if-absent + leases is how Delta/Iceberg writers arbitrate;
 #   kill(pid, 0) is meaningless across hosts). Renewal is a thread,
-#   not a checkpoint, so a lease lapses only on real process death —
-#   never because a guarded Spark job outran a grace period (the r9
-#   failure mode that disqualified claim-age heuristics).
+#   not a checkpoint, so a lease never lapses because a guarded Spark
+#   job outran a grace period (the r9 failure mode that disqualified
+#   claim-age heuristics). HONEST LIMIT (r11 review #2): a lease DOES
+#   lapse if the whole process is paused past it (SIGSTOP, VM freeze,
+#   swap storm) — the price every lease protocol pays for judging
+#   liveness without a same-host primitive. The recommit fence
+#   (ann_index._commit) keeps a lapsed writer from silently
+#   overwriting the contender's recommit; raise BDFP_ANN_LEASE_S on
+#   hosts where multi-second stalls are plausible, or flip to pid
+#   mode on a single host for exactness.
 # - "pid" (opt-in via BDFP_ANN_CLAIM_MODE=pid): probes the claimant
 #   pid — exact for the same-host O_EXCL scope, zero moving parts;
 #   the single-host-sandbox fast path, never a multi-host protocol.
@@ -66,13 +73,18 @@ def lease_seconds() -> float:
     return float(os.environ.get(LEASE_S_ENV, LEASE_S_DEFAULT))
 
 
-def claim_payload(extra: dict | None = None) -> dict:
+def claim_payload(extra: dict | None = None, mode: str | None = None) -> dict:
     """A self-describing claim payload: writer pid + liveness mode (+
     initial lease expiry in lease mode), merged over ``extra``. Every
     commit_exclusive caller that may need liveness arbitration later
-    should commit THIS shape."""
-    p = dict(extra or {}, pid=os.getpid(), mode=claim_mode())
-    if p["mode"] == "lease":
+    should commit THIS shape. ``mode`` overrides the env-selected
+    default — a caller that never RENEWS (version commits, which are
+    permanent records rather than claims-in-flight) must pass
+    mode="pid": a lease it does not renew would falsely read as a
+    crashed writer 30 s after the CAS (r11 review #3)."""
+    m = mode or claim_mode()
+    p = dict(extra or {}, pid=os.getpid(), mode=m)
+    if m == "lease":
         p["lease_expiry"] = time.time() + lease_seconds()
     return p
 

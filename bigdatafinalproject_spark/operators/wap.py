@@ -117,13 +117,16 @@ def write_audit_publish(
         )
     # CAS: claim the version fixed at txn start; the loser aborts here
     # with dest untouched and its staged copy kept
-    # self-describing claim payload (r11, shared shape from txlog):
-    # liveness mode + lease expiry ride along so any future arbiter
-    # judges this writer by its own rule; writer_pid kept for
-    # compatibility with pre-r11 log readers
+    # self-describing claim payload (r11, shared shape from txlog),
+    # pid mode: a version commit is a PERMANENT record, not a renewed
+    # claim — recording an unrenewed lease here would falsely read as
+    # a crashed writer 30 s later (r11 review #3); writer_pid kept
+    # for compatibility with pre-r11 log readers
     commit_exclusive(
         log, version,
-        claim_payload({"writer_pid": os.getpid(), "staged": staged}),
+        claim_payload(
+            {"writer_pid": os.getpid(), "staged": staged}, mode="pid"
+        ),
     )
     vdir = _vdir(dest, version)
     os.rename(staged, vdir)  # immutable version slot, unique per CAS win

@@ -370,9 +370,13 @@ def apply_cdc_batch(
     else:
         merged = delta
     merged.write.mode("overwrite").parquet(vpath)
-    # self-describing claim payload (r11): mode + lease expiry ride
-    # along; writer_pid kept for pre-r11 compatibility
-    commit_exclusive(log_dir, bid, claim_payload({"writer_pid": os.getpid()}))
+    # self-describing claim payload (r11), pid mode: a version commit
+    # is a permanent record, not a renewed claim (r11 review #3);
+    # writer_pid kept for pre-r11 compatibility
+    commit_exclusive(
+        log_dir, bid,
+        claim_payload({"writer_pid": os.getpid()}, mode="pid"),
+    )
 
 
 def stream_cdc_latest_store(

@@ -222,32 +222,44 @@ def ivf_cand_frac(spark, sf_dir: str) -> float:
     config (scaled C + "auto" mass schedule) — the serve-cost number
     the r11 retune dials (VERDICT r10 #1 asked for the measured
     candidate mass beside every recall row). Mean over the standing
-    query panel of |distinct probed candidates| / N."""
+    query panel of |distinct probed candidates| / N. Serves from the
+    SHARED persisted index (the registered ann_ivf_index_search
+    config), so the trainer runs at most once per corpus version per
+    host — never a second in-query build beside the recall pass (r11
+    review #6)."""
+    import os as _os
+
+    from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann import (
         IVF_PROBE_MASS as _MASS,
         IVF_SCALE_REF as _SREF,
         _mass_probes,
-        ivf_build_frames,
     )
-    from bigdatafinalproject_spark.operators.barrier import (
-        materialize_barrier,
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_ivf_index,
+        shared_index_dir,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
     )
-    centroids, postings = ivf_build_frames(
-        emb, centroid_mod=37, max_centroids=64, train_rounds=2,
+    params = dict(
+        centroid_mod=37, max_centroids=64, train_rounds=2,
         multi_assign=3, scale_ref=_SREF,
     )
-    postings = materialize_barrier(postings)
-    sizes = postings.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("_csz")
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    idx = ensure_ivf_index(
+        spark, emb, shared_index_dir("ivf", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
     )
+    centroids = spark.read.parquet(_os.path.join(idx, "centroids"))
+    postings = spark.read.parquet(_os.path.join(idx, "postings"))
+    sizes = spark.read.parquet(_os.path.join(idx, "cell_sizes"))
     probes = _mass_probes(
         centroids, queries, sizes, _MASS, "vec_id", "embedding",
-        mass_multi=3,
+        mass_multi=3, sched_ref=_SREF,
     )
     per_q = (
         probes.join(postings, "centroid_id")

@@ -1023,6 +1023,76 @@ def test_dedup_index_lifecycle_idempotence_and_refusal(spark, tmp_path):
         dedup_index_check(spark, idx, batch)
 
 
+def test_compact_legacy_index_missing_newer_table_survives(spark, tmp_path):
+    """r11 review #1: compacting an index whose manifest predates a
+    newer kind table (a pre-r11 dedup index without winnow_fps) must
+    skip the missing table and COMMIT — the swap loop crashing after
+    the invalidate left the index permanently non-current."""
+    import json
+    import os as _os
+    import shutil as _shutil
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        DEDUP_INDEX_PARAMS,
+        compact_index,
+        dedup_index_append,
+        dedup_index_check,
+        ensure_dedup_index,
+        index_is_current,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "dedup_legacy")
+    ensure_dedup_index(spark, base, idx, "fp_leg", **dict(DEDUP_INDEX_PARAMS))
+    dedup_index_append(spark, idx, delta, batch_id=0)
+    # forge the pre-r11 shape: drop the table AND its manifest entry
+    _shutil.rmtree(_os.path.join(idx, "winnow_fps"))
+    mpath = _os.path.join(idx, "_meta.json")
+    meta = json.load(open(mpath))
+    meta["tables"] = ["digests", "bands"]
+    json.dump(meta, open(mpath, "w"))
+
+    stats = compact_index(spark, idx)
+    assert "winnow_fps" not in stats  # skipped, not crashed
+    assert index_is_current(idx, "dedup", "fp_leg")
+    assert dedup_index_check(spark, idx, batch).count() > 0
+
+
+def test_recommit_fence_refuses_stale_writer(tmp_path):
+    """r11 review #2: a maintenance recommit that finds a manifest
+    already at mver >= its claimed slot lost an arbitration it never
+    saw (a lease-mode writer paused past its lease whose slot a
+    contender advanced past) — it must RAISE, never overwrite the
+    contender's recommit with stale applied_batches; a recommit into
+    the normal invalidated (manifest-absent) state still lands."""
+    import pytest as _pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _commit,
+        _manifest,
+    )
+    from bigdatafinalproject_spark.operators.txlog import (
+        ConcurrentWriteError,
+    )
+
+    idx = str(tmp_path / "fenced")
+    import os as _os
+
+    _os.makedirs(idx)
+    # the contender recommitted slot 2 while we were stalled at slot 1
+    _commit(idx, "pq", "fp", ["codes"], mver=2, applied_batches=[0, 1])
+    with _pytest.raises(ConcurrentWriteError, match="fenced"):
+        _commit(idx, "pq", "fp", ["codes"], mver=1, applied_batches=[0])
+    assert _manifest(idx)["applied_batches"] == [0, 1]  # untouched
+    # normal path: manifest absent during our own append window
+    _os.remove(_os.path.join(idx, "_meta.json"))
+    _commit(idx, "pq", "fp", ["codes"], mver=3, applied_batches=[0, 1, 2])
+    assert _manifest(idx)["mver"] == 3
+
+
 def test_dedup_index_winnow_fps_lifecycle(spark, tmp_path):
     """The r11 winnow_fps table through the index lifecycle: (a) the
     maintained base+appends table serves contamination stats exactly
