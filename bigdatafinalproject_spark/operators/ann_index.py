@@ -104,7 +104,14 @@ _APPLOG = "_applog"
 # codes relation per search;
 # v4: ivf indexes persist the same C-row cell_sizes table — the IVF
 # tier moved to the mass-budgeted probe too, and deriving the sizes
-# at serve time would re-scan the postings relation per search)
+# at serve time would re-scan the postings relation per search;
+# v5: cell_sizes is an APPEND-ONLY log of per-batch partial counts —
+# appends add a ≤C-row file derived from the just-appended data files
+# instead of checkpointing the assignment and rewriting the merged
+# table per micro-batch; readers sum, compaction bounds the file
+# count. Serve results are invariant (sum of partials == merged
+# total), so v4 tables read correctly under v5 code and the
+# fingerprint rule is unchanged)
 _ALGO_VERSION = 4
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
@@ -122,9 +129,11 @@ _ALGO_VERSION = 4
 _WRITER_WAIT_S = 300.0
 
 _APPEND_TABLES = {
-    "ivf": ("postings",),
+    # cell_sizes joined the append targets in v5 (one ≤C-row file per
+    # batch) — compaction bounds its file count like the data tables
+    "ivf": ("postings", "cell_sizes"),
     "pq": ("codes", "norms"),
-    "ivfpq": ("codes", "norms"),
+    "ivfpq": ("codes", "norms", "cell_sizes"),
     # the dedup index appends one file set per ingested crawl batch —
     # the same compaction target shape as the ANN kinds
     "dedup": ("digests", "bands", "winnow_fps"),
@@ -549,18 +558,60 @@ def _writer_txn(
 
 
 
-def _swap_sizes(cpath: str, sizes_tmp: str) -> None:
-    """Swap the staged cell_sizes table into place. The old-dir name is
-    unique PER SWAP (monotonic-clock suffix, r10 advice): a pid-stable
-    name can collide with a leftover from a prior append in the same
-    long-lived process (rmtree ignore_errors can fail partially), and
-    the collision would raise AFTER the manifest invalidate — leaving
-    the index non-current until a full rebuild. The .tmp. infix keeps
-    both staging names inside clone_index's ignore patterns."""
-    old = f"{cpath}.tmp.old.{os.getpid()}.{time.monotonic_ns()}"
-    os.rename(cpath, old)
-    os.rename(sizes_tmp, cpath)
-    shutil.rmtree(old, ignore_errors=True)
+def _new_parquet_files(table_dir: str, pre_files: set[str]) -> list[str]:
+    """The parquet files an append just added to ``table_dir`` (set
+    difference against the pre-append listing). How the v5 cell-size
+    maintenance derives a delta's per-cell counts without a second
+    pass over the delta frame: the appended files ARE the delta."""
+    return [
+        os.path.join(table_dir, n)
+        for n in sorted(os.listdir(table_dir))
+        if n.endswith(".parquet") and n not in pre_files
+    ]
+
+
+def _append_sizes(
+    spark: SparkSession,
+    cpath: str,
+    delta_files: list[str],
+    cell_col: str,
+    pred=None,
+) -> None:
+    """Append the delta batch's per-cell counts to the cell_sizes
+    table (v5: the table is an APPEND-ONLY log of (centroid_id, _csz)
+    partial counts — readers sum, compaction bounds the file count).
+    Reads only the just-appended files, column-pruned to the cell id;
+    ``pred`` restricts to one row per vector when the source table
+    carries several (ivfpq codes: m subspace rows per assignment)."""
+    from pyspark.sql import functions as F
+
+    if not delta_files:
+        return
+    df = spark.read.parquet(*delta_files)
+    if pred is not None:
+        df = df.filter(pred)
+    (
+        df.groupBy(F.col(cell_col).alias("centroid_id"))
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(cpath)
+    )
+
+
+def _read_sizes(spark: SparkSession, cpath: str):
+    """The C-row (centroid_id, _csz) view of a v5 cell_sizes table:
+    the persisted table is an append-only log of per-batch partial
+    counts, so readers sum. On a fresh build this is a no-op aggregate
+    over exactly C rows; after n appends it folds ≤ C·(n+1) rows —
+    kB-scale either way, and never a scan of the data relation."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(cpath)
+        .groupBy("centroid_id")
+        .agg(F.sum("_csz").alias("_csz"))
+    )
 
 
 def _footer_rows(spark: SparkSession, path: str) -> int:
@@ -684,43 +735,30 @@ def ivf_index_append(
         per_vec = max(1, min(multi, centroids.count()))
         ppath = os.path.join(index_dir, "postings")
         n_before = _footer_rows(spark, ppath)
-        # maintain the persisted cell-size table (v4, mirroring the
-        # ivfpq append): merge the delta's per-cell posting counts
-        # into the C-row table, STAGED before the invalidate (full
-        # Spark jobs belong in the released-on-failure window) and
-        # swapped in with the data append
-        from pyspark.sql import functions as F
-
         cpath = os.path.join(index_dir, "cell_sizes")
-        sizes_tmp = None
-        if "cell_sizes" in meta.get("tables", []):
-            # two actions consume the delta assignment in this mode
-            # (the staged sizes merge and the postings append) —
-            # barrier it so the N_delta × C crossJoin + window runs
-            # once per micro-batch, not twice (r10 review)
-            from bigdatafinalproject_spark.operators.barrier import (
-                materialize_barrier,
-            )
-
-            postings = materialize_barrier(postings)
-            dsizes = postings.groupBy("centroid_id").agg(
-                F.count(F.lit(1)).alias("_csz")
-            )
-            merged = (
-                spark.read.parquet(cpath)
-                .unionByName(dsizes)
-                .groupBy("centroid_id")
-                .agg(F.sum("_csz").alias("_csz"))
-            )
-            sizes_tmp = f"{cpath}.tmp.{os.getpid()}"
-            merged.coalesce(1).write.mode("overwrite").parquet(sizes_tmp)
+        track_sizes = "cell_sizes" in meta.get("tables", [])
+        pre_files = set(os.listdir(ppath)) if track_sizes else set()
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
     postings.write.mode("append").parquet(ppath)
-    if sizes_tmp is not None:
-        _swap_sizes(cpath, sizes_tmp)
+    if track_sizes:
+        # maintain the persisted cell-size table (v5): APPEND the
+        # delta's per-cell posting counts instead of rewriting the
+        # merged C-row table. The delta counts come from the files the
+        # append just produced (file-set diff, centroid_id column only
+        # — a kB-scale column-pruned read), so the ONLY pass over the
+        # delta is the postings append itself: v4's design checkpointed
+        # the assignment and ran a staged full-table merge + directory
+        # swap per micro-batch, three extra jobs that made the append
+        # 1.5× its pre-v4 cost (VERDICT r10 #2). Readers groupBy-sum
+        # the (≤ C·n_batches)-row table; compact_index bounds its file
+        # count like any other append target. A failure here leaves a
+        # non-current index (rebuilt, never served with postings ahead
+        # of sizes) — the same crash contract as the postings write.
+        delta_files = _new_parquet_files(ppath, pre_files)
+        _append_sizes(spark, cpath, delta_files, "centroid_id")
     # appended rows from the postings footer delta (metadata-only),
     # divided by the exact per-vector posting count — never an extra
     # pass over the delta frame
@@ -1073,14 +1111,14 @@ def ivf_index_search(
     meta = _serving_manifest(index_dir, "ivf")
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    # the maintained C-row cell-size table (v4 indexes) spares the
-    # mass probe a per-search scan of the postings relation; a legacy
-    # index without it falls back to the derived aggregate
+    # the maintained cell-size table (v4+ indexes) spares the mass
+    # probe a per-search scan of the postings relation; a legacy index
+    # without it falls back to the derived aggregate. v5 appends
+    # PARTIAL per-batch counts, so readers sum to the C-row view
+    # (≤ C·n_batches rows in — a kB-scale aggregate)
     cell_sizes = None
     if "cell_sizes" in meta.get("tables", []):
-        cell_sizes = spark.read.parquet(
-            os.path.join(index_dir, "cell_sizes")
-        )
+        cell_sizes = _read_sizes(spark, os.path.join(index_dir, "cell_sizes"))
     p = meta.get("params", {})
     sref = p.get("scale_ref")
     return ivf_search_frames(
@@ -1229,14 +1267,13 @@ def ivfpq_index_search(
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     norms = spark.read.parquet(os.path.join(index_dir, "norms"))
-    # the maintained C-row cell-size table (v3 indexes) spares the
-    # mass probe a per-search scan of the codes relation; a legacy
-    # index without it falls back to the derived aggregate
+    # the maintained cell-size table (v3+ indexes) spares the mass
+    # probe a per-search scan of the codes relation; a legacy index
+    # without it falls back to the derived aggregate (v5 partial
+    # counts summed to the C-row view — see the ivf twin)
     cell_sizes = None
     if "cell_sizes" in meta.get("tables", []):
-        cell_sizes = spark.read.parquet(
-            os.path.join(index_dir, "cell_sizes")
-        )
+        cell_sizes = _read_sizes(spark, os.path.join(index_dir, "cell_sizes"))
     return ivfpq_search_frames(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
@@ -1290,19 +1327,6 @@ def ivfpq_index_append(
         assigned = _nearest_centroids(
             centroids, delta, id_col, vec_col, multi, "neighbor_id"
         )
-        if "cell_sizes" in meta.get("tables", []):
-            # two actions consume the delta assignment when the
-            # cell-size table is maintained (the staged sizes merge
-            # and the residual-encode → codes append) — barrier it at
-            # creation so the N_delta × C crossJoin + window runs once
-            # per micro-batch, not twice (r10 review; binding it here,
-            # before dcodes captures the plan, is what makes both
-            # consumers read the checkpoint)
-            from bigdatafinalproject_spark.operators.barrier import (
-                materialize_barrier,
-            )
-
-            assigned = materialize_barrier(assigned)
         dvec = delta.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         )
@@ -1324,33 +1348,28 @@ def ivfpq_index_append(
         )
         npath = os.path.join(index_dir, "norms")
         n_before = _footer_rows(spark, npath)
-        # maintain the persisted cell-size table (v3, r10 review #2):
-        # merge the delta's per-cell assignment counts into the C-row
-        # table, STAGED before the invalidate (full Spark jobs belong
-        # in the released-on-failure window) and swapped in with the
-        # data appends
         cpath = os.path.join(index_dir, "cell_sizes")
-        sizes_tmp = None
-        if "cell_sizes" in meta.get("tables", []):
-            dsizes = assigned.groupBy("centroid_id").agg(
-                F.count(F.lit(1)).alias("_csz")
-            )
-            merged = (
-                spark.read.parquet(cpath)
-                .unionByName(dsizes)
-                .groupBy("centroid_id")
-                .agg(F.sum("_csz").alias("_csz"))
-            )
-            sizes_tmp = f"{cpath}.tmp.{os.getpid()}"
-            merged.coalesce(1).write.mode("overwrite").parquet(sizes_tmp)
+        kpath = os.path.join(index_dir, "codes")
+        track_sizes = "cell_sizes" in meta.get("tables", [])
+        pre_files = set(os.listdir(kpath)) if track_sizes else set()
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during append
-    dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+    dcodes.write.mode("append").parquet(kpath)
     dnorms.write.mode("append").parquet(npath)
-    if sizes_tmp is not None:
-        _swap_sizes(cpath, sizes_tmp)
+    if track_sizes:
+        # maintain the persisted cell-size table (v5, mirroring the
+        # ivf append): APPEND the delta's per-cell assignment counts,
+        # derived from the codes files the append just produced —
+        # s = 0 restricts to one row per (vector, cell) since codes
+        # carry m subspace rows per assignment. One pass over the
+        # delta (the codes append), no checkpoint, no staged merge,
+        # no directory swap; readers groupBy-sum (VERDICT r10 #2).
+        delta_files = _new_parquet_files(kpath, pre_files)
+        _append_sizes(
+            spark, cpath, delta_files, "centroid_id", pred=F.col("s") == 0
+        )
     n_delta = _footer_rows(spark, npath) - n_before
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(

@@ -448,9 +448,13 @@ def test_compact_ivf_postings_content_neutral(spark, tmp_path):
         for r in ivf_index_search(spark, idx, emb, queries, k=10).collect()
     }
     stats = compact_index(spark, idx)
-    assert set(stats) == {"postings"}
+    # v5: the cell_sizes partial-count log is an append target too —
+    # compaction collapses its per-batch files alongside the postings
+    assert set(stats) == {"postings", "cell_sizes"}
     before, after = stats["postings"]
     assert after < before, (before, after)
+    cs_before, cs_after = stats["cell_sizes"]
+    assert cs_after < cs_before, (cs_before, cs_after)
     post = {
         tuple(r)
         for r in ivf_index_search(spark, idx, emb, queries, k=10).collect()
@@ -843,12 +847,13 @@ def test_ivf_base_rows_exact_with_fewer_centroids_than_multi(
 
 
 def test_ivfpq_cell_sizes_maintained_not_rescanned(spark, tmp_path):
-    """r10 review #2: the ivfpq index persists a C-row cell-size table
-    at build and MAINTAINS it through appends (merge of the delta's
-    per-cell assignment counts), so the mass-budgeted probe never
-    re-scans the codes relation at serve time. The maintained table
-    must equal the aggregate derived from codes after any append — and
-    the serve path must actually read it (manifest lists it)."""
+    """r10 review #2 / v5: the ivfpq index persists a cell-size table
+    at build and MAINTAINS it through appends. v5 appends PARTIAL
+    per-batch counts (derived from the just-appended codes files —
+    one pass over the delta, no staged merge), so the reader-side
+    SUM of the table must equal the aggregate derived from codes
+    after any append — and the serve path must actually read it
+    (manifest lists it)."""
     import json
     import os as _os
 
@@ -876,10 +881,11 @@ def test_ivfpq_cell_sizes_maintained_not_rescanned(spark, tmp_path):
     assert "cell_sizes" in meta["tables"]
 
     def maintained():
-        return {
-            (r.centroid_id, r._csz)
-            for r in spark.read.parquet(f"{idx}/cell_sizes").collect()
-        }
+        # the reader-side view: sum of the v5 partial-count log
+        agg: dict = {}
+        for r in spark.read.parquet(f"{idx}/cell_sizes").collect():
+            agg[r.centroid_id] = agg.get(r.centroid_id, 0) + r._csz
+        return set(agg.items())
 
     def derived():
         return {
@@ -893,18 +899,19 @@ def test_ivfpq_cell_sizes_maintained_not_rescanned(spark, tmp_path):
 
     assert maintained() == derived()
     ivfpq_index_append(spark, idx, delta, batch_id=0)
-    assert maintained() == derived()  # merge kept the table exact
+    assert maintained() == derived()  # partial counts sum exact
 
 
 def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
-    """v4 (IVF half of the mass-probe retune): the ivf index persists
-    the same C-row cell-size table at build and MAINTAINS it through
-    appends (merge of the delta's per-cell posting counts), so the
-    mass-budgeted probe never re-scans the postings relation at serve
-    time. The maintained table must equal the aggregate derived from
-    postings after any append — and mass-probed serves over the
-    maintained index must match a legacy serve that derives sizes
-    from postings directly (same probe rule, two size sources)."""
+    """v4/v5 (IVF half of the mass-probe retune): the ivf index
+    persists a cell-size table at build and MAINTAINS it through
+    appends — v5 as PARTIAL per-batch counts appended in one pass
+    over the delta — so the mass-budgeted probe never re-scans the
+    postings relation at serve time. The reader-side SUM must equal
+    the aggregate derived from postings after any append — and
+    mass-probed serves over the maintained index must match a legacy
+    serve that derives sizes from postings directly (same probe
+    rule, two size sources)."""
     import json
     import os as _os
 
@@ -929,10 +936,11 @@ def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
     assert "cell_sizes" in meta["tables"]
 
     def maintained():
-        return {
-            (r.centroid_id, r._csz)
-            for r in spark.read.parquet(f"{idx}/cell_sizes").collect()
-        }
+        # the reader-side view: sum of the v5 partial-count log
+        agg: dict = {}
+        for r in spark.read.parquet(f"{idx}/cell_sizes").collect():
+            agg[r.centroid_id] = agg.get(r.centroid_id, 0) + r._csz
+        return set(agg.items())
 
     def derived():
         return {
@@ -944,8 +952,17 @@ def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
         }
 
     assert maintained() == derived()
+    n_files_before = len(
+        [n for n in _os.listdir(f"{idx}/cell_sizes") if n.endswith(".parquet")]
+    )
     ivf_index_append(spark, idx, delta, batch_id=0)
-    assert maintained() == derived()  # merge kept the table exact
+    assert maintained() == derived()  # partial counts sum exact
+    # v5 contract: the append ADDED a partial-count file — it did not
+    # rewrite the table (the rewrite was the 1.5× append regression)
+    n_files_after = len(
+        [n for n in _os.listdir(f"{idx}/cell_sizes") if n.endswith(".parquet")]
+    )
+    assert n_files_after == n_files_before + 1
 
     # served results from the maintained table == a derived-size serve
     queries = emb.filter(F.col("vec_id") % 250 == 0)
