@@ -562,6 +562,13 @@ _R11_FRONT = (
     "stream_ivfpq_index_maintenance",
     "stream_orders_cdc_apply",
     "orders_write_audit_publish",
+    # the IVFPQ tier adopted the scheduled policy too (r11: scaled
+    # coarse count + s-scheduled probe-mass budget, "auto") — the
+    # whole composed family re-fronts; results change at scaled SFs
+    # and the oracles replay both integer rules (the index queries
+    # above are already fronted for the v5 cell_sizes change)
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
     # (b) new in round 11
     # the ACTING tier over winnowed spans: span-level dedup by the
     # min-id rule (drop a doc when > half its fingerprints are

@@ -25,16 +25,30 @@ from pyspark.sql import functions as F
 from bigdatafinalproject_spark.operators.layout import spread
 
 
-# IVFPQ adaptive probe policy (r10): probe cosine-ranked cells until
-# their cumulative posting mass reaches ceil(num/den of total
-# postings). Lives at the OPERATOR layer (not queries/) so streaming
-# maintenance and scripts can import it without touching the query
-# registry — importing a queries.* module before registry finishes
-# _load_all() leaves a partially-initialized module and breaks
-# oracle_of references (the circular-import trap). numpy-calibrated
-# across 4 scale points: recall@10 0.93-0.95 flat at 3/10 vs
-# 0.77-0.82 at fixed nprobe=8.
-IVFPQ_PROBE_MASS = (3, 10)
+# IVFPQ adaptive probe policy (r10 introduced the mass budget; r11
+# adopted the SAME scheduled policy as the IVF tier — "auto": coarse
+# count C = min(512, 64·ceil(sqrt(N/2000))) and the posting-mass
+# budget steps down with s per IVF_MASS_SCHEDULE). Lives at the
+# OPERATOR layer (not queries/) so streaming maintenance and scripts
+# can import it without touching the query registry (the
+# circular-import trap). numpy-calibrated across 5 scale points
+# BEFORE the Spark change (scripts/ivfpq_calibration.py,
+# IVFPQ_CALIBRATION.json), every shipped operating point directly
+# measured:
+#
+#   sf0.1  s=1  C=55(sat) mass 3/10 recall 0.940 scan 0.31 (= r10)
+#   sf0.3  s=2  C=128     mass 3/10 recall 0.948 scan 0.30
+#   sf1    s=4  C=256     mass 1/5  recall 0.938 scan 0.20
+#   sf3    s=6  C=384     mass 3/20 recall 0.948 scan 0.15
+#   sf10   s=10 C=512     mass 3/20 recall 0.947 scan 0.15
+#
+# vs the frozen-C r10 points (C=64, 3/10): recall equal-or-better at
+# sf0.3-sf3 (0.944/0.931/0.948) and -0.008 at sf10 (0.955), while
+# the compressed-domain scan HALVES (0.31 -> 0.15 of posting mass,
+# unique candidates 0.67N -> 0.37N). This is the serve-cost dial the
+# IVF calibration said only the ADC tier could afford to turn: 15%
+# of 16 B/vector codes ≈ 2.4 B/vector scanned per query at sf10.
+IVFPQ_PROBE_MASS = "auto"
 
 # IVF-flat probe policy (r10 introduced the mass budget; r11 made it
 # ADAPTIVE — the r10 verdict's top item). "auto" = the scheduled
@@ -1336,6 +1350,8 @@ def ivfpq_build_frames(
     dim: int = 64,
     codeword_mod: int = 13,
     max_codewords: int = 64,
+    coarse_scale_ref: int | None = None,
+    centroid_cap: int = IVF_CENTROID_CAP,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The IVFPQ INDEX as four frames — (centroids, codebook, codes,
     norms) — the composed billion-scale layout (FAISS's IVFADC): coarse
@@ -1371,10 +1387,16 @@ def ivfpq_build_frames(
         kmeans_centroids,
     )
 
+    # coarse count scales with the corpus exactly like the IVF tier
+    # (``coarse_scale_ref`` — NOT the PQ pool's ``scale_ref``): r11
+    # extended the r10-verdict centroid schedule to the composed tier
+    # so the ADC scan fraction steps down as N grows instead of cells
+    # fattening under a frozen C (IVFPQ_CALIBRATION.json)
     centroids = ivf_centroids(
         corpus, id_col=id_col, vec_col=vec_col,
         centroid_mod=centroid_mod, max_centroids=max_centroids,
         train_rounds=train_rounds,
+        scale_ref=coarse_scale_ref, centroid_cap=centroid_cap,
     )
     # ONE ranked assignment pass serves both the multi-assignment
     # postings and the primary (rank-1) training subset (r9 review #6:
@@ -1471,8 +1493,10 @@ def ivfpq_search_frames(
     scale: int = 1_000_000,
     pool_cap: int = 640,
     scale_ref: int = 1000,
-    probe_mass: tuple[int, int] | None = None,
+    probe_mass: tuple[int, int] | str | None = None,
     cell_sizes: DataFrame | None = None,
+    mass_multi: int | None = None,
+    sched_ref: int | None = None,
 ) -> DataFrame:
     """The serve half of ivfpq_topk: probe cells per query, ADC-rank
     the probed cells' codes by the exact decomposition
@@ -1522,7 +1546,8 @@ def ivfpq_search_frames(
             .agg(F.count(F.lit(1)).alias("_csz"))
         )
         probes = _mass_probes(
-            centroids, queries, sizes, probe_mass, id_col, vec_col
+            centroids, queries, sizes, probe_mass, id_col, vec_col,
+            mass_multi=mass_multi, sched_ref=sched_ref,
         )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     # per-(query, probed cell) coarse term: floor(dot(q, centroid)*scale)
@@ -1600,22 +1625,27 @@ def ivfpq_topk(
     scale: int = 1_000_000,
     pool_cap: int = 640,
     scale_ref: int = 1000,
-    probe_mass: tuple[int, int] | None = None,
+    probe_mass: tuple[int, int] | str | None = None,
+    coarse_scale_ref: int | None = None,
+    centroid_cap: int = IVF_CENTROID_CAP,
 ) -> DataFrame:
     """Composed IVF+PQ top-k (end-to-end: train coarse cells, train the
     residual codebook, encode, search). See ivfpq_build_frames for the
     layout and ivfpq_search_frames for the serve plan (including the
-    ``probe_mass`` adaptive-probe policy, r10). numpy calibration:
-    fixed nprobe=8 reads recall@10 0.77-0.82 (the IVF coverage
-    ceiling); the mass-budgeted probe at 3/10 of the posting mass
-    reads 0.93-0.95 flat across a 30× span — the candidate scan still
-    reads ~m-byte codes instead of 256-byte float vectors."""
+    ``probe_mass`` adaptive-probe policy, r10; ``"auto"`` + the r11
+    ``coarse_scale_ref`` centroid schedule = the scaled operating
+    points of IVFPQ_CALIBRATION.json). numpy calibration: fixed
+    nprobe=8 reads recall@10 0.77-0.82 (the IVF coverage ceiling); the
+    mass-budgeted probe at 3/10 of the posting mass reads 0.93-0.95
+    flat across a 30× span — the candidate scan still reads ~m-byte
+    codes instead of 256-byte float vectors."""
     centroids, cb, codes, norms = ivfpq_build_frames(
         corpus, id_col=id_col, vec_col=vec_col,
         centroid_mod=centroid_mod, max_centroids=max_centroids,
         train_rounds=train_rounds, multi_assign=multi_assign,
         m=m, dim=dim, codeword_mod=codeword_mod,
         max_codewords=max_codewords,
+        coarse_scale_ref=coarse_scale_ref, centroid_cap=centroid_cap,
     )
     if probe_mass is not None:
         from bigdatafinalproject_spark.operators.barrier import (
@@ -1633,4 +1663,5 @@ def ivfpq_topk(
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe, m=m, dim=dim,
         rerank=rerank, scale=scale, pool_cap=pool_cap, scale_ref=scale_ref,
         probe_mass=probe_mass,
+        mass_multi=multi_assign, sched_ref=coarse_scale_ref,
     )

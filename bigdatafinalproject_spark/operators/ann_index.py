@@ -150,9 +150,13 @@ _BUILD_DEFAULTS = {
                 multi_assign=1, scale_ref=None, centroid_cap=512),
     "pq": dict(m=8, dim=64, codeword_mod=13, max_codewords=16,
                codebook_cap=64, scale_ref=1000, train_rounds=0),
+    # coarse_scale_ref (r11): None = unscaled legacy sizing; the
+    # registered queries pass IVF_SCALE_REF so the composed tier's
+    # coarse count and probe budget ride the same schedule as IVF
     "ivfpq": dict(centroid_mod=37, max_centroids=64, train_rounds=2,
                   multi_assign=3, m=16, dim=64, codeword_mod=13,
-                  max_codewords=64),
+                  max_codewords=64, coarse_scale_ref=None,
+                  centroid_cap=512),
     # win_k/win_w/benchmark_pred (r11): the persisted winnowed
     # benchmark-fingerprint table — a production pipeline
     # decontaminates every incoming crawl batch against a FIXED eval
@@ -1274,12 +1278,18 @@ def ivfpq_index_search(
     cell_sizes = None
     if "cell_sizes" in meta.get("tables", []):
         cell_sizes = _read_sizes(spark, os.path.join(index_dir, "cell_sizes"))
+    # probe_mass="auto" derives the schedule from the BUILD's
+    # coarse_scale_ref and multi_assign (manifest-threaded — the
+    # single-source-of-truth discipline, mirroring ivf_index_search)
+    csref = params.get("coarse_scale_ref")
     return ivfpq_search_frames(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
         m=m_idx, dim=dim_idx, rerank=rerank, scale=scale,
         pool_cap=pool_cap, scale_ref=scale_ref, probe_mass=probe_mass,
         cell_sizes=cell_sizes,
+        mass_multi=int(params.get("multi_assign", 3)),
+        sched_ref=int(csref) if csref is not None else None,
     )
 
 

@@ -87,21 +87,27 @@ _RESIDUAL = (
     "z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
 )
 
-# adaptive probe policy (r10, VERDICT r9 #3): a query probes its
-# cosine-ranked cells until their cumulative posting mass reaches
-# ceil(3/10 · total postings), inclusive of the crossing cell — ONE
-# constant (defined at the operator layer so non-registry callers can
-# import it cycle-free) shared by every registered ivfpq query AND
-# the oracle CTE below, so the plan and the replay can never drift.
-# numpy-calibrated across 4 scale points (sf0.1-sf3, 30×) BEFORE the
-# Spark change: recall@10 0.93-0.95 flat vs 0.77-0.82 at the old
-# fixed nprobe=8, whose effective coverage drifts as the cell count
-# saturates at max_centroids while N grows; the mass budget pins
-# coverage itself. All arithmetic integer-exact cross-engine (counts
-# + an exact ceil).
-from bigdatafinalproject_spark.operators.ann import IVFPQ_PROBE_MASS
+# adaptive probe policy (r10 mass budget, VERDICT r9 #3; r11 adopted
+# the IVF tier's full schedule — "auto"): the coarse count grows
+# C = min(512, 64·ceil(sqrt(N/2000))) and a query probes its
+# cosine-ranked cells until their cumulative posting mass reaches the
+# s-scheduled budget (IVF_MASS_SCHEDULE), inclusive of the crossing
+# cell. ONE constant set (defined at the operator layer so
+# non-registry callers can import it cycle-free) shared by every
+# registered ivfpq query AND the oracle CTEs below, so the plan and
+# the replay can never drift. numpy-calibrated across 5 scale points
+# BEFORE the Spark change (IVFPQ_CALIBRATION.json): recall@10
+# 0.938-0.948 across the 100× span while the ADC scan halves
+# (0.31 -> 0.15 of posting mass at sf3+) — vs 0.931-0.955 at the
+# frozen C=64 / 3/10 operating points. All arithmetic integer-exact
+# cross-engine (counts, an exact ceil, IEEE sqrt).
+from bigdatafinalproject_spark.operators.ann import (
+    IVF_SCALE_REF,
+    IVFPQ_PROBE_MASS,
+    ivf_mass_schedule_sql,
+)
 
-_IVFPQ_MASS = IVFPQ_PROBE_MASS
+_IVFPQ_MASS = IVFPQ_PROBE_MASS  # "auto": the scheduled policy
 
 
 def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
@@ -110,11 +116,16 @@ def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
     base-joined prim_res) to the base subset — the train-on-base mode
     the incremental-maintenance oracle replays. Assignment, encoding,
     and search always cover the FULL corpus against those (frozen)
-    quantizers, which is exactly build(base) ⊎ append(delta)."""
+    quantizers, which is exactly build(base) ⊎ append(delta). The
+    probe budget replays the r11 scheduled policy exactly as the IVF
+    oracle does: C from the scaled-count rule (scaled=True), s from
+    the posting total, (num, den) from the SHARED IVF_MASS_SCHEDULE
+    rendering."""
+    num_case, den_case = ivf_mass_schedule_sql("s")
     return f"""
     WITH {_NORMS_CTE},
     base_set AS (SELECT vec_id FROM embeddings WHERE ({base_pred})),
-    {_kmeans_ctes(_IVF_ROUNDS, base_pred=base_pred)},
+    {_kmeans_ctes(_IVF_ROUNDS, base_pred=base_pred, scaled=True)},
     cents AS (SELECT cid AS centroid_id, centroid AS cemb,
                      sqrt({_DOT_AB.format(a='centroid', b='centroid')}) AS cnrm
               FROM kc{_IVF_ROUNDS}),
@@ -154,15 +165,20 @@ def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
     cell_sizes AS (SELECT centroid_id, COUNT(*) AS csz
                    FROM assign GROUP BY 1),
     post_tot AS (SELECT SUM(csz) AS t FROM cell_sizes),
+    bud AS (SELECT t, CAST(floor((num * t + (den - 1)) / CAST(den AS DOUBLE))
+                           AS BIGINT) AS b
+            FROM (SELECT t, {num_case} AS num, {den_case} AS den
+                  FROM (SELECT t, CAST(ceil(sqrt((t / {_IVF_MULTI}.0)
+                             / {IVF_SCALE_REF}.0)) AS BIGINT) AS s
+                        FROM post_tot))),
     probes AS (SELECT query_id, centroid_id FROM (
                  SELECT r.vec_id AS query_id, r.centroid_id, s.csz,
                         SUM(s.csz) OVER (PARTITION BY r.vec_id
                                          ORDER BY r.rn) AS cum
                  FROM ranked r
                  JOIN cell_sizes s ON s.centroid_id = r.centroid_id
-                 WHERE r.vec_id % 50 = 0 AND r.vec_id < 3200), post_tot
-               WHERE cum - csz < CAST(floor(({_IVFPQ_MASS[0]} * t
-                     + {_IVFPQ_MASS[1] - 1}) / {_IVFPQ_MASS[1]}.0) AS BIGINT)),
+                 WHERE r.vec_id % 50 = 0 AND r.vec_id < 3200), bud
+               WHERE cum - csz < b),
     qc AS (SELECT p.query_id, p.centroid_id,
                   CAST(floor({_DOT_AB.format(a='q.embedding', b='c.cemb')}
                              * {_PQ_SCALE}) AS BIGINT) AS qcv
@@ -216,17 +232,20 @@ def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
 @query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF+PQ top-10 (operators/ann.ivfpq_topk): trained
-    coarse cells (2 Lloyd rounds, 3× multi-assignment) + per-subspace
-    residual codebooks (16×4, 64 codewords, 2 grouped Lloyd rounds on
-    the primary-assignment residuals); search probes nprobe=8 cells
-    and ranks candidates by the EXACT integer decomposition
-    floor(dot(q,c)·1e6) + Σ_s floor(dot(q_s,cw)·1e6) — one coarse
-    scalar per probed cell plus a cell-independent kB lookup table —
-    then exact-reranks the sqrt-scaled pool. The 100 TB point: the
-    candidate scan reads ~16-byte codes (16× less than float vectors)
-    and never touches full precision outside the bounded pool; recall
-    rides the IVF coverage ceiling (~0.79–0.83 across 10×, numpy-
-    calibrated before the Spark build, Spark matching numpy)."""
+    coarse cells (2 Lloyd rounds, 3× multi-assignment, count scaled
+    C = min(512, 64·ceil(sqrt(N/2000))) — r11) + per-subspace residual
+    codebooks (16×4, 64 codewords, 2 grouped Lloyd rounds on the
+    primary-assignment residuals); search probes cosine-ranked cells
+    to the s-scheduled posting-mass budget and ranks candidates by the
+    EXACT integer decomposition floor(dot(q,c)·1e6) +
+    Σ_s floor(dot(q_s,cw)·1e6) — one coarse scalar per probed cell
+    plus a cell-independent kB lookup table — then exact-reranks the
+    sqrt-scaled pool. The 100 TB point: the candidate scan reads
+    ~16-byte codes of 15-30% of the posting mass (≈ 2.4-5 bytes per
+    corpus vector per query) and never touches full precision outside
+    the bounded pool; recall 0.938-0.948 flat across the 100× span
+    (IVFPQ_CALIBRATION.json, numpy-calibrated before the Spark
+    change, Spark matching numpy)."""
     from bigdatafinalproject_spark.operators.ann import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -240,6 +259,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_mass=_IVFPQ_MASS, m=_PQ_M, dim=64,
         codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
         rerank=4, scale=_PQ_SCALE,
+        coarse_scale_ref=IVF_SCALE_REF,
     )
 
 
@@ -266,6 +286,7 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_mass=_IVFPQ_MASS, m=_PQ_M, dim=64,
         codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
         rerank=4, scale=_PQ_SCALE,
+        coarse_scale_ref=IVF_SCALE_REF,
     ).select("query_id", "neighbor_id")
     return recall_frame(ex, ap)
 
@@ -295,6 +316,7 @@ def ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
         m=_PQ_M, dim=64, codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+        coarse_scale_ref=IVF_SCALE_REF,
     )
     fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
     idx = ensure_ivfpq_index(
@@ -351,6 +373,7 @@ def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
         m=_PQ_M, dim=64, codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+        coarse_scale_ref=IVF_SCALE_REF,
     )
     fp = corpus_fingerprint(
         table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
@@ -406,6 +429,7 @@ def ann_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
         train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
         m=_PQ_M, dim=64, codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+        coarse_scale_ref=IVF_SCALE_REF,
     )
     fp = corpus_fingerprint(
         table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params

@@ -360,6 +360,7 @@ def stream_ivfpq_index_maintenance(
         _IVF_ROUNDS,
     )
     from bigdatafinalproject_spark.operators.ann import (
+        IVF_SCALE_REF,
         IVFPQ_PROBE_MASS as _IVFPQ_MASS,
     )
 
@@ -371,6 +372,7 @@ def stream_ivfpq_index_maintenance(
             train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
             m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
             max_codewords=_PQ_MAXC,
+            coarse_scale_ref=IVF_SCALE_REF,
         ),
         _PQ_BASE_PRED,
     )

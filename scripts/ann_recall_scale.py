@@ -81,6 +81,7 @@ def _appended(kind, spark, emb, queries):
             spark, base, idx, "recallscale", centroid_mod=37,
             max_centroids=64, train_rounds=2, multi_assign=3,
             m=16, dim=64, codeword_mod=13, max_codewords=64,
+            coarse_scale_ref=_IVF_SCALE_REF,
         )
         ivfpq_index_append(spark, idx, delta)
         out = ivfpq_index_search(
@@ -147,6 +148,7 @@ def _retrained(kind, spark, emb, queries):
             spark, base, idx, "recallscale_base", centroid_mod=37,
             max_centroids=64, train_rounds=2, multi_assign=3,
             m=16, dim=64, codeword_mod=13, max_codewords=64,
+            coarse_scale_ref=_IVF_SCALE_REF,
         )
         ivfpq_index_append(spark, idx, delta)
     else:
@@ -172,6 +174,7 @@ def _retrained(kind, spark, emb, queries):
             spark, emb, idx, "recallscale_full", centroid_mod=37,
             max_centroids=64, train_rounds=2, multi_assign=3,
             m=16, dim=64, codeword_mod=13, max_codewords=64,
+            coarse_scale_ref=_IVF_SCALE_REF,
         )
         out = ivfpq_index_search(
             spark, idx, emb, queries, k=10, probe_mass=_IVFPQ_MASS,
@@ -210,10 +213,12 @@ def _ivfpq_mass_topk(emb, queries):
         IVFPQ_PROBE_MASS as _IVFPQ_MASS,
     )
 
+    from bigdatafinalproject_spark.operators.ann import IVF_SCALE_REF
+
     return ivfpq_topk(
         emb, queries, k=10, train_rounds=2, multi_assign=3,
         probe_mass=_IVFPQ_MASS, m=16, codeword_mod=13,
-        max_codewords=64, rerank=4,
+        max_codewords=64, rerank=4, coarse_scale_ref=IVF_SCALE_REF,
     )
 
 
@@ -256,7 +261,11 @@ def ivf_cand_frac(spark, sf_dir: str) -> float:
     )
     centroids = spark.read.parquet(_os.path.join(idx, "centroids"))
     postings = spark.read.parquet(_os.path.join(idx, "postings"))
-    sizes = spark.read.parquet(_os.path.join(idx, "cell_sizes"))
+    # v5: cell_sizes is an append-only partial-count log — read
+    # through the summing view (a fresh build is exactly C rows)
+    from bigdatafinalproject_spark.operators.ann_index import _read_sizes
+
+    sizes = _read_sizes(spark, _os.path.join(idx, "cell_sizes"))
     probes = _mass_probes(
         centroids, queries, sizes, _MASS, "vec_id", "embedding",
         mass_multi=3, sched_ref=_SREF,
@@ -272,6 +281,78 @@ def ivf_cand_frac(spark, sf_dir: str) -> float:
         .collect()[0].c
     )
     return round(float(per_q) / emb.count(), 4)
+
+
+def ivfpq_serve_frac(spark, sf_dir: str) -> dict[str, float]:
+    """Measured serve cost of the SHIPPED ivfpq config (scaled coarse
+    count + "auto" mass schedule, r11): ``scan`` = mean fraction of
+    the POSTING mass whose codes the ADC pass reads per query (the
+    compressed-domain scan dial the schedule turns — bytes/query ≈
+    scan · N · 16 B), ``cand`` = mean unique-candidate fraction.
+    Serves from the SHARED persisted index (the registered
+    ann_ivfpq_index_search config)."""
+    import os as _os
+
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann import (
+        IVF_SCALE_REF as _SREF,
+        IVFPQ_PROBE_MASS as _MASS,
+        _mass_probes,
+    )
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _read_sizes,
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        shared_index_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    params = dict(
+        centroid_mod=37, max_centroids=64, train_rounds=2,
+        multi_assign=3, m=16, dim=64, codeword_mod=13,
+        max_codewords=64, coarse_scale_ref=_SREF,
+    )
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    idx = ensure_ivfpq_index(
+        spark, emb, shared_index_dir("ivfpq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    centroids = spark.read.parquet(_os.path.join(idx, "centroids"))
+    codes = spark.read.parquet(_os.path.join(idx, "codes"))
+    sizes = _read_sizes(spark, _os.path.join(idx, "cell_sizes"))
+    probes = _mass_probes(
+        centroids, queries, sizes, _MASS, "vec_id", "embedding",
+        mass_multi=3, sched_ref=_SREF,
+    )
+    tot = sizes.agg(F.sum("_csz")).collect()[0][0]
+    nq = queries.count()
+    scanned = (
+        probes.join(sizes, "centroid_id")
+        .agg(F.sum("_csz"))
+        .collect()[0][0]
+    )
+    per_q = (
+        probes.join(
+            codes.filter(F.col("s") == 0).select(
+                "centroid_id", "neighbor_id"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .groupBy("query_id")
+        .count()
+        .agg(F.avg("count").alias("c"))
+        .collect()[0].c
+    )
+    return {
+        "scan": round(float(scanned) / (tot * nq), 4),
+        "cand": round(float(per_q) / emb.count(), 4),
+    }
 
 
 def recalls(spark, sf_dir: str) -> dict[str, float]:
@@ -388,17 +469,25 @@ def main() -> None:
     cand: dict[str, float] = {}
     if prior.is_file():
         cand = json.loads(prior.read_text()).get("ivf_candidate_frac", {})
+    pqserve: dict[str, dict[str, float]] = {}
+    if prior.is_file():
+        pqserve = json.loads(prior.read_text()).get("ivfpq_serve_frac", {})
     if os.environ.get("RECALL_CAND_FRAC", "1") != "0":
         for d in dirs:
             sf = re.search(r"sf([0-9.]+)", d).group(1)
             cand[f"sf{sf}"] = ivf_cand_frac(spark, d)
+            pqserve[f"sf{sf}"] = ivfpq_serve_frac(spark, d)
     cand = dict(
         sorted(cand.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
+    )
+    pqserve = dict(
+        sorted(pqserve.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
     )
     payload = {
         "metric": "ann_recall_at_scale",
         "recall_at_10": art,
         "ivf_candidate_frac": cand,
+        "ivfpq_serve_frac": pqserve,
     }
     (REPO / "RECALL_SCALE.json").write_text(
         json.dumps(payload, indent=1) + "\n"
