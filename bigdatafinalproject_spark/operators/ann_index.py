@@ -29,11 +29,13 @@ this module provides exactly that split on top of the
   — two concurrent appenders race for the same slot, exactly one
   proceeds, the loser waits for the winner's recommit and re-reads
   (so a batch the winner applied is an idempotent skip, never a
-  double-append). The manifest is removed before the data append and
-  re-committed after — a crash mid-append leaves no manifest, so a
-  partially-appended index (codes without norms) can never serve
-  silently. Append hyperparameters come from the manifest, never the
-  caller.
+  double-append). Every Spark job of an append runs into a staging
+  dir BEFORE the manifest invalidate (v5.1): the invalidated window
+  is pure same-FS renames, re-committed after — a crash mid-adopt
+  leaves no manifest, so a partially-adopted index (codes without
+  norms) can never serve silently, and a transient Spark failure
+  never strands the index non-current. Append hyperparameters come
+  from the manifest, never the caller.
 - compact: appended postings/codes/norms accrete one file set per
   batch (the streaming maintenance path: one per micro-batch);
   ``compact_index`` rewrites them to size-targeted files under the
@@ -106,13 +108,19 @@ _APPLOG = "_applog"
 # tier moved to the mass-budgeted probe too, and deriving the sizes
 # at serve time would re-scan the postings relation per search;
 # v5: cell_sizes is an APPEND-ONLY log of per-batch partial counts —
-# appends add a ≤C-row file derived from the just-appended data files
-# instead of checkpointing the assignment and rewriting the merged
-# table per micro-batch; readers sum, compaction bounds the file
-# count. Serve results are invariant (sum of partials == merged
-# total), so v4 tables read correctly under v5 code and the
-# fingerprint rule is unchanged)
-_ALGO_VERSION = 4
+# appends add a ≤C-row file derived from the batch's staged data
+# files instead of checkpointing the assignment and rewriting the
+# merged table per micro-batch; readers sum, compaction bounds the
+# file count; every Spark job of an append runs into a staging dir
+# pre-invalidate so the invalidated window is pure renames. Serve
+# results are invariant (sum of partials == merged total) and v4
+# tables read correctly under v5 code, but the bump is MANDATORY
+# (r11 review #1): the shared per-host cache is cross-process, and a
+# pre-v5 process serving a v5-appended index would read the
+# partial-count log RAW — duplicate centroid_id rows mis-drive its
+# mass probe silently. The version bump forces the rebuild the
+# fingerprint rule promises on any builder change.)
+_ALGO_VERSION = 5
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
 # are seconds each). Crashed-vs-live claimants are decided by each
@@ -562,16 +570,54 @@ def _writer_txn(
 
 
 
-def _new_parquet_files(table_dir: str, pre_files: set[str]) -> list[str]:
-    """The parquet files an append just added to ``table_dir`` (set
-    difference against the pre-append listing). How the v5 cell-size
-    maintenance derives a delta's per-cell counts without a second
-    pass over the delta frame: the appended files ARE the delta."""
+def _parquet_files(table_dir: str) -> list[str]:
+    """The parquet files under a (staged) table dir, sorted."""
     return [
         os.path.join(table_dir, n)
         for n in sorted(os.listdir(table_dir))
-        if n.endswith(".parquet") and n not in pre_files
+        if n.endswith(".parquet")
     ]
+
+
+def _append_stage(index_dir: str, mver: int) -> str:
+    """Create the staging dir for one append txn (v5.1, r11 review
+    #3): every Spark job of an append — the delta data write AND the
+    partial cell-count derivation — runs into this dir BEFORE the
+    manifest invalidate, while the claim is still released-on-failure
+    and the serving index is untouched. The invalidated window then
+    contains only same-FS file renames (:func:`_adopt_staged`), so a
+    transient Spark/executor failure can never strand the index
+    non-current (v5 ran the sizes job post-invalidate; v4 ran the
+    data append itself there). Stale stages from writers that died
+    pre-invalidate are swept here — safe because claims serialize
+    writers, so any existing stage belongs to a dead txn. The .tmp.
+    infix keeps stages inside clone_index's ignore patterns."""
+    for n in os.listdir(index_dir):
+        if n.startswith("_stage.tmp."):
+            shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+    stage = os.path.join(index_dir, f"_stage.tmp.{os.getpid()}.{mver}")
+    return stage
+
+
+def _adopt_staged(stage: str, index_dir: str, tables: list[str]) -> None:
+    """Move a staged append's parquet files into the live tables —
+    pure same-FS renames, the ONLY actions inside the invalidated
+    window. File names get a stage-unique prefix (pid + mver ride in
+    the stage dir name) so repeated appends can never collide with
+    prior batches' files."""
+    tag = os.path.basename(stage).replace("_stage.tmp.", "b")
+    for t in tables:
+        src = os.path.join(stage, t)
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(index_dir, t)
+        os.makedirs(dst, exist_ok=True)
+        for n in sorted(os.listdir(src)):
+            if n.endswith(".parquet"):
+                os.rename(
+                    os.path.join(src, n), os.path.join(dst, f"{tag}-{n}")
+                )
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def _append_sizes(
@@ -581,12 +627,13 @@ def _append_sizes(
     cell_col: str,
     pred=None,
 ) -> None:
-    """Append the delta batch's per-cell counts to the cell_sizes
-    table (v5: the table is an APPEND-ONLY log of (centroid_id, _csz)
-    partial counts — readers sum, compaction bounds the file count).
-    Reads only the just-appended files, column-pruned to the cell id;
-    ``pred`` restricts to one row per vector when the source table
-    carries several (ivfpq codes: m subspace rows per assignment)."""
+    """Write the delta batch's per-cell counts as one staged
+    cell_sizes file (v5: the live table is an APPEND-ONLY log of
+    (centroid_id, _csz) partial counts — readers sum, compaction
+    bounds the file count). Reads only the batch's staged data files,
+    column-pruned to the cell id; ``pred`` restricts to one row per
+    vector when the source table carries several (ivfpq codes: m
+    subspace rows per assignment)."""
     from pyspark.sql import functions as F
 
     if not delta_files:
@@ -598,7 +645,7 @@ def _append_sizes(
         df.groupBy(F.col(cell_col).alias("centroid_id"))
         .agg(F.count(F.lit(1)).alias("_csz"))
         .coalesce(1)
-        .write.mode("append")
+        .write.mode("overwrite")
         .parquet(cpath)
     )
 
@@ -706,8 +753,8 @@ def ivf_index_append(
     FROZEN persisted centroids (multi-assignment read from the
     manifest, never the caller) and append its postings — no retrain,
     no base re-assignment. Writers serialize through the ``_applog``
-    CAS (:func:`_claim_writer`); the manifest is removed before the
-    append and re-committed after, so a crash mid-append leaves a
+    CAS (:func:`_claim_writer`); the delta is STAGED pre-invalidate
+    and adopted by pure renames (v5.1), so a crash mid-adopt leaves a
     non-current index that is rebuilt, never served incomplete.
     Documented drift trade: centroids reflect the base distribution —
     :func:`needs_retrain` watches the appended fraction."""
@@ -737,36 +784,44 @@ def ivf_index_append(
         # the divisor undercounts on a tiny index with fewer cells than
         # multi (r9 review #5); the centroids frame is kB-sized
         per_vec = max(1, min(multi, centroids.count()))
-        ppath = os.path.join(index_dir, "postings")
-        n_before = _footer_rows(spark, ppath)
-        cpath = os.path.join(index_dir, "cell_sizes")
         track_sizes = "cell_sizes" in meta.get("tables", [])
-        pre_files = set(os.listdir(ppath)) if track_sizes else set()
+        # stage EVERY Spark job of this append pre-invalidate (v5.1):
+        # the delta postings write into the staging dir, and the v5
+        # partial cell-count file derives from the staged files
+        # (centroid_id column only — a kB-scale column-pruned read),
+        # so the ONLY pass over the delta is the postings write. v4's
+        # design checkpointed the assignment and ran a staged
+        # full-table merge + directory swap per micro-batch, three
+        # extra jobs that made the append 1.5× its pre-v4 cost
+        # (VERDICT r10 #2). Readers groupBy-sum the partial-count
+        # log; compact_index bounds its file count like any other
+        # append target.
+        stage = _append_stage(index_dir, mver)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(stage, "postings")
+        )
+        # appended rows from the STAGED footers (metadata-only),
+        # divided by the exact per-vector posting count — never an
+        # extra pass over the delta frame
+        n_delta = _footer_rows(
+            spark, os.path.join(stage, "postings")
+        ) // per_vec
+        if track_sizes:
+            _append_sizes(
+                spark, os.path.join(stage, "cell_sizes"),
+                _parquet_files(os.path.join(stage, "postings")),
+                "centroid_id",
+            )
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during append
-    postings.write.mode("append").parquet(ppath)
-    if track_sizes:
-        # maintain the persisted cell-size table (v5): APPEND the
-        # delta's per-cell posting counts instead of rewriting the
-        # merged C-row table. The delta counts come from the files the
-        # append just produced (file-set diff, centroid_id column only
-        # — a kB-scale column-pruned read), so the ONLY pass over the
-        # delta is the postings append itself: v4's design checkpointed
-        # the assignment and ran a staged full-table merge + directory
-        # swap per micro-batch, three extra jobs that made the append
-        # 1.5× its pre-v4 cost (VERDICT r10 #2). Readers groupBy-sum
-        # the (≤ C·n_batches)-row table; compact_index bounds its file
-        # count like any other append target. A failure here leaves a
-        # non-current index (rebuilt, never served with postings ahead
-        # of sizes) — the same crash contract as the postings write.
-        delta_files = _new_parquet_files(ppath, pre_files)
-        _append_sizes(spark, cpath, delta_files, "centroid_id")
-    # appended rows from the postings footer delta (metadata-only),
-    # divided by the exact per-vector posting count — never an extra
-    # pass over the delta frame
-    n_delta = (_footer_rows(spark, ppath) - n_before) // per_vec
+    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
+    # pure renames from here: a transient Spark failure can no longer
+    # strand the index non-current (r11 review #3)
+    _adopt_staged(
+        stage, index_dir,
+        ["postings"] + (["cell_sizes"] if track_sizes else []),
+    )
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
@@ -832,8 +887,8 @@ def pq_index_append(
     the encoding) and append its codes + exact norms. Writers
     serialize through the ``_applog`` CAS (:func:`_claim_writer` — two
     concurrent appenders cannot lose each other's ``applied_batches``
-    entry, VERDICT r8 #1). The manifest is removed before the two
-    appends and re-committed after BOTH — a crash in between leaves a
+    entry, VERDICT r8 #1). Both tables are STAGED pre-invalidate and
+    adopted by pure renames (v5.1) — a crash mid-adopt leaves a
     non-current index (rebuilt, never served with codes-but-no-norms,
     which the ADC inner join would otherwise silently drop). Drift
     trade as in :func:`ivf_index_append`."""
@@ -871,17 +926,19 @@ def pq_index_append(
                 "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
             ).alias("_cnorm"),
         )
-        npath = os.path.join(index_dir, "norms")
-        n_before = _footer_rows(spark, npath)
+        # stage every Spark job pre-invalidate (v5.1, see the ivf
+        # twin): the invalidated window below is pure renames
+        stage = _append_stage(index_dir, mver)
+        dcodes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
+        dnorms.write.mode("overwrite").parquet(os.path.join(stage, "norms"))
+        # appended rows from the STAGED norms footers (one row per
+        # appended vector, metadata-only) — never an extra pass
+        n_delta = _footer_rows(spark, os.path.join(stage, "norms"))
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during append
-    dcodes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
-    dnorms.write.mode("append").parquet(npath)
-    # appended rows from the norms footer delta (one row per appended
-    # vector, metadata-only) — never an extra pass over the delta
-    n_delta = _footer_rows(spark, npath) - n_before
+    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
+    _adopt_staged(stage, index_dir, ["codes", "norms"])
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
@@ -1253,7 +1310,7 @@ def ivfpq_index_search(
     scale: int = 1_000_000,
     pool_cap: int = 640,
     scale_ref: int = 1000,
-    probe_mass: tuple[int, int] | None = None,
+    probe_mass: tuple[int, int] | str | None = None,
 ) -> DataFrame:
     """Serve from the persisted IVFPQ index. The subspace layout
     (m, dim) comes from the MANIFEST (the single-source-of-truth
@@ -1356,31 +1413,33 @@ def ivfpq_index_append(
             F.col(id_col).alias("neighbor_id"),
             F.sqrt(_dot(vec_col, vec_col)).alias("_cnorm"),
         )
-        npath = os.path.join(index_dir, "norms")
-        n_before = _footer_rows(spark, npath)
-        cpath = os.path.join(index_dir, "cell_sizes")
-        kpath = os.path.join(index_dir, "codes")
         track_sizes = "cell_sizes" in meta.get("tables", [])
-        pre_files = set(os.listdir(kpath)) if track_sizes else set()
+        # stage EVERY Spark job pre-invalidate (v5.1, mirroring the
+        # ivf append): codes + norms write into the staging dir; the
+        # partial cell-count file derives from the staged codes —
+        # s = 0 restricts to one row per (vector, cell) since codes
+        # carry m subspace rows per assignment. One pass over the
+        # delta, no checkpoint, no staged merge, no directory swap;
+        # readers groupBy-sum (VERDICT r10 #2).
+        stage = _append_stage(index_dir, mver)
+        dcodes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
+        dnorms.write.mode("overwrite").parquet(os.path.join(stage, "norms"))
+        n_delta = _footer_rows(spark, os.path.join(stage, "norms"))
+        if track_sizes:
+            _append_sizes(
+                spark, os.path.join(stage, "cell_sizes"),
+                _parquet_files(os.path.join(stage, "codes")),
+                "centroid_id", pred=F.col("s") == 0,
+            )
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during append
-    dcodes.write.mode("append").parquet(kpath)
-    dnorms.write.mode("append").parquet(npath)
-    if track_sizes:
-        # maintain the persisted cell-size table (v5, mirroring the
-        # ivf append): APPEND the delta's per-cell assignment counts,
-        # derived from the codes files the append just produced —
-        # s = 0 restricts to one row per (vector, cell) since codes
-        # carry m subspace rows per assignment. One pass over the
-        # delta (the codes append), no checkpoint, no staged merge,
-        # no directory swap; readers groupBy-sum (VERDICT r10 #2).
-        delta_files = _new_parquet_files(kpath, pre_files)
-        _append_sizes(
-            spark, cpath, delta_files, "centroid_id", pred=F.col("s") == 0
-        )
-    n_delta = _footer_rows(spark, npath) - n_before
+    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
+    # pure renames from here (r11 review #3)
+    _adopt_staged(
+        stage, index_dir,
+        ["codes", "norms"] + (["cell_sizes"] if track_sizes else []),
+    )
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
@@ -1492,9 +1551,9 @@ def dedup_index_append(
     """Incremental dedup-index maintenance: append an ingested batch's
     distinct digests and banded MinHash rows (column/shingle/band
     params from the MANIFEST, never the caller) under the same writer
-    protocol as the ANN kinds — ``_applog`` CAS claim, invalidate-
-    then-recommit across BOTH table appends, footer-delta accounting,
-    batch-id idempotence, log prune. Appended rows may duplicate
+    protocol as the ANN kinds — ``_applog`` CAS claim, staged writes
+    adopted by renames inside the invalidate-then-recommit window
+    (v5.1), footer-delta accounting, batch-id idempotence, log prune. Appended rows may duplicate
     existing index rows (a batch re-crawling known text); that is
     CORRECT by construction — the check joins are left_semi, and
     DISTINCT(build(base) ⊎ append(delta)) ≡ DISTINCT(base ∪ delta)
@@ -1549,19 +1608,24 @@ def dedup_index_append(
                 .select("fp")
                 .distinct()
             )
-        dpath = os.path.join(index_dir, "digests")
-        n_before = _footer_rows(spark, dpath)
+        # stage every Spark job pre-invalidate (v5.1, see the ivf
+        # twin): the invalidated window below is pure renames
+        stage = _append_stage(index_dir, mver)
+        ddg.write.mode("overwrite").parquet(os.path.join(stage, "digests"))
+        dbd.write.mode("overwrite").parquet(os.path.join(stage, "bands"))
+        if dwf is not None:
+            dwf.write.mode("overwrite").parquet(
+                os.path.join(stage, "winnow_fps")
+            )
+        n_delta = _footer_rows(spark, os.path.join(stage, "digests"))
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during append
-    ddg.write.mode("append").parquet(dpath)
-    dbd.write.mode("append").parquet(os.path.join(index_dir, "bands"))
-    if dwf is not None:
-        dwf.write.mode("append").parquet(
-            os.path.join(index_dir, "winnow_fps")
-        )
-    n_delta = _footer_rows(spark, dpath) - n_before
+    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
+    _adopt_staged(
+        stage, index_dir,
+        ["digests", "bands"] + (["winnow_fps"] if dwf is not None else []),
+    )
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],

@@ -449,8 +449,10 @@ def main() -> None:
     # SCALE_DIRS=.scaledata/sf10 to add one decade) keeps the others
     art: dict[str, dict[str, float]] = {}
     prior = REPO / "RECALL_SCALE.json"
-    if prior.is_file():
-        art = json.loads(prior.read_text()).get("recall_at_10", {})
+    # one parse serves every merged section (recall rows + both
+    # serve-cost maps)
+    prev = json.loads(prior.read_text()) if prior.is_file() else {}
+    art = prev.get("recall_at_10", {})
     subset_run = bool(os.environ.get("RECALL_TIERS"))
     for d in dirs:
         sf = re.search(r"sf([0-9.]+)", d).group(1)
@@ -466,12 +468,8 @@ def main() -> None:
         sorted(art.items(), key=lambda kv: float(kv[0].removeprefix("sf")))
     )
     # measured serve-cost beside the recall rows (merge like recall)
-    cand: dict[str, float] = {}
-    if prior.is_file():
-        cand = json.loads(prior.read_text()).get("ivf_candidate_frac", {})
-    pqserve: dict[str, dict[str, float]] = {}
-    if prior.is_file():
-        pqserve = json.loads(prior.read_text()).get("ivfpq_serve_frac", {})
+    cand: dict[str, float] = prev.get("ivf_candidate_frac", {})
+    pqserve: dict[str, dict[str, float]] = prev.get("ivfpq_serve_frac", {})
     if os.environ.get("RECALL_CAND_FRAC", "1") != "0":
         for d in dirs:
             sf = re.search(r"sf([0-9.]+)", d).group(1)
