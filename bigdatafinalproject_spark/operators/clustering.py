@@ -98,7 +98,19 @@ def kmeans_centroids(
     map-side-combinable groupBy, order-independent sums, one final
     double division. A cid that loses all members simply drops out of
     the next round (both engines GROUP BY only non-empty cells).
-    Returns (group_cols..., cid, centroid<array<double>>)."""
+    Returns (group_cols..., cid, centroid<array<double>>).
+
+    The training corpus is SPREAD across defaultParallelism first
+    (r11): the N×C assign pass is map-side work that inherits the
+    input partitioning, and a skewed source layout (one fat parquet
+    row group) serializes the trainer onto one task per round — at
+    sf10 with the scheduled C=512 that straggler was an hour of
+    single-core Lloyd. Content-neutral by design: the decimal-mean
+    updates are order-independent sums (module doc), so results are
+    bit-identical under any partitioning."""
+    from bigdatafinalproject_spark.operators.layout import spread
+
+    emb = spread(emb, id_col)
     cents = init
     for _ in range(rounds):
         assigned = _assign(emb, cents, id_col, vec_col, group_cols)
