@@ -620,6 +620,58 @@ def _adopt_staged(stage: str, index_dir: str, tables: list[str]) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def _finish_append(
+    index_dir: str,
+    stage: str,
+    tables: list[str],
+    meta: dict,
+    mver: int,
+    batch_id: int | None,
+    n_delta: int,
+) -> str:
+    """The invalidate → adopt → recommit → prune tail every
+    ``*_index_append`` shares (r11 review #4: the protocol skeleton
+    was copy-pasted four times; a protocol fix must land once).
+
+    Zombie-writer guard (r11 review #1): a writer whose LEASE lapsed
+    while it was paused between staging and this call has had its
+    stage swept by the contender that judged it dead — adopting
+    nothing and recommitting would record the batch as applied with
+    ZERO data files (silently unrecoverable: redelivery is skipped
+    forever). The guard raises BEFORE touching the live manifest, so
+    the contender's index is untouched and the caller retries the
+    batch. The residual paused-lease window (both writers alive, the
+    zombie's stage not yet swept) remains the documented lease-mode
+    trade — see the claim-mode notes at _WRITER_WAIT_S."""
+    if not os.path.isdir(stage):
+        _end_claim(index_dir, mver, release=True)  # stop the renewer
+        raise ConcurrentWriteError(
+            f"append stage for mver {mver} at {index_dir!r} was swept: "
+            f"this writer's lease lapsed while paused and a contender "
+            f"took over — retry the batch"
+        )
+    applied = list(meta.get("applied_batches", []))
+    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
+    # pure renames from here: a transient Spark failure can no longer
+    # strand the index non-current (r11 review #3)
+    _adopt_staged(stage, index_dir, tables)
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
+    _commit(
+        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
+        src=meta.get("src"), params=meta.get("params", {}),
+        applied_batches=applied
+        + ([batch_id] if batch_id is not None else [len(applied)]),
+        mver=mver, base_rows=meta.get("base_rows"),
+        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
+    )
+    # bound the writer log: entries below the committed mver are spent
+    # (slot numbers come from the manifest, so pruning cannot affect
+    # any future CAS) — without this a streaming-maintained index
+    # accretes one claim file per micro-batch forever (r9 review #8)
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
+    return index_dir
+
+
 def _append_sizes(
     spark: SparkSession,
     cpath: str,
@@ -772,8 +824,8 @@ def ivf_index_append(
     # claim and the index is wedged for the process lifetime
     # (ADVICE r9). Failures AFTER the invalidate keep the claim: the
     # index is genuinely non-current then and rebuild is the remedy.
+    stage = None
     try:
-        applied = list(meta.get("applied_batches", []))
         multi = int(meta.get("params", {}).get("multi_assign", 1))
         centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
         postings = _nearest_centroids(
@@ -814,28 +866,17 @@ def ivf_index_append(
             )
     except BaseException:
         _end_claim(index_dir, mver, release=True)
+        # the staged delta is garbage once the claim is released — at
+        # sf10 scale leaving it until the next append's sweep leaks
+        # GBs in the shared cache dir (r11 review #3)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
-    # pure renames from here: a transient Spark failure can no longer
-    # strand the index non-current (r11 review #3)
-    _adopt_staged(
-        stage, index_dir,
+    return _finish_append(
+        index_dir, stage,
         ["postings"] + (["cell_sizes"] if track_sizes else []),
+        meta, mver, batch_id, n_delta,
     )
-    _end_claim(index_dir, mver)  # stop lease renewal before the prune
-    _commit(
-        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
-        src=meta.get("src"), params=meta.get("params"),
-        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
-        mver=mver, base_rows=meta.get("base_rows"),
-        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
-    )
-    # bound the writer log: entries below the committed mver are spent
-    # (slot numbers come from the manifest, so pruning cannot affect
-    # any future CAS) — without this a streaming-maintained index
-    # accretes one claim file per micro-batch forever (r9 review #8)
-    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
-    return index_dir
 
 
 def ensure_pq_index(
@@ -904,8 +945,8 @@ def pq_index_append(
     meta, mver = txn
     # claim→invalidate failures release the claim (slot never
     # consumed; see ivf_index_append — ADVICE r9)
+    stage = None
     try:
-        applied = list(meta.get("applied_batches", []))
         params = meta.get("params", {})
         m = int(params.get("m", 8))
         dim = int(params.get("dim", 64))
@@ -936,19 +977,12 @@ def pq_index_append(
         n_delta = _footer_rows(spark, os.path.join(stage, "norms"))
     except BaseException:
         _end_claim(index_dir, mver, release=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
-    _adopt_staged(stage, index_dir, ["codes", "norms"])
-    _end_claim(index_dir, mver)  # stop lease renewal before the prune
-    _commit(
-        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
-        src=meta.get("src"), params=params,
-        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
-        mver=mver, base_rows=meta.get("base_rows"),
-        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
+    return _finish_append(
+        index_dir, stage, ["codes", "norms"], meta, mver, batch_id, n_delta
     )
-    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)  # see ivf twin
-    return index_dir
 
 
 def compact_index(
@@ -1381,8 +1415,8 @@ def ivfpq_index_append(
     meta, mver = txn
     # claim→invalidate failures release the claim (slot never
     # consumed; see ivf_index_append — ADVICE r9)
+    stage = None
     try:
-        applied = list(meta.get("applied_batches", []))
         params = meta.get("params", {})
         # fallbacks mirror _BUILD_DEFAULTS["ivfpq"] for legacy
         # manifests; every r9+ manifest records the effective values
@@ -1433,23 +1467,14 @@ def ivfpq_index_append(
             )
     except BaseException:
         _end_claim(index_dir, mver, release=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
-    # pure renames from here (r11 review #3)
-    _adopt_staged(
-        stage, index_dir,
+    return _finish_append(
+        index_dir, stage,
         ["codes", "norms"] + (["cell_sizes"] if track_sizes else []),
+        meta, mver, batch_id, n_delta,
     )
-    _end_claim(index_dir, mver)  # stop lease renewal before the prune
-    _commit(
-        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
-        src=meta.get("src"), params=params,
-        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
-        mver=mver, base_rows=meta.get("base_rows"),
-        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
-    )
-    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
-    return index_dir
 
 
 def ensure_dedup_index(
@@ -1571,8 +1596,8 @@ def dedup_index_append(
     meta, mver = txn
     # claim→invalidate failures release the claim (slot never
     # consumed; see ivf_index_append — ADVICE r9)
+    stage = None
     try:
-        applied = list(meta.get("applied_batches", []))
         p = meta.get("params", {})
         text_col = p.get("text_col", "text")
         id_col = p.get("id_col", "doc_id")
@@ -1620,22 +1645,14 @@ def dedup_index_append(
         n_delta = _footer_rows(spark, os.path.join(stage, "digests"))
     except BaseException:
         _end_claim(index_dir, mver, release=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
-    _adopt_staged(
-        stage, index_dir,
+    return _finish_append(
+        index_dir, stage,
         ["digests", "bands"] + (["winnow_fps"] if dwf is not None else []),
+        meta, mver, batch_id, n_delta,
     )
-    _end_claim(index_dir, mver)  # stop lease renewal before the prune
-    _commit(
-        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
-        src=meta.get("src"), params=p,
-        applied_batches=applied + ([batch_id] if batch_id is not None else [len(applied)]),
-        mver=mver, base_rows=meta.get("base_rows"),
-        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
-    )
-    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
-    return index_dir
 
 
 def dedup_index_check(

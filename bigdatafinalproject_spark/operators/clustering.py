@@ -100,17 +100,22 @@ def kmeans_centroids(
     the next round (both engines GROUP BY only non-empty cells).
     Returns (group_cols..., cid, centroid<array<double>>).
 
-    The training corpus is SPREAD across defaultParallelism first
-    (r11): the N×C assign pass is map-side work that inherits the
-    input partitioning, and a skewed source layout (one fat parquet
-    row group) serializes the trainer onto one task per round — at
-    sf10 with the scheduled C=512 that straggler was an hour of
-    single-core Lloyd. Content-neutral by design: the decimal-mean
-    updates are order-independent sums (module doc), so results are
-    bit-identical under any partitioning."""
-    from bigdatafinalproject_spark.operators.layout import spread
-
-    emb = spread(emb, id_col)
+    The training corpus is REPARTITIONED across defaultParallelism
+    first (r11): the N×C assign pass is map-side work that inherits
+    the input partitioning, and a skewed source layout (one fat
+    parquet row group) serializes the trainer onto one task per round
+    — at sf10 with the scheduled C=512 that straggler was an hour of
+    single-core Lloyd. Unconditional repartition rather than the
+    probing ``spread`` (r11 review #2): ``df.rdd.getNumPartitions()``
+    under AQE eagerly materializes any upstream exchanges as a
+    throwaway job (the PQ codebook trainer's subvec frame carries a
+    window + join), while an adjacent redundant repartition is
+    collapsed by Catalyst's CollapseRepartition for free. Content-
+    neutral by design: the decimal-mean updates are order-independent
+    sums (module doc), so trained centroids are bit-identical under
+    any partitioning."""
+    sc = emb.sparkSession.sparkContext
+    emb = emb.repartition(sc.defaultParallelism, F.col(id_col))
     cents = init
     for _ in range(rounds):
         assigned = _assign(emb, cents, id_col, vec_col, group_cols)

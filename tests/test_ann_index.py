@@ -1168,3 +1168,52 @@ def test_dedup_index_winnow_fps_lifecycle(spark, tmp_path):
     json.dump(meta, open(mpath, "w"))
     with _pytest.raises(ValueError, match="no winnow_fps table"):
         dedup_index_contamination(spark, full, train)
+
+
+def test_swept_stage_raises_instead_of_empty_commit(spark, tmp_path):
+    """r11 review #1 (zombie-writer guard): a writer whose lease
+    lapsed while paused between staging and adopt has had its stage
+    swept by the contender that judged it dead. Recommitting anyway
+    would record the batch as applied with ZERO data files adopted —
+    silent, unrecoverable loss (redelivery skipped forever). The
+    _finish_append guard must raise BEFORE touching the live
+    manifest, leaving the serving index current and the batch
+    retryable."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ConcurrentWriteError,
+        _finish_append,
+        _writer_txn,
+        ivf_index_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    idx = str(tmp_path / "ivf_zombie")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    meta_before = json.load(open(_os.path.join(idx, "_meta.json")))
+
+    # simulate the zombie: claim a slot, point at a stage dir the
+    # contender's sweep already removed
+    meta, mver = _writer_txn(idx, 0, "append")
+    with pytest.raises(ConcurrentWriteError, match="swept"):
+        _finish_append(
+            idx, _os.path.join(idx, f"_stage.tmp.{_os.getpid()}.{mver}"),
+            ["postings", "cell_sizes"], meta, mver, 0, 1,
+        )
+    # the live manifest was never touched: the index still serves
+    meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_after == meta_before
+    # and the slot was released: a real append on the same index
+    # proceeds without waiting out a dead claim
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    ivf_index_append(spark, idx, delta, batch_id=0)
+    meta_final = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_final["applied_batches"] == [0]
