@@ -581,6 +581,78 @@ _R11_FRONT = (
     "doc_winnow_index_contamination",
 )
 
+# driver-checked in r11 (CORRECTNESS_r11.json keys, 50/50 green) —
+# union below
+_R11_DRIVER_CHECKED = (
+    'ann_ivf_topk', 'ann_ivf_recall', 'ann_ivf_index_search',
+    'ann_ivf_index_append', 'stream_ivf_index_maintenance',
+    'doc_dedup_index_check', 'doc_dedup_index_append',
+    'doc_dedup_index_compact', 'stream_dedup_index_maintenance',
+    'ann_pq_index_append', 'ann_pq_index_search', 'ann_pq_index_compact',
+    'ann_ivfpq_index_append', 'ann_ivfpq_index_search',
+    'ann_ivfpq_index_compact', 'stream_pq_index_maintenance',
+    'stream_ivfpq_index_maintenance', 'stream_orders_cdc_apply',
+    'orders_write_audit_publish', 'ann_ivfpq_topk', 'ann_ivfpq_recall',
+    'doc_winnow_dedup', 'doc_winnow_index_contamination', 'popular_parts',
+    'clean_project', 'case_when_priority', 'distinct_pairs',
+    'null_handling', 'scalar_functions', 'set_operations',
+    'customers_with_orders_semi', 'customers_without_orders_anti',
+    'left_join_order_counts', 'star_join_revenue_by_nation',
+    'full_outer_join', 'broadcast_dim_join', 'null_safe_join',
+    'pricing_summary', 'top_orders_by_revenue', 'summary_stats',
+    'pivot_status', 'rollup_revenue', 'distinct_counts',
+    'corr_covar_portable', 'topk_per_group', 'window_analytics',
+    'window_distribution', 'sessionize', 'events_session_window',
+    'dense_customer_ids',
+)
+
+_R12_FRONT = (
+    # (a) changed in round 12
+    # the persisted ANN serve paths adopted the r12 drift policy
+    # (VERDICT r11 #3 / ADVICE r11): probe_mass="auto" resolves its
+    # (num, den) at the BUILD's scale step from the manifest's
+    # base_rows (appends no longer step the budget down against a
+    # frozen C), and the PQ/IVFPQ exact-rerank pool WIDENS with the
+    # manifest's appended fraction — results change on appended
+    # indexes, and the oracles replay both integer rules, so the
+    # whole trained-index family re-fronts
+    "ann_ivf_index_append",
+    "stream_ivf_index_maintenance",
+    "ann_pq_index_append",
+    "ann_pq_index_compact",
+    "stream_pq_index_maintenance",
+    "ann_ivfpq_index_append",
+    "ann_ivfpq_index_compact",
+    "stream_ivfpq_index_maintenance",
+    # serve-path twins: manifest cell_sizes SNAPSHOT replaces the
+    # per-search fold of the v5 partial-count log (VERDICT r11 #1 —
+    # results identical, plan changed), plus the writer-fence epoch
+    # and staged-vs-adopted count guard in every maintenance txn
+    # (VERDICT r11 #4 / ADVICE r11 — protocol changes re-front the
+    # family, the r10/r11 bar)
+    "ann_ivf_index_search",
+    "ann_pq_index_search",
+    "ann_ivfpq_index_search",
+    "doc_dedup_index_check",
+    "doc_dedup_index_append",
+    "doc_dedup_index_compact",
+    "stream_dedup_index_maintenance",
+    "doc_winnow_index_contamination",
+    # oracle-text rewrites (s-expression / pool expression now
+    # parameterized by base_pred; value-identical for TRUE but the
+    # replay changed, so the end-to-end twins re-front)
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    # (b) new in round 12
+    # MMR fed from the persisted IVFPQ index's bounded top-M panel —
+    # the production-shape diversified retrieval (VERDICT r11 #6)
+    "ann_mmr_from_index",
+)
+
 _R7_FRONT = (
     # (a) changed in round 7
     # IVF centroid + PQ codebook sampling now RELATIVE to min(id)
@@ -614,8 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R8_DRIVER_CHECKED)
         | set(_R9_DRIVER_CHECKED)
         | set(_R10_DRIVER_CHECKED)
+        | set(_R11_DRIVER_CHECKED)
     )
-    front = [n for n in _R11_FRONT if n in registry.QUERIES]
+    front = [n for n in _R12_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

@@ -365,6 +365,30 @@ def _mass_schedule_cols(s: Column) -> tuple[Column, Column]:
     return num, den
 
 
+def mass_schedule_for_n(n_vec: int, scale_ref: int) -> tuple[int, int]:
+    """Driver-side resolution of the scheduled probe budget: the
+    (num, den) for scale step s = ceil(sqrt(n_vec / scale_ref)) — the
+    Python twin of :func:`_mass_schedule_cols` over the same shared
+    IVF_MASS_SCHEDULE (first matching row wins, last row open-ended)
+    and the same IEEE-double sqrt/ceil both engines evaluate.
+
+    Used by the persisted-index serve paths (r12, ADVICE r11) to CLAMP
+    the schedule at the BUILD's step: ``n_vec`` is the manifest's
+    ``base_rows``, so appends — which grow the live posting total
+    while the centroid count stays frozen at the base build — keep
+    the budget fraction the base was calibrated at, instead of
+    stepping it down against a one-step-behind C (the measured
+    regression: RECALL_SCALE ivfpq_appended 0.909→0.869 at sf3).
+    needs_retrain owns the drift response."""
+    import math
+
+    s = math.ceil(math.sqrt(n_vec / float(scale_ref)))
+    for max_s, num, den in IVF_MASS_SCHEDULE:
+        if max_s is None or s <= max_s:
+            return num, den
+    raise AssertionError("unreachable: last schedule row is open-ended")
+
+
 def ivf_mass_schedule_sql(s_expr: str) -> tuple[str, str]:
     """The DuckDB rendering of IVF_MASS_SCHEDULE: (num, den) CASE
     fragments over an s expression — imported by the oracle builders
@@ -924,6 +948,36 @@ def mmr_diversify(
             F.floor(F.col("cosine") * scale).cast("long").alias("rel_q"),
         )
     )
+    return mmr_from_candidates(
+        corpus, cand, id_col=id_col, vec_col=vec_col, k=k,
+        lam_num=lam_num, pen_num=pen_num, scale=scale,
+    )
+
+
+def mmr_from_candidates(
+    corpus: DataFrame,
+    cand: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    lam_num: int = 7,
+    pen_num: int = 3,
+    scale: int = 1 << 30,
+) -> DataFrame:
+    """The MMR greedy walk over an EXPLICIT candidate frame
+    (query_id, cid, rel_q) — the production composition point (r12,
+    VERDICT r11 #6): candidates come from whatever retrieval tier the
+    deployment serves (the persisted IVFPQ index's bounded top-M in
+    the registered ``ann_mmr_from_index``; exact cosine in the
+    reference-shaped ``ann_mmr_diversified``), so the quadratic
+    pairwise-similarity stage and the sequential k-loop only ever
+    touch per-query BOUNDED frames regardless of corpus size. Same
+    integer-quantized scoring and tie rules as :func:`mmr_diversify`
+    (which now wraps this). Returns (query_id, pick, vec_id, rel_q,
+    mmr_q)."""
+    from bigdatafinalproject_spark.operators.barrier import materialize_barrier
+
+    cand = materialize_barrier(cand)
     en = with_norm(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v",
@@ -1279,12 +1333,16 @@ def pq_search_frames(
     scale: int = 1_000_000,
     pool_cap: int = 640,
     scale_ref: int = 1000,
+    pool: int | None = None,
 ) -> DataFrame:
     """The serve half of pq_topk: per-query ADC lookup tables against
     the codebook, integer ADC scan over the codes, exact-cosine rerank
     of the sqrt-scaled pool against the corpus vectors. Works
     identically on frames fresh from pq_build_frames or reloaded from
-    a persisted index."""
+    a persisted index. ``pool`` (r12) overrides the in-plan
+    min(pool_cap, k·rerank·s) pool size with an explicit count — the
+    persisted serve paths compute it from the MANIFEST's row counters
+    (drift-aware widening on appended indexes)."""
     spaces, subv = _pq_exprs(m, dim)
     # the serve half needs only N for the pool cap (min(id) is a
     # build-time sampling concern) — one count-only 1-row aggregate
@@ -1325,14 +1383,23 @@ def pq_search_frames(
         F.col("_ascore").desc(), F.col("neighbor_id").asc()
     )
     # rerank pool scales with the same s as the codebook, capped at
-    # pool_cap: the exact-rerank stage touches |Q| * pool rows total
-    _pool = F.least(F.lit(pool_cap), F.lit(k * rerank) * _s)
-    cand = (
-        adc.crossJoin(F.broadcast(_stats))
-        .withColumn("_crank", F.row_number().over(cand_w))
-        .filter(F.col("_crank") <= _pool)
-        .select("query_id", "neighbor_id")
-    )
+    # pool_cap: the exact-rerank stage touches |Q| * pool rows total;
+    # an explicit `pool` (manifest-derived) replaces the in-plan
+    # derivation AND its count-only aggregate over the corpus
+    if pool is not None:
+        cand = (
+            adc.withColumn("_crank", F.row_number().over(cand_w))
+            .filter(F.col("_crank") <= F.lit(int(pool)))
+            .select("query_id", "neighbor_id")
+        )
+    else:
+        _pool = F.least(F.lit(pool_cap), F.lit(k * rerank) * _s)
+        cand = (
+            adc.crossJoin(F.broadcast(_stats))
+            .withColumn("_crank", F.row_number().over(cand_w))
+            .filter(F.col("_crank") <= _pool)
+            .select("query_id", "neighbor_id")
+        )
 
     # exact rerank, same tail as quantized_topk
     return _exact_cosine_rerank(cand, corpus, queries, id_col, vec_col, k)
@@ -1497,6 +1564,7 @@ def ivfpq_search_frames(
     cell_sizes: DataFrame | None = None,
     mass_multi: int | None = None,
     sched_ref: int | None = None,
+    pool: int | None = None,
 ) -> DataFrame:
     """The serve half of ivfpq_topk: probe cells per query, ADC-rank
     the probed cells' codes by the exact decomposition
@@ -1596,13 +1664,23 @@ def ivfpq_search_frames(
     cand_w = W.partitionBy("query_id").orderBy(
         F.col("_ascore").desc(), F.col("neighbor_id").asc()
     )
-    _pool = F.least(F.lit(pool_cap), F.lit(k * rerank) * _s)
-    cand = (
-        adc.crossJoin(F.broadcast(_stats))
-        .withColumn("_crank", F.row_number().over(cand_w))
-        .filter(F.col("_crank") <= _pool)
-        .select("query_id", "neighbor_id")
-    )
+    # an explicit `pool` (manifest-derived, drift-aware — see
+    # pq_search_frames) replaces the in-plan derivation and its
+    # count-only corpus aggregate
+    if pool is not None:
+        cand = (
+            adc.withColumn("_crank", F.row_number().over(cand_w))
+            .filter(F.col("_crank") <= F.lit(int(pool)))
+            .select("query_id", "neighbor_id")
+        )
+    else:
+        _pool = F.least(F.lit(pool_cap), F.lit(k * rerank) * _s)
+        cand = (
+            adc.crossJoin(F.broadcast(_stats))
+            .withColumn("_crank", F.row_number().over(cand_w))
+            .filter(F.col("_crank") <= _pool)
+            .select("query_id", "neighbor_id")
+        )
     return _exact_cosine_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 

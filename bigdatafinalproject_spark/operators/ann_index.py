@@ -95,6 +95,19 @@ from bigdatafinalproject_spark.operators.txlog import (
 
 _META = "_meta.json"
 _APPLOG = "_applog"
+# writer-fence token (r12, VERDICT r11 #4): the CURRENT claimed writer
+# slot, rewritten atomically by every claimant immediately after its
+# post-claim validation. A lease-mode writer that was paused past its
+# lease (SIGSTOP, VM freeze) and whose slot a contender judged dead
+# re-reads this fence IMMEDIATELY before its invalidate/rename batch
+# and raises on a mismatch — so the both-alive interleaving (zombie
+# resumes while the contender is mid-append, before the contender's
+# stage sweep reaches it) can no longer invalidate or adopt over the
+# contender's work. The residual window is the gap between the fence
+# check and the first rename — single-rename atomicity, the bar a
+# plain POSIX dir can express (the r11 residual was the whole
+# stage→recommit span).
+_FENCE = "_fence.json"
 # salt the fingerprint with the builder ALGORITHM version: a code
 # change to the build halves under unchanged corpus+params must
 # invalidate cached indexes (r8 review finding #2) — bump on any
@@ -119,7 +132,18 @@ _APPLOG = "_applog"
 # pre-v5 process serving a v5-appended index would read the
 # partial-count log RAW — duplicate centroid_id rows mis-drive its
 # mass probe silently. The version bump forces the rebuild the
-# fingerprint rule promises on any builder change.)
+# fingerprint rule promises on any builder change.
+#
+# r12 adds an OPTIONAL "cell_sizes" manifest key — the FOLDED C-row
+# snapshot of the partial-count log, maintained at build/append/
+# compact commit so serves read ≤C manifest rows instead of folding
+# the parquet log per search (VERDICT r11 #1: the v5 fold was ~half
+# the index family's bench tax). Deliberately NOT a version bump:
+# the key is additive and self-consistent in both directions — a
+# reader without it falls back to the log fold (identical sum), and a
+# pre-r12 writer's recommit simply DROPS the key (its manifest schema
+# has no such field), which degrades to the fold, never to a stale
+# snapshot.)
 _ALGO_VERSION = 5
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
@@ -202,6 +226,17 @@ def _manifest(index_dir: str) -> dict | None:
         return None
 
 
+def _snap_pairs(cell_sizes) -> list[list[int]] | None:
+    """Normalize a cell-size snapshot (dict or stored list of pairs)
+    to the manifest form: [[centroid_id, count], ...] sorted by cell —
+    deterministic, so recommits of identical content are
+    byte-identical."""
+    if cell_sizes is None:
+        return None
+    items = cell_sizes.items() if isinstance(cell_sizes, dict) else cell_sizes
+    return sorted([int(c), int(n)] for c, n in items)
+
+
 def _commit(
     index_dir: str,
     kind: str,
@@ -213,6 +248,7 @@ def _commit(
     mver: int = 0,
     base_rows: int | None = None,
     appended_rows: int = 0,
+    cell_sizes=None,
 ) -> None:
     # tmp + os.replace: the manifest IS the commit record, so its own
     # write must be atomic — a crash mid-write must read as "no
@@ -240,21 +276,25 @@ def _commit(
                 f"(this writer's claim lapsed while it was stalled)"
             )
     tmp = f"{path}.tmp.{os.getpid()}"
+    payload = {
+        "kind": kind,
+        "fingerprint": fingerprint,
+        "tables": tables,
+        "src": src,
+        "params": params or {},
+        "applied_batches": sorted(applied_batches or []),
+        "mver": mver,
+        "base_rows": base_rows,
+        "appended_rows": appended_rows,
+    }
+    snap = _snap_pairs(cell_sizes)
+    if snap is not None:
+        # the folded serve-time snapshot of the cell_sizes log (r12);
+        # OMITTED (not null) when absent so legacy readers see the
+        # exact pre-r12 schema
+        payload["cell_sizes"] = snap
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "kind": kind,
-                "fingerprint": fingerprint,
-                "tables": tables,
-                "src": src,
-                "params": params or {},
-                "applied_batches": sorted(applied_batches or []),
-                "mver": mver,
-                "base_rows": base_rows,
-                "appended_rows": appended_rows,
-            },
-            f,
-        )
+        json.dump(payload, f)
     os.replace(tmp, path)
 
 
@@ -394,6 +434,40 @@ def _read_claim(log: str, version: int):
     return read_claim(log, version)
 
 
+def _write_fence(index_dir: str, mver: int) -> None:
+    """Record this claimant as the index's CURRENT writer (atomic
+    os.replace). Called by every successful _claim_writer; later
+    claimants overwrite, which is exactly the fencing semantics —
+    epochs only move forward because slots are CAS-claimed in order."""
+    path = os.path.join(index_dir, _FENCE)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"mver": mver, "pid": os.getpid()}, f)
+    os.replace(tmp, path)
+
+
+def _check_fence(index_dir: str, mver: int) -> None:
+    """Raise unless this writer's slot is still the index's current
+    fence epoch — called IMMEDIATELY before the invalidate/rename
+    batch (the first destructive step of a maintenance txn). A
+    mismatch means a contender judged this writer dead (lapsed lease)
+    and took over: its work must not be disturbed, so the zombie
+    aborts with the serving index untouched. A missing/unreadable
+    fence (legacy index, pre-r12 clone) compares as unknown — nothing
+    to enforce, the pre-r12 behavior."""
+    try:
+        with open(os.path.join(index_dir, _FENCE)) as f:
+            cur = int(json.load(f).get("mver", -1))
+    except (OSError, ValueError, TypeError):
+        return
+    if cur != mver:
+        raise ConcurrentWriteError(
+            f"writer fence at {index_dir!r} moved to slot {cur} while "
+            f"this writer held slot {mver} (lease lapsed while paused; "
+            f"a contender owns the index) — retry the batch"
+        )
+
+
 # live renewers of THIS process's lease-mode claims, keyed by entry
 # path; _end_claim must stop a claim's renewer BEFORE the recommit
 # prunes (or the failure path releases) its entry — an un-stopped
@@ -497,6 +571,11 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
                 f"writer slot {target} was already spent when claimed "
                 f"(concurrent writers advanced past it) at {index_dir!r}"
             )
+        # fencing token (r12): advance the index's writer epoch to this
+        # slot BEFORE any guarded work starts — a paused-past-lease
+        # predecessor that resumes later fails its _check_fence instead
+        # of interleaving with this writer's invalidate window
+        _write_fence(index_dir, target)
         if mode == "lease":
             _RENEWERS[entry_path(log, target)] = _LeaseRenewer(
                 entry_path(log, target), p, lease_s
@@ -579,6 +658,41 @@ def _parquet_files(table_dir: str) -> list[str]:
     ]
 
 
+def _sweep_dead_stages(index_dir: str) -> None:
+    """Best-effort sweep of stage dirs whose writer is DEAD — the
+    read-side/ensure-side twin of _append_stage's sweep (ADVICE r11:
+    a hard-killed writer's GB-scale ``_stage.tmp.*`` leaked
+    indefinitely on a low-traffic index because only the NEXT append
+    swept it). Unlike _append_stage (which runs under a claim, so any
+    existing stage is a dead txn's by serialization), this runs
+    WITHOUT a claim and so must judge liveness per stage: the dir name
+    carries ``.{pid}.{mver}``, and a stage is garbage iff the claim at
+    its mver is gone, dead, or a different writer's — a live claimant
+    matching the stage's pid is mid-append and is left alone."""
+    try:
+        names = os.listdir(index_dir)
+    except OSError:
+        return
+    log = os.path.join(index_dir, _APPLOG)
+    for n in names:
+        if not n.startswith("_stage.tmp."):
+            continue
+        parts = n.split(".")
+        try:
+            pid_s, mver_i = parts[2], int(parts[3])
+        except (IndexError, ValueError):
+            shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+            continue
+        claim = read_claim(log, mver_i)
+        if (
+            claim is not None
+            and _claim_alive(claim)
+            and str(claim.get("pid")) == pid_s
+        ):
+            continue  # a live writer's in-flight stage
+        shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+
+
 def _append_stage(index_dir: str, mver: int) -> str:
     """Create the staging dir for one append txn (v5.1, r11 review
     #3): every Spark job of an append — the delta data write AND the
@@ -599,25 +713,36 @@ def _append_stage(index_dir: str, mver: int) -> str:
     return stage
 
 
-def _adopt_staged(stage: str, index_dir: str, tables: list[str]) -> None:
+def _adopt_staged(
+    stage: str, index_dir: str, tables: list[str]
+) -> dict[str, int]:
     """Move a staged append's parquet files into the live tables —
     pure same-FS renames, the ONLY actions inside the invalidated
     window. File names get a stage-unique prefix (pid + mver ride in
     the stage dir name) so repeated appends can never collide with
-    prior batches' files."""
+    prior batches' files. Returns per-table adopted file counts so the
+    caller can verify the adopt against the counts staged BEFORE the
+    invalidate (ADVICE r11: a stage swept between the existence check
+    and the renames must degrade to a loud non-current rebuild, never
+    a batch recorded as applied with missing files)."""
     tag = os.path.basename(stage).replace("_stage.tmp.", "b")
+    adopted: dict[str, int] = {}
     for t in tables:
         src = os.path.join(stage, t)
         if not os.path.isdir(src):
             continue
         dst = os.path.join(index_dir, t)
         os.makedirs(dst, exist_ok=True)
+        moved = 0
         for n in sorted(os.listdir(src)):
             if n.endswith(".parquet"):
                 os.rename(
                     os.path.join(src, n), os.path.join(dst, f"{tag}-{n}")
                 )
+                moved += 1
+        adopted[t] = moved
     shutil.rmtree(stage, ignore_errors=True)
+    return adopted
 
 
 def _finish_append(
@@ -628,6 +753,7 @@ def _finish_append(
     mver: int,
     batch_id: int | None,
     n_delta: int,
+    sizes_delta: dict | None = None,
 ) -> str:
     """The invalidate → adopt → recommit → prune tail every
     ``*_index_append`` shares (r11 review #4: the protocol skeleton
@@ -640,9 +766,20 @@ def _finish_append(
     ZERO data files (silently unrecoverable: redelivery is skipped
     forever). The guard raises BEFORE touching the live manifest, so
     the contender's index is untouched and the caller retries the
-    batch. The residual paused-lease window (both writers alive, the
-    zombie's stage not yet swept) remains the documented lease-mode
-    trade — see the claim-mode notes at _WRITER_WAIT_S."""
+    batch. r12 adds the FENCE check right behind it: a zombie whose
+    stage was NOT yet swept (the r11 both-alive residual) fails the
+    epoch compare instead of invalidating the contender's manifest —
+    the remaining window is the fence-check→first-rename gap. And a
+    sweep racing BETWEEN these checks and the renames is caught by
+    the staged-vs-adopted file-count compare below: that raise lands
+    post-invalidate, so it degrades to a loud non-current rebuild —
+    never a batch recorded as applied with missing files (ADVICE r11).
+
+    ``sizes_delta`` (r12): the batch's per-cell partial counts; folded
+    into the manifest's ``cell_sizes`` snapshot at recommit (only when
+    the manifest already carries one — legacy indexes keep the log
+    fold) so serves read ≤C manifest rows instead of folding the
+    parquet log per search (VERDICT r11 #1)."""
     if not os.path.isdir(stage):
         _end_claim(index_dir, mver, release=True)  # stop the renewer
         raise ConcurrentWriteError(
@@ -650,11 +787,37 @@ def _finish_append(
             f"this writer's lease lapsed while paused and a contender "
             f"took over — retry the batch"
         )
+    try:
+        _check_fence(index_dir, mver)
+    except ConcurrentWriteError:
+        # pre-invalidate abort: the slot was never consumed, so release
+        # it (and our stage — the contender sweeps it anyway)
+        _end_claim(index_dir, mver, release=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    staged_counts = {
+        t: len(_parquet_files(os.path.join(stage, t)))
+        for t in tables
+        if os.path.isdir(os.path.join(stage, t))
+    }
     applied = list(meta.get("applied_batches", []))
     os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
     # pure renames from here: a transient Spark failure can no longer
     # strand the index non-current (r11 review #3)
-    _adopt_staged(stage, index_dir, tables)
+    adopted_counts = _adopt_staged(stage, index_dir, tables)
+    if adopted_counts != staged_counts:
+        _end_claim(index_dir, mver)  # stop the renewer; keep the claim
+        raise ConcurrentWriteError(
+            f"append at {index_dir!r} adopted {adopted_counts} of staged "
+            f"{staged_counts} files (stage swept mid-adopt by a "
+            f"contender) — index left non-current; rebuild it"
+        )
+    snap = meta.get("cell_sizes")
+    if snap is not None and sizes_delta is not None:
+        folded = {int(c): int(n) for c, n in snap}
+        for c, n in sizes_delta.items():
+            folded[int(c)] = folded.get(int(c), 0) + int(n)
+        snap = folded
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     _commit(
         index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
@@ -663,6 +826,7 @@ def _finish_append(
         + ([batch_id] if batch_id is not None else [len(applied)]),
         mver=mver, base_rows=meta.get("base_rows"),
         appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
+        cell_sizes=snap,
     )
     # bound the writer log: entries below the committed mver are spent
     # (slot numbers come from the manifest, so pruning cannot affect
@@ -678,18 +842,20 @@ def _append_sizes(
     delta_files: list[str],
     cell_col: str,
     pred=None,
-) -> None:
+) -> dict[int, int]:
     """Write the delta batch's per-cell counts as one staged
     cell_sizes file (v5: the live table is an APPEND-ONLY log of
     (centroid_id, _csz) partial counts — readers sum, compaction
     bounds the file count). Reads only the batch's staged data files,
     column-pruned to the cell id; ``pred`` restricts to one row per
     vector when the source table carries several (ivfpq codes: m
-    subspace rows per assignment)."""
+    subspace rows per assignment). Returns the partial counts (a
+    bounded ≤C-row collect of the file just written) so the caller can
+    fold them into the manifest's ``cell_sizes`` snapshot (r12)."""
     from pyspark.sql import functions as F
 
     if not delta_files:
-        return
+        return {}
     df = spark.read.parquet(*delta_files)
     if pred is not None:
         df = df.filter(pred)
@@ -700,6 +866,10 @@ def _append_sizes(
         .write.mode("overwrite")
         .parquet(cpath)
     )
+    return {
+        int(r["centroid_id"]): int(r["_csz"])
+        for r in spark.read.parquet(cpath).collect()
+    }
 
 
 def _read_sizes(spark: SparkSession, cpath: str):
@@ -715,6 +885,27 @@ def _read_sizes(spark: SparkSession, cpath: str):
         .groupBy("centroid_id")
         .agg(F.sum("_csz").alias("_csz"))
     )
+
+
+def _sizes_frame(spark: SparkSession, index_dir: str, meta: dict):
+    """The C-row (centroid_id, _csz) frame the mass-budgeted probe
+    consumes: the manifest's folded ``cell_sizes`` snapshot when the
+    index carries one (r12 — a driver-local literal relation, zero
+    parquet reads and zero aggregate per search; the snapshot is
+    maintained at every build/append/compact commit so it always
+    equals the folded log), else the summed view of the v5 partial-
+    count parquet log (legacy indexes). Returns None for an index
+    without a cell_sizes table at all (pre-v3/v4 layouts — the serve
+    plan then derives sizes from the data relation)."""
+    snap = meta.get("cell_sizes")
+    if snap:
+        return spark.createDataFrame(
+            [(int(c), int(n)) for c, n in snap],
+            "centroid_id long, _csz long",
+        )
+    if "cell_sizes" in meta.get("tables", []):
+        return _read_sizes(spark, os.path.join(index_dir, "cell_sizes"))
+    return None
 
 
 def _footer_rows(spark: SparkSession, path: str) -> int:
@@ -741,6 +932,9 @@ def ensure_ivf_index(
 ) -> str:
     """Build the IVF index iff absent/stale; returns ``index_dir``."""
     if index_is_current(index_dir, "ivf", fingerprint):
+        # current index: opportunistically sweep dead writers'
+        # stage litter (ADVICE r11 — see _sweep_dead_stages)
+        _sweep_dead_stages(index_dir)
         return index_dir
     tmp = _build_into_tmp(index_dir)
     try:
@@ -784,6 +978,15 @@ def ensure_ivf_index(
             src=src,
             params=_effective_params("ivf", build_params, subset),
             base_rows=n_post // per_vec,
+            # folded serve-time snapshot (r12): a bounded ≤C-row
+            # collect of the table just written — serves then read the
+            # manifest instead of folding the parquet log per search
+            cell_sizes={
+                int(r["centroid_id"]): int(r["_csz"])
+                for r in spark.read.parquet(
+                    os.path.join(tmp, "cell_sizes")
+                ).collect()
+            },
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # no abandoned tmp dirs
@@ -858,8 +1061,9 @@ def ivf_index_append(
         n_delta = _footer_rows(
             spark, os.path.join(stage, "postings")
         ) // per_vec
+        sizes_delta = None
         if track_sizes:
-            _append_sizes(
+            sizes_delta = _append_sizes(
                 spark, os.path.join(stage, "cell_sizes"),
                 _parquet_files(os.path.join(stage, "postings")),
                 "centroid_id",
@@ -875,7 +1079,7 @@ def ivf_index_append(
     return _finish_append(
         index_dir, stage,
         ["postings"] + (["cell_sizes"] if track_sizes else []),
-        meta, mver, batch_id, n_delta,
+        meta, mver, batch_id, n_delta, sizes_delta=sizes_delta,
     )
 
 
@@ -891,6 +1095,9 @@ def ensure_pq_index(
     """Build the PQ index iff absent/stale; returns ``index_dir``.
     Same atomic tmp-build + rename install as ensure_ivf_index."""
     if index_is_current(index_dir, "pq", fingerprint):
+        # current index: opportunistically sweep dead writers'
+        # stage litter (ADVICE r11 — see _sweep_dead_stages)
+        _sweep_dead_stages(index_dir)
         return index_dir
     tmp = _build_into_tmp(index_dir)
     try:
@@ -1066,6 +1273,16 @@ def compact_index(
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
+    try:
+        # fence check immediately before the destructive window (r12):
+        # a paused-past-lease compactor must not swap directories over
+        # a contender's adopted state
+        _check_fence(index_dir, mver)
+    except ConcurrentWriteError:
+        _end_claim(index_dir, mver, release=True)
+        for tmp in tmps.values():
+            shutil.rmtree(tmp, ignore_errors=True)
+        raise
     os.remove(os.path.join(index_dir, _META))  # invalidate during swap
     # swap exactly the tables the rewrite loop produced (r11 review
     # #1: iterating `tables` here crashed AFTER the invalidate on a
@@ -1083,6 +1300,8 @@ def compact_index(
         applied_batches=meta.get("applied_batches"),
         mver=mver, base_rows=meta.get("base_rows"),
         appended_rows=int(meta.get("appended_rows", 0)),
+        # compaction is rewrite-only: the folded snapshot is invariant
+        cell_sizes=meta.get("cell_sizes"),
     )
     prune(os.path.join(index_dir, _APPLOG), keep_from=mver)  # see append twin
     return stats
@@ -1115,7 +1334,9 @@ def clone_index(src_dir: str, dst_dir: str) -> str:
             shutil.copytree(
                 src_dir, tmp,
                 ignore=shutil.ignore_patterns(
-                    _APPLOG, "*.compact.*", "*.tmp.*", "*.clone.*"
+                    # _FENCE is writer history like the log: the clone
+                    # starts its own maintenance epoch sequence
+                    _APPLOG, _FENCE, "*.compact.*", "*.tmp.*", "*.clone.*"
                 ),
             )
         except (shutil.Error, OSError) as e:
@@ -1200,22 +1421,31 @@ def ivf_index_search(
     ``probe_mass`` are genuine search-time knobs; everything
     structural lives in the persisted frames. Refuses an uncommitted
     (mid-maintenance) index. With ``probe_mass="auto"`` the scheduled
-    budget derives n_vec from the maintained posting total and the
-    MANIFEST's multi_assign (the single-source-of-truth discipline) —
-    so the served fraction steps down as appends grow the index."""
+    (num, den) budget is resolved at the BUILD's scale step — from the
+    manifest's ``base_rows`` and centroid ``scale_ref`` (r12, ADVICE
+    r11): the schedule and the centroid-count rule were calibrated
+    JOINTLY, so appends (which grow the live posting total T while C
+    stays frozen at the base build) must keep the base budget — the
+    budget ceil(num·T/den) still tracks the live mass, but the
+    FRACTION no longer steps down against a one-step-behind C (the
+    measured regression: RECALL_SCALE ivfpq_appended 0.909→0.869 at
+    sf3). needs_retrain, not the budget step-down, owns the drift
+    response; the retrain re-resolves both C and the budget."""
+    from bigdatafinalproject_spark.operators.ann import mass_schedule_for_n
+
     meta = _serving_manifest(index_dir, "ivf")
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    # the maintained cell-size table (v4+ indexes) spares the mass
-    # probe a per-search scan of the postings relation; a legacy index
-    # without it falls back to the derived aggregate. v5 appends
-    # PARTIAL per-batch counts, so readers sum to the C-row view
-    # (≤ C·n_batches rows in — a kB-scale aggregate)
-    cell_sizes = None
-    if "cell_sizes" in meta.get("tables", []):
-        cell_sizes = _read_sizes(spark, os.path.join(index_dir, "cell_sizes"))
+    # the maintained cell sizes (v4+): the manifest's folded snapshot
+    # when present (r12 — zero extra reads per search), else the
+    # summed view of the v5 partial-count log; a pre-v4 index falls
+    # back to the derived aggregate inside ivf_search_frames
+    cell_sizes = _sizes_frame(spark, index_dir, meta)
     p = meta.get("params", {})
     sref = p.get("scale_ref")
+    base = meta.get("base_rows")
+    if probe_mass == "auto" and sref is not None and base:
+        probe_mass = mass_schedule_for_n(int(base), int(sref))
     return ivf_search_frames(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
@@ -1246,7 +1476,18 @@ def pq_index_search(
     instead of silently joining the wrong subspaces (VERDICT r8 "what's
     wrong" #2). ``k``/``rerank``/``scale``/``pool_cap``/``scale_ref``
     remain genuine search-time knobs (they parameterize the ADC
-    quantization and rerank pool, not the persisted encoding)."""
+    quantization and rerank pool, not the persisted encoding).
+
+    r12 drift policy (VERDICT r11 #3): the exact-rerank pool WIDENS
+    with the manifest's appended fraction —
+    pool = min(cap, k·rerank·s·(base+appended) // base) — because
+    appended vectors are encoded against the base-trained codebook and
+    carry extra quantization error in their ADC ranks; a
+    proportionally deeper exact rerank recovers what the compressed
+    ranking loses, bounded by pool_cap and needs_retrain's budget.
+    Exact integer arithmetic, replayed by the maintenance oracle."""
+    import math
+
     meta = _serving_manifest(index_dir, "pq")
     params = meta.get("params", {})
     m_idx = int(params.get("m", 8))
@@ -1264,11 +1505,17 @@ def pq_index_search(
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    base = meta.get("base_rows")
+    pool = None
+    if base:
+        n_idx = int(base) + int(meta.get("appended_rows", 0))
+        s = math.ceil(math.sqrt(n_idx / float(scale_ref)))
+        pool = min(pool_cap, (k * rerank * s * n_idx) // int(base))
     return pq_search_frames(
         cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, m=m_idx, dim=dim_idx,
         rerank=rerank, scale=scale, pool_cap=pool_cap,
-        scale_ref=scale_ref,
+        scale_ref=scale_ref, pool=pool,
     )
 
 
@@ -1290,6 +1537,9 @@ def ensure_ivfpq_index(
     from pyspark.sql import functions as F
 
     if index_is_current(index_dir, "ivfpq", fingerprint):
+        # current index: opportunistically sweep dead writers'
+        # stage litter (ADVICE r11 — see _sweep_dead_stages)
+        _sweep_dead_stages(index_dir)
         return index_dir
     tmp = _build_into_tmp(index_dir)
     try:
@@ -1322,6 +1572,13 @@ def ensure_ivfpq_index(
             src=src,
             params=_effective_params("ivfpq", build_params, subset),
             base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
+            # folded serve-time snapshot (r12) — see the ivf twin
+            cell_sizes={
+                int(r["centroid_id"]): int(r["_csz"])
+                for r in spark.read.parquet(
+                    os.path.join(tmp, "cell_sizes")
+                ).collect()
+            },
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1351,8 +1608,26 @@ def ivfpq_index_search(
     discipline); ``k``/``nprobe``/``probe_mass``/``rerank``/
     quantization knobs stay caller-side (search-time policy, not
     persisted encoding). Refuses an uncommitted (mid-maintenance)
-    index."""
-    from bigdatafinalproject_spark.operators.ann import ivfpq_search_frames
+    index.
+
+    r12 drift policy (VERDICT r11 #3 / ADVICE r11): with
+    ``probe_mass="auto"`` the scheduled (num, den) budget is resolved
+    at the BUILD's scale step from the manifest's ``base_rows`` — the
+    fraction no longer steps down against a C frozen at the base
+    build (see ivf_index_search) — and the exact-rerank pool WIDENS
+    with the manifest's appended fraction:
+    pool = min(cap, k·rerank·s·(base+appended) // base). Appended
+    vectors are encoded against base-trained quantizers, so their ADC
+    ranks carry extra quantization error; a proportionally deeper
+    exact rerank recovers what the compressed ranking loses, bounded
+    by pool_cap and by needs_retrain's appended-fraction budget. Both
+    rules are exact integer arithmetic the oracles replay."""
+    import math
+
+    from bigdatafinalproject_spark.operators.ann import (
+        ivfpq_search_frames,
+        mass_schedule_for_n,
+    )
 
     meta = _serving_manifest(index_dir, "ivfpq")
     params = meta.get("params", {})
@@ -1362,17 +1637,18 @@ def ivfpq_index_search(
     cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     norms = spark.read.parquet(os.path.join(index_dir, "norms"))
-    # the maintained cell-size table (v3+ indexes) spares the mass
-    # probe a per-search scan of the codes relation; a legacy index
-    # without it falls back to the derived aggregate (v5 partial
-    # counts summed to the C-row view — see the ivf twin)
-    cell_sizes = None
-    if "cell_sizes" in meta.get("tables", []):
-        cell_sizes = _read_sizes(spark, os.path.join(index_dir, "cell_sizes"))
-    # probe_mass="auto" derives the schedule from the BUILD's
-    # coarse_scale_ref and multi_assign (manifest-threaded — the
-    # single-source-of-truth discipline, mirroring ivf_index_search)
+    # the maintained cell sizes: manifest snapshot (r12) or the summed
+    # v5 log view; pre-v3 falls back to the derived aggregate
+    cell_sizes = _sizes_frame(spark, index_dir, meta)
     csref = params.get("coarse_scale_ref")
+    base = meta.get("base_rows")
+    if probe_mass == "auto" and csref is not None and base:
+        probe_mass = mass_schedule_for_n(int(base), int(csref))
+    pool = None
+    if base:
+        n_idx = int(base) + int(meta.get("appended_rows", 0))
+        s = math.ceil(math.sqrt(n_idx / float(scale_ref)))
+        pool = min(pool_cap, (k * rerank * s * n_idx) // int(base))
     return ivfpq_search_frames(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
@@ -1381,6 +1657,7 @@ def ivfpq_index_search(
         cell_sizes=cell_sizes,
         mass_multi=int(params.get("multi_assign", 3)),
         sched_ref=int(csref) if csref is not None else None,
+        pool=pool,
     )
 
 
@@ -1459,8 +1736,9 @@ def ivfpq_index_append(
         dcodes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
         dnorms.write.mode("overwrite").parquet(os.path.join(stage, "norms"))
         n_delta = _footer_rows(spark, os.path.join(stage, "norms"))
+        sizes_delta = None
         if track_sizes:
-            _append_sizes(
+            sizes_delta = _append_sizes(
                 spark, os.path.join(stage, "cell_sizes"),
                 _parquet_files(os.path.join(stage, "codes")),
                 "centroid_id", pred=F.col("s") == 0,
@@ -1473,7 +1751,7 @@ def ivfpq_index_append(
     return _finish_append(
         index_dir, stage,
         ["codes", "norms"] + (["cell_sizes"] if track_sizes else []),
-        meta, mver, batch_id, n_delta,
+        meta, mver, batch_id, n_delta, sizes_delta=sizes_delta,
     )
 
 
@@ -1514,6 +1792,9 @@ def ensure_dedup_index(
     from pyspark.sql import functions as F
 
     if index_is_current(index_dir, "dedup", fingerprint):
+        # current index: opportunistically sweep dead writers'
+        # stage litter (ADVICE r11 — see _sweep_dead_stages)
+        _sweep_dead_stages(index_dir)
         return index_dir
     p = _effective_params("dedup", build_params, subset)
     text_col, id_col = p["text_col"], p["id_col"]

@@ -485,9 +485,23 @@ def _pq_kmeans_ctes(rounds: int, base_pred: str = "TRUE") -> str:
     )
 
 
-def _pq_oracle(kmeans_ctes: str) -> str:
+def _pq_oracle(kmeans_ctes: str, base_pred: str = "TRUE") -> str:
     """Full PQ search oracle over a given trained-codebook CTE chain
-    (encode ALL embeddings, ADC, sqrt-scaled pool, exact rerank)."""
+    (encode ALL embeddings, ADC, sqrt-scaled pool, exact rerank).
+
+    ``base_pred`` is the training subset of the maintenance twin; the
+    rerank pool replays the r12 drift-aware widening —
+    pool = min(cap, rerank_term · s · N_total // N_base) — exactly as
+    the persisted serve computes it from the manifest's row counters
+    (appended vectors carry extra quantization error in their ADC
+    ranks; a proportionally deeper exact rerank recovers it). With
+    base_pred TRUE the integer division reduces to the unwidened term
+    (x · N // N = x), so the end-to-end oracle is unchanged."""
+    pool = (
+        f"LEAST({_PQ_POOLCAP}, ({_PQ_RERANK} * {_PQ_S} * "
+        f"(SELECT COUNT(*) FROM embeddings)) // "
+        f"(SELECT COUNT(*) FROM embeddings WHERE {base_pred}))"
+    )
     return f"""
     WITH {_NORMS_CTE},
     {kmeans_ctes},
@@ -515,7 +529,7 @@ def _pq_oracle(kmeans_ctes: str) -> str:
                                          ORDER BY CAST(a.iscore AS DOUBLE) / n.nrm DESC,
                                                   a.neighbor_id ASC) AS crank
                FROM adc a JOIN norms n ON n.vec_id = a.neighbor_id)
-             WHERE crank <= LEAST({_PQ_POOLCAP}, {_PQ_RERANK} * {_PQ_S})),
+             WHERE crank <= {pool}),
     dots AS (SELECT cand.query_id, cand.neighbor_id,
                     {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
              FROM cand
@@ -639,7 +653,13 @@ _PQ_BASE_PRED = "vec_id % 3 <> 0"
 
 @query(
     "ann_pq_index_append",
-    oracle=_pq_oracle(_pq_kmeans_ctes(_PQ_ROUNDS, base_pred=_PQ_BASE_PRED)),
+    # base_pred reaches BOTH the training CTEs and the r12 drift-aware
+    # pool widening (the serve reads the manifest's base/appended
+    # counters; the oracle replays the same integer rule from counts)
+    oracle=_pq_oracle(
+        _pq_kmeans_ctes(_PQ_ROUNDS, base_pred=_PQ_BASE_PRED),
+        base_pred=_PQ_BASE_PRED,
+    ),
 )
 def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of the TRAINED PQ index (the trained

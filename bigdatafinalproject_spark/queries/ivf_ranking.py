@@ -96,13 +96,18 @@ def _kmeans_ctes(
     )
 
 
-def _ivf_oracle(kmeans_ctes: str) -> str:
+def _ivf_oracle(kmeans_ctes: str, base_pred: str = "TRUE") -> str:
     """Full IVF search oracle over a given trained-centroid CTE chain
     (assign ALL embeddings under multi-assignment, probe the panel,
-    exact rerank). The probe budget replays the r11 scheduled policy:
-    s from the posting total, (num, den) from the SHARED
-    IVF_MASS_SCHEDULE rendering, budget = ceil(num·T/den) in the same
-    integer arithmetic as the Spark plan."""
+    exact rerank). The probe budget replays the scheduled policy with
+    the r12 CLAMP (ADVICE r11): the scale step s comes from the BASE
+    count — the corpus C was sized on, the serve side's manifest
+    base_rows — never the live posting total, so appends cannot step
+    the budget fraction down against a frozen C; the budget
+    ceil(num·T/den) still tracks the LIVE total T. (num, den) from
+    the SHARED IVF_MASS_SCHEDULE rendering, same integer arithmetic
+    as the Spark plan. With base_pred TRUE the clamp coincides with
+    the r11 posting-total definition (T/multi == N)."""
     num_case, den_case = ivf_mass_schedule_sql("s")
     return f"""
     WITH {_NORMS_CTE},
@@ -127,7 +132,9 @@ def _ivf_oracle(kmeans_ctes: str) -> str:
     bud AS (SELECT t, CAST(floor((num * t + (den - 1)) / CAST(den AS DOUBLE))
                            AS BIGINT) AS b
             FROM (SELECT t, {num_case} AS num, {den_case} AS den
-                  FROM (SELECT t, CAST(ceil(sqrt((t / {_IVF_MULTI}.0)
+                  FROM (SELECT t, CAST(ceil(sqrt(
+                             (SELECT COUNT(*) FROM embeddings
+                              WHERE {base_pred})
                              / {IVF_SCALE_REF}.0)) AS BIGINT) AS s
                         FROM post_tot))),
     probes AS (SELECT query_id, centroid_id FROM (
@@ -322,8 +329,12 @@ _IVF_BASE_PRED = "vec_id % 3 <> 0"
 
 @query(
     "ann_ivf_index_append",
+    # base_pred reaches BOTH the training CTEs and the r12 schedule
+    # clamp (the serve resolves s from the manifest's base_rows; the
+    # oracle replays it from the base count)
     oracle=_ivf_oracle(
-        _kmeans_ctes(_IVF_ROUNDS, base_pred=_IVF_BASE_PRED, scaled=True)
+        _kmeans_ctes(_IVF_ROUNDS, base_pred=_IVF_BASE_PRED, scaled=True),
+        base_pred=_IVF_BASE_PRED,
     ),
 )
 def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:

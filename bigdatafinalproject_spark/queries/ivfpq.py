@@ -111,19 +111,51 @@ _IVFPQ_MASS = IVFPQ_PROBE_MASS  # "auto": the scheduled policy
 
 
 def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
-    """Composed oracle; ``base_pred`` restricts BOTH training loops
+    """Composed oracle — ``WITH <pipeline> SELECT top-10``; the CTE
+    chain itself lives in :func:`_ivfpq_pipeline_ctes` so the r12
+    ``ann_mmr_from_index`` oracle can append the MMR greedy walk over
+    the identical serve replay. ``base_pred`` restricts BOTH training
+    loops to the base subset and drives the r12 schedule clamp / pool
+    widening — see :func:`_ivfpq_pipeline_ctes`."""
+    return f"""
+    WITH {_ivfpq_pipeline_ctes(base_pred)}
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """
+
+
+def _ivfpq_pipeline_ctes(
+    base_pred: str = "TRUE", rerank_term: int = _PQ_RERANK
+) -> str:
+    """Composed serve replay as a CTE chain ending in ``scored``
+    (query_id, neighbor_id, cosine, rank over the standing panel);
+    ``base_pred`` restricts BOTH training loops
     (coarse init+rounds via _kmeans_ctes, residual codebook via the
     base-joined prim_res) to the base subset — the train-on-base mode
     the incremental-maintenance oracle replays. Assignment, encoding,
     and search always cover the FULL corpus against those (frozen)
     quantizers, which is exactly build(base) ⊎ append(delta). The
-    probe budget replays the r11 scheduled policy exactly as the IVF
-    oracle does: C from the scaled-count rule (scaled=True), s from
-    the posting total, (num, den) from the SHARED IVF_MASS_SCHEDULE
-    rendering."""
+    probe budget replays the scheduled policy with the r12 CLAMP
+    (ADVICE r11): the scale step s comes from the BASE count — the
+    corpus the centroid count C was sized on — never the live posting
+    total, so appends cannot step the budget fraction down against a
+    frozen C (the serve reads s from the manifest's base_rows; with
+    base_pred TRUE the two definitions coincide). The budget itself,
+    ceil(num·T/den), still tracks the LIVE total T. (num, den) from
+    the SHARED IVF_MASS_SCHEDULE rendering. The rerank pool replays
+    the r12 drift-aware widening — min(cap, term·s·N_total // N_base),
+    the manifest-counter rule; x·N//N = x for base_pred TRUE."""
     num_case, den_case = ivf_mass_schedule_sql("s")
-    return f"""
-    WITH {_NORMS_CTE},
+    # rerank_term = k·rerank of the SERVE being replayed (the mmr
+    # oracle serves k=12 → 48, the top-10 oracles 40) — a pool-size
+    # drift between plan and replay would only surface at SFs where
+    # the extra ADC candidates reorder the exact-rerank frontier
+    pool = (
+        f"LEAST({_PQ_POOLCAP}, ({rerank_term} * {_PQ_S} * "
+        f"(SELECT COUNT(*) FROM embeddings)) // "
+        f"(SELECT COUNT(*) FROM embeddings WHERE {base_pred}))"
+    )
+    return f"""{_NORMS_CTE},
     base_set AS (SELECT vec_id FROM embeddings WHERE ({base_pred})),
     {_kmeans_ctes(_IVF_ROUNDS, base_pred=base_pred, scaled=True)},
     cents AS (SELECT cid AS centroid_id, centroid AS cemb,
@@ -168,7 +200,9 @@ def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
     bud AS (SELECT t, CAST(floor((num * t + (den - 1)) / CAST(den AS DOUBLE))
                            AS BIGINT) AS b
             FROM (SELECT t, {num_case} AS num, {den_case} AS den
-                  FROM (SELECT t, CAST(ceil(sqrt((t / {_IVF_MULTI}.0)
+                  FROM (SELECT t, CAST(ceil(sqrt(
+                             (SELECT COUNT(*) FROM embeddings
+                              WHERE {base_pred})
                              / {IVF_SCALE_REF}.0)) AS BIGINT) AS s
                         FROM post_tot))),
     probes AS (SELECT query_id, centroid_id FROM (
@@ -210,7 +244,7 @@ def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
                                          ORDER BY CAST(a.iscore AS DOUBLE) / n.nrm DESC,
                                                   a.neighbor_id ASC) AS crank
                FROM adc a JOIN norms n ON n.vec_id = a.neighbor_id)
-             WHERE crank <= LEAST({_PQ_POOLCAP}, {_PQ_RERANK} * {_PQ_S})),
+             WHERE crank <= {pool}),
     dots AS (SELECT cand.query_id, cand.neighbor_id,
                     {_DOT_AB.format(a='qe.embedding', b='ce.embedding')} AS dot
              FROM cand
@@ -223,10 +257,7 @@ def _ivfpq_oracle(base_pred: str = "TRUE") -> str:
                                                   neighbor_id ASC) AS rank
                FROM dots
                JOIN norms qa ON qa.vec_id = query_id
-               JOIN norms qb ON qb.vec_id = neighbor_id)
-    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-    FROM scored WHERE rank <= 10
-    """
+               JOIN norms qb ON qb.vec_id = neighbor_id)"""
 
 
 @query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
@@ -336,7 +367,8 @@ def ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivfpq_index_append",
     # ONE constant defines the base subset on both engines (r9 review
     # #8: a hardcoded literal here would silently diverge from the
-    # plan side if the predicate were ever retuned)
+    # plan side if the predicate were ever retuned); base_pred also
+    # drives the r12 schedule clamp and pool widening in the oracle
     oracle=_ivfpq_oracle(base_pred=_PQ_BASE_PRED),
 )
 def ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,3 +515,116 @@ def stream_ivfpq_index_maintenance(
     )
 
     return _impl(spark, sf_dir)
+
+
+# MMR constants shared with queries/ann.ann_mmr_diversified (same
+# greedy rule: lam 7 / pen 3 over floor(cos·2^30) integer scores)
+_MMR_SCALE = 1 << 30
+_MMR_M, _MMR_K = 12, 4
+
+
+def _mmr_from_index_oracle() -> str:
+    """The r12 production-shape MMR oracle (VERDICT r11 #6): the FULL
+    composed-serve replay (the same CTE chain as ann_ivfpq_topk —
+    training loops, residual encode, scheduled probe, integer ADC,
+    exact rerank) feeds its top-{_MMR_M} panel into the integer-
+    quantized MMR greedy walk (the recursive CTE of
+    ann_mmr_diversified's oracle). A hash match is the composition
+    theorem end-to-end: serve(persisted IVFPQ) ∘ MMR ≡ this replay —
+    and unlike ann_mmr_diversified the candidate tier is the BOUNDED
+    index serve, so the registered query carries the production scale
+    shape (the exact-cosine candidate panel was the scale artifact's
+    max exponent, documented there as query construction)."""
+    return f"""
+    WITH RECURSIVE {_ivfpq_pipeline_ctes("TRUE", rerank_term=_MMR_M * 4)},
+    mcand AS (SELECT query_id AS qid, neighbor_id AS cid,
+                     CAST(floor(cosine * {_MMR_SCALE}) AS BIGINT) AS rel_q
+              FROM scored WHERE rank <= {_MMR_M}),
+    msims AS (SELECT a.qid, a.cid AS a, b.cid AS b,
+                     CAST(floor(({_DOT_AB.format(a='ea.embedding', b='eb.embedding')})
+                                / (na.nrm * nb.nrm) * {_MMR_SCALE}) AS BIGINT) AS sim_q
+              FROM mcand a JOIN mcand b ON a.qid = b.qid AND a.cid <> b.cid
+              JOIN embeddings ea ON ea.vec_id = a.cid
+              JOIN embeddings eb ON eb.vec_id = b.cid
+              JOIN norms na ON na.vec_id = a.cid
+              JOIN norms nb ON nb.vec_id = b.cid),
+    walk(qid, step, sel, picked, rel_q, mmr_q) AS (
+      SELECT qid, 1, [cid], cid, rel_q, 7 * rel_q
+      FROM (SELECT qid, cid, rel_q,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel_q DESC, cid) AS rn
+            FROM mcand) WHERE rn = 1
+      UNION ALL
+      SELECT qid, step + 1, list_append(sel, cid), cid, rel_q, mmr_q
+      FROM (
+        SELECT t.*, row_number() OVER (PARTITION BY t.qid
+                                       ORDER BY t.mmr_q DESC, t.cid) AS rn
+        FROM (
+          SELECT w.qid, w.step, w.sel, c.cid, c.rel_q,
+                 7 * c.rel_q - 3 * (SELECT MAX(s.sim_q) FROM msims s
+                                    WHERE s.qid = w.qid AND s.a = c.cid
+                                      AND list_contains(w.sel, s.b)) AS mmr_q
+          FROM walk w JOIN mcand c ON c.qid = w.qid
+                                  AND NOT list_contains(w.sel, c.cid)
+          WHERE w.step < {_MMR_K}
+        ) t
+      ) WHERE rn = 1
+    )
+    SELECT qid AS query_id, CAST(step AS INT) AS pick, picked AS vec_id,
+           rel_q, mmr_q
+    FROM walk
+    """
+
+
+@query("ann_mmr_from_index", oracle=_mmr_from_index_oracle())
+def ann_mmr_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval FED FROM THE PERSISTED IVFPQ INDEX
+    (r12, VERDICT r11 #6 — the production composition the
+    ann_mmr_diversified docstring promises): the standing bounded
+    panel takes its top-12 candidates from the shared persisted index
+    (same fingerprint as ann_ivfpq_index_search — the build is paid
+    once per corpus version per host; the serve scans ~16-byte codes
+    of the scheduled posting mass), then the integer-quantized MMR
+    greedy walk (operators/ann.mmr_from_candidates) picks 4 per query
+    over that BOUNDED frame. Every stage after the index serve touches
+    per-query kB frames, so the query's scale shape is the index
+    serve's — sub-linear scan growth under the mass schedule — where
+    the exact-cosine-fed twin is ~N²/50 by construction (the scale
+    artifact's documented max exponent). rel_q is the exact rerank
+    cosine floor-quantized at 2^30, so serve and walk are both
+    engine-exact and the oracle replays the whole composition."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann import mmr_from_candidates
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        ivfpq_index_search,
+        shared_index_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    params = dict(
+        centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+        coarse_scale_ref=IVF_SCALE_REF,
+    )
+    fp = corpus_fingerprint(table_path(sf_dir, "embeddings"), **params)
+    idx = ensure_ivfpq_index(
+        spark, emb, shared_index_dir("ivfpq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), **params,
+    )
+    panel = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    cand = ivfpq_index_search(
+        spark, idx, emb, panel, k=_MMR_M, probe_mass=_IVFPQ_MASS,
+        rerank=4, scale=_PQ_SCALE,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cid"),
+        F.floor(F.col("cosine") * _MMR_SCALE).cast("long").alias("rel_q"),
+    )
+    return mmr_from_candidates(
+        emb, cand, id_col="vec_id", vec_col="embedding", k=_MMR_K,
+    )

@@ -1217,3 +1217,302 @@ def test_swept_stage_raises_instead_of_empty_commit(spark, tmp_path):
     ivf_index_append(spark, idx, delta, batch_id=0)
     meta_final = json.load(open(_os.path.join(idx, "_meta.json")))
     assert meta_final["applied_batches"] == [0]
+
+
+def test_fence_blocks_both_alive_zombie_before_invalidate(spark, tmp_path):
+    """r12 (VERDICT r11 #4): the BOTH-ALIVE interleaving the r11 swept-
+    stage guard could not see — a paused-past-lease writer resumes
+    while the contender that took over is mid-append and has NOT yet
+    swept the zombie's stage. The fence epoch (advanced by every
+    claimant) must make the zombie raise BEFORE it invalidates the
+    manifest or adopts files over the contender's work; the zombie's
+    claim is released and its stage removed."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ConcurrentWriteError,
+        _append_stage,
+        _finish_append,
+        _write_fence,
+        _writer_txn,
+        ivf_index_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    idx = str(tmp_path / "ivf_fence")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    meta_before = json.load(open(_os.path.join(idx, "_meta.json")))
+
+    # the zombie: claims slot mver, stages real data, then stalls
+    meta, mver = _writer_txn(idx, 0, "append")
+    stage = _append_stage(idx, mver)
+    _os.makedirs(_os.path.join(stage, "postings"))
+    open(_os.path.join(stage, "postings", "part-0.parquet"), "w").close()
+    # the contender: judged the zombie dead and advanced the fence to
+    # its own slot (what _claim_writer does at claim time); the
+    # zombie's stage is still intact — the r11 residual window
+    _write_fence(idx, mver + 1)
+
+    with pytest.raises(ConcurrentWriteError, match="fence"):
+        _finish_append(
+            idx, stage, ["postings"], meta, mver, 0, 1,
+        )
+    # the live manifest was never touched and the stage is gone
+    meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_after == meta_before
+    assert not _os.path.isdir(stage)
+    # the zombie's slot was released: a healthy append proceeds (it
+    # re-claims and re-advances the fence itself)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    ivf_index_append(spark, idx, delta, batch_id=0)
+    assert json.load(
+        open(_os.path.join(idx, "_meta.json"))
+    )["applied_batches"] == [0]
+
+
+def test_adopt_count_mismatch_degrades_to_loud_noncurrent(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): a stage swept BETWEEN _finish_append's
+    existence/fence checks and the renames must never record the batch
+    as applied with missing files — the staged-vs-adopted count
+    compare raises post-invalidate, degrading to a loud non-current
+    rebuild instead of silent loss."""
+    import json
+    import os as _os
+
+    import pytest
+
+    import bigdatafinalproject_spark.operators.ann_index as annidx
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf_midadopt")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+
+    real_adopt = annidx._adopt_staged
+
+    def sweep_then_adopt(stage, index_dir, tables):
+        # the contender's sweep lands mid-window: one staged file
+        # vanishes after the counts were captured
+        victim_dir = _os.path.join(stage, tables[0])
+        victim = sorted(
+            n for n in _os.listdir(victim_dir) if n.endswith(".parquet")
+        )[0]
+        _os.remove(_os.path.join(victim_dir, victim))
+        return real_adopt(stage, index_dir, tables)
+
+    monkeypatch.setattr(annidx, "_adopt_staged", sweep_then_adopt)
+    with pytest.raises(annidx.ConcurrentWriteError, match="adopted"):
+        annidx.ivf_index_append(spark, idx, delta, batch_id=0)
+    # loud non-current: no manifest (rebuild is the remedy), batch NOT
+    # recorded as applied — redelivery stays possible
+    assert not _os.path.exists(_os.path.join(idx, "_meta.json"))
+    monkeypatch.setattr(annidx, "_adopt_staged", real_adopt)
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    annidx.ivf_index_append(spark, idx, delta, batch_id=0)
+    assert json.load(
+        open(_os.path.join(idx, "_meta.json"))
+    )["applied_batches"] == [0]
+
+
+def test_manifest_cell_sizes_snapshot_tracks_log(spark, tmp_path):
+    """r12 (VERDICT r11 #1): the manifest carries the FOLDED cell-size
+    snapshot so serves read <=C manifest rows instead of folding the
+    v5 parquet log per search. The snapshot must equal the folded log
+    after build, after an append, and after compaction (rewrite-only),
+    and the serve path must produce identical results from either
+    source."""
+    import json
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann import (
+        IVF_PROBE_MASS,
+        ivf_search_frames,
+        mass_schedule_for_n,
+    )
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _read_sizes,
+        compact_index,
+        ivf_index_append,
+        ivf_index_search,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf_snap")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+
+    def snap():
+        m = json.load(open(_os.path.join(idx, "_meta.json")))
+        return {int(c): int(n) for c, n in m["cell_sizes"]}
+
+    def folded():
+        return {
+            int(r["centroid_id"]): int(r["_csz"])
+            for r in _read_sizes(
+                spark, _os.path.join(idx, "cell_sizes")
+            ).collect()
+        }
+
+    assert snap() == folded() and len(snap()) > 0
+    ivf_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                     batch_id=0)
+    ivf_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
+                     batch_id=1)
+    assert snap() == folded()
+    compact_index(spark, idx)
+    assert snap() == folded()
+
+    # serve equivalence: snapshot-fed serve == log-fed legacy serve
+    # (same clamped budget — the index was built without scale_ref, so
+    # the manifest carries none and "auto" holds the base row)
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    served = {
+        tuple(r)
+        for r in ivf_index_search(
+            spark, idx, emb, queries, k=10, probe_mass=IVF_PROBE_MASS
+        ).collect()
+    }
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    postings = spark.read.parquet(f"{idx}/postings")
+    legacy = {
+        tuple(r)
+        for r in ivf_search_frames(
+            centroids, postings, emb, queries, k=10,
+            probe_mass=IVF_PROBE_MASS,
+            cell_sizes=_read_sizes(spark, _os.path.join(idx, "cell_sizes")),
+            mass_multi=_PARAMS["multi_assign"],
+        ).collect()
+    }
+    assert served == legacy and len(served) > 0
+    # the clamp helper pins the calibrated steps (ADVICE r11: serve
+    # schedule resolves at the BUILD step, from base_rows)
+    assert mass_schedule_for_n(1333, 2000) == (3, 10)   # sf0.1 base
+    assert mass_schedule_for_n(13334, 2000) == (3, 10)  # sf1 base
+    assert mass_schedule_for_n(40000, 2000) == (1, 5)   # sf3 base
+    assert mass_schedule_for_n(133334, 2000) == (3, 20)  # sf10 base
+
+
+def test_appended_drift_floor_pinned_in_artifact():
+    """VERDICT r11 #3: the appended-drift tier must hold recall@10
+    >= 0.90 at every measured scale point (RECALL_SCALE.json is the
+    shipped evidence; this pin makes a regression in a future retune
+    a test failure, not a silent artifact drift). The retrained tier
+    must match the full-trained tier exactly (retrain == full train)."""
+    import json
+    from pathlib import Path
+
+    art = json.loads(
+        (Path(__file__).resolve().parents[1] / "RECALL_SCALE.json")
+        .read_text()
+    )["recall_at_10"]
+    for sf, rows in art.items():
+        for tier in ("ivf_appended", "pq_appended", "ivfpq_appended"):
+            assert rows[tier] >= 0.90, (sf, tier, rows[tier])
+        assert rows["ivf_retrained"] == rows["ivf_trained"], sf
+        assert rows["pq_retrained"] == rows["pq_trained"], sf
+        assert rows["ivfpq_retrained"] == rows["ivfpq"], sf
+
+
+def test_lease_paused_writer_race_lands_batches_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #8: the two-writer race re-run under the lease
+    DEFAULT with an injected whole-process pause — the interleaving
+    that produced the original zombie hole. Writer A claims, stages,
+    then 'pauses' mid-txn (its renewer is halted, so the lease lapses
+    exactly as under SIGSTOP/VM freeze); contender B judges the slot
+    dead, takes over, sweeps A's stage and lands its batch; A resumes
+    and MUST abort loudly (swept-stage/fence guard), after which A's
+    batch retries cleanly — both batches land exactly once, no silent
+    loss, no double-append."""
+    import json
+    import os as _os
+    import threading
+    import time as _time
+
+    import bigdatafinalproject_spark.operators.ann_index as annidx
+    from bigdatafinalproject_spark.operators import txlog
+
+    monkeypatch.setenv(txlog.CLAIM_MODE_ENV, "lease")
+    monkeypatch.setenv(txlog.LEASE_S_ENV, "0.6")
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_pause")
+    d0 = delta.filter(F.col("vec_id") % 2 == 0)
+    d1 = delta.filter(F.col("vec_id") % 2 != 0)
+
+    real_finish = annidx._finish_append
+    paused = threading.Event()
+    resume = threading.Event()
+    state = {"armed": True}
+
+    def pausing_finish(index_dir, stage, tables, meta, mver, batch_id,
+                       n_delta, sizes_delta=None):
+        if state["armed"]:
+            state["armed"] = False
+            # SIGSTOP analogue: the WHOLE process stalls, so renewal
+            # ticks stop too — halt this claim's renewer and sleep
+            # past the lease while the contender runs
+            r = annidx._RENEWERS.get(
+                txlog.entry_path(
+                    _os.path.join(index_dir, annidx._APPLOG), mver
+                )
+            )
+            if r is not None:
+                r._stop.set()
+                r._thread.join(timeout=10)
+            paused.set()
+            assert resume.wait(timeout=120)
+        return real_finish(index_dir, stage, tables, meta, mver,
+                           batch_id, n_delta, sizes_delta=sizes_delta)
+
+    monkeypatch.setattr(annidx, "_finish_append", pausing_finish)
+
+    errors: list = []
+
+    def zombie():
+        try:
+            annidx.pq_index_append(spark, idx, d0, batch_id=0)
+            errors.append("paused writer committed over the contender")
+        except annidx.ConcurrentWriteError:
+            pass  # the guard: loud abort, batch retryable
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errors.append(e)
+
+    t = threading.Thread(target=zombie)
+    t.start()
+    assert paused.wait(timeout=300), "zombie never reached its txn tail"
+    _time.sleep(1.2)  # un-renewed 0.6 s lease lapses
+
+    # contender: judges the dead slot, takes over, lands batch 1
+    annidx.pq_index_append(spark, idx, d1, batch_id=1)
+    resume.set()
+    t.join(timeout=300)
+    assert not errors, errors
+
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [1]
+    # the zombie's batch was NOT silently recorded: redelivery lands it
+    annidx.pq_index_append(spark, idx, d0, batch_id=0)
+    meta = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta["applied_batches"] == [0, 1]
+    # exactly-once content: one norms row per corpus vector
+    assert (
+        spark.read.parquet(f"{idx}/norms").count() == emb.count()
+    )
