@@ -78,6 +78,15 @@ IVFPQ_PROBE_MASS = "auto"
 # pushing below ~0.35N candidates at 0.95 recall needs a compressed-
 # domain scan — which is exactly the IVFPQ tier (16 B/vector ADC).
 # IVF with full-vector rerank remains the recall-reference tier.
+#
+# Transferability (r12, VERDICT r11 #2): the schedule was re-swept on
+# a CLUSTERED mixture-of-Gaussians fixture at sf1/sf10 size
+# (IVFPQ_CALIBRATION_CLUSTERED.json; Spark twin in
+# RECALL_SCALE.json:clustered) — the isotropic corpus is the binding
+# WORST case: clustered recall reads 1.000 at every operating point,
+# and the C cap binding at sf10 (512 vs uncapped 640) costs zero
+# recall and ~0.9% candidate mass there, so the capped schedule
+# transfers with margin and needs no cluster-aware variant.
 IVF_PROBE_MASS = "auto"
 
 # the s-schedule for the "auto" policy: (max_s, num, den) rows, first

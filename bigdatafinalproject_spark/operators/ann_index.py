@@ -795,11 +795,20 @@ def _finish_append(
         _end_claim(index_dir, mver, release=True)
         shutil.rmtree(stage, ignore_errors=True)
         raise
-    staged_counts = {
-        t: len(_parquet_files(os.path.join(stage, t)))
-        for t in tables
-        if os.path.isdir(os.path.join(stage, t))
-    }
+    try:
+        staged_counts = {
+            t: len(_parquet_files(os.path.join(stage, t)))
+            for t in tables
+            if os.path.isdir(os.path.join(stage, t))
+        }
+    except OSError:
+        # stage swept between the fence check and the count capture:
+        # same pre-invalidate abort as the swept-stage guard above
+        _end_claim(index_dir, mver, release=True)
+        raise ConcurrentWriteError(
+            f"append stage for mver {mver} at {index_dir!r} was swept "
+            f"mid-capture (a contender took over) — retry the batch"
+        ) from None
     applied = list(meta.get("applied_batches", []))
     os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
     # pure renames from here: a transient Spark failure can no longer

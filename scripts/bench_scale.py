@@ -46,6 +46,11 @@ HEAVY = [
     "ann_mmr_diversified",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # MMR fed from the persisted IVFPQ index (r12, VERDICT r11 #6):
+    # the production-shape diversified retrieval — its scale row is
+    # the index serve's (bounded panel, scheduled scan), where the
+    # exact-cosine-fed twin above is ~N^2/50 by construction
+    "ann_mmr_from_index",
     "ann_index_append",
     # persisted dedup index: base build + two delta appends + check —
     # the maintenance-heaviest query of the new dedup lifecycle family

@@ -1,0 +1,52 @@
+"""Spark-side trained-tier recall on the clustered fixture (r12,
+VERDICT r11 #2's "RECALL_SCALE section for the clustered fixture"):
+runs the REGISTERED trained-tier configs (scaled C + "auto" mass
+schedule — the exact plans the driver checks) against the
+mixture-of-Gaussians corpus scripts/ivfpq_clustered_calibration.py
+writes, and records recall@10 plus the measured serve cost under a
+"clustered" key in RECALL_SCALE.json (the isotropic sections are
+untouched). Run AFTER ivfpq_clustered_calibration.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+os.environ["RECALL_TIERS"] = "ivf_trained,pq_trained,ivfpq"
+
+from ann_recall_scale import ivf_cand_frac, ivfpq_serve_frac, recalls  # noqa: E402
+
+from bigdatafinalproject_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    spark = get_spark(app_name="bdfp-clustered-recall")
+    out = {}
+    for name in ("sf1",):
+        d = str(REPO / ".scaledata" / "clustered" / name)
+        if not Path(d).is_dir():
+            raise SystemExit(f"{d} missing - run ivfpq_clustered_calibration.py")
+        row = recalls(spark, d)
+        row["ivf_candidate_frac"] = ivf_cand_frac(spark, d)
+        row["ivfpq_serve_frac"] = ivfpq_serve_frac(spark, d)
+        out[name] = row
+    art_path = REPO / "RECALL_SCALE.json"
+    art = json.loads(art_path.read_text())
+    art["clustered"] = {
+        "fixture": "scripts/ivfpq_clustered_calibration.py mixture "
+                   "(N/200 unit-norm Gaussian clusters, sigma=0.08)",
+        "tiers": out,
+    }
+    art_path.write_text(json.dumps(art, indent=1) + "\n")
+    print(json.dumps(art["clustered"]))
+
+
+if __name__ == "__main__":
+    main()
