@@ -398,6 +398,38 @@ def mass_schedule_for_n(n_vec: int, scale_ref: int) -> tuple[int, int]:
     raise AssertionError("unreachable: last schedule row is open-ended")
 
 
+def rerank_pool_for_index(
+    base_rows: int,
+    appended_rows: int,
+    k: int,
+    rerank: int,
+    pool_cap: int,
+    scale_ref: int,
+) -> int:
+    """The r12 drift-aware rerank pool, resolved from an index
+    MANIFEST's row counters (ONE copy — r12 review #5: the rule was
+    inlined in both pq_index_search and ivfpq_index_search, and a
+    drift between plan and oracle replay would surface only as a late
+    opaque hash mismatch at SFs where the extra ADC candidates reorder
+    the exact-rerank frontier):
+
+        n_idx = base + appended
+        s     = ceil(sqrt(n_idx / scale_ref))     (the PQ pool step)
+        pool  = min(pool_cap, k·rerank·s·n_idx // base)
+
+    Appended vectors are encoded against base-trained quantizers and
+    carry extra quantization error in their ADC ranks; a
+    proportionally deeper exact rerank recovers what the compressed
+    ranking loses, bounded by pool_cap and by needs_retrain's
+    appended-fraction budget. Exact integer arithmetic; the oracles
+    render the identical rule (LEAST(cap, term·s·N_total // N_base))."""
+    import math
+
+    n_idx = int(base_rows) + int(appended_rows)
+    s = math.ceil(math.sqrt(n_idx / float(scale_ref)))
+    return min(int(pool_cap), (k * rerank * s * n_idx) // int(base_rows))
+
+
 def ivf_mass_schedule_sql(s_expr: str) -> tuple[str, str]:
     """The DuckDB rendering of IVF_MASS_SCHEDULE: (num, den) CASE
     fragments over an s expression — imported by the oracle builders
@@ -948,14 +980,13 @@ def mmr_diversify(
 
     Returns (query_id, pick 1..k, vec_id, rel_q, mmr_q).
     """
-    from bigdatafinalproject_spark.operators.barrier import materialize_barrier
-
-    cand = materialize_barrier(
-        cosine_topk(corpus, queries, id_col, vec_col, k=n_candidates).select(
-            "query_id",
-            F.col("neighbor_id").alias("cid"),
-            F.floor(F.col("cosine") * scale).cast("long").alias("rel_q"),
-        )
+    # no barrier here: mmr_from_candidates barriers its input (one
+    # materialization total, the pre-r12 plan — r12 review #4 caught
+    # the refactor double-materializing the same bounded frame)
+    cand = cosine_topk(corpus, queries, id_col, vec_col, k=n_candidates).select(
+        "query_id",
+        F.col("neighbor_id").alias("cid"),
+        F.floor(F.col("cosine") * scale).cast("long").alias("rel_q"),
     )
     return mmr_from_candidates(
         corpus, cand, id_col=id_col, vec_col=vec_col, k=k,

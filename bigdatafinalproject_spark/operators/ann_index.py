@@ -78,6 +78,7 @@ from bigdatafinalproject_spark.operators.ann import (
     ivf_search_frames,
     pq_build_frames,
     pq_search_frames,
+    rerank_pool_for_index,
 )
 from bigdatafinalproject_spark.operators.txlog import (
     CLAIM_MODE_ENV as _CLAIM_MODE_ENV,
@@ -95,19 +96,24 @@ from bigdatafinalproject_spark.operators.txlog import (
 
 _META = "_meta.json"
 _APPLOG = "_applog"
-# writer-fence token (r12, VERDICT r11 #4): the CURRENT claimed writer
-# slot, rewritten atomically by every claimant immediately after its
-# post-claim validation. A lease-mode writer that was paused past its
+# writer-fence epochs (r12, VERDICT r11 #4): an append-only DIRECTORY
+# of epoch marker files (`_fence/e<mver>`), one created by every
+# claimant immediately after its post-claim validation; the CURRENT
+# epoch is the maximum. A lease-mode writer that was paused past its
 # lease (SIGSTOP, VM freeze) and whose slot a contender judged dead
-# re-reads this fence IMMEDIATELY before its invalidate/rename batch
-# and raises on a mismatch — so the both-alive interleaving (zombie
-# resumes while the contender is mid-append, before the contender's
-# stage sweep reaches it) can no longer invalidate or adopt over the
-# contender's work. The residual window is the gap between the fence
-# check and the first rename — single-rename atomicity, the bar a
-# plain POSIX dir can express (the r11 residual was the whole
-# stage→recommit span).
-_FENCE = "_fence.json"
+# re-checks the max epoch IMMEDIATELY before its invalidate/rename
+# batch and raises when a later epoch exists — so the both-alive
+# interleaving (zombie resumes while the contender is mid-append,
+# before the contender's stage sweep reaches it) can no longer
+# invalidate or adopt over the contender's work. The append-only set
+# makes the fence MONOTONIC by construction (r12 review #1: a
+# read-modify-replace fence file could be regressed by a zombie that
+# paused between its claim CAS and its fence write — creating a
+# marker can never lower the max, however stale the creator). The
+# residual window is the gap between the fence check and the first
+# rename — single-rename atomicity, the bar a plain POSIX dir can
+# express (the r11 residual was the whole stage→recommit span).
+_FENCE = "_fence"
 # salt the fingerprint with the builder ALGORITHM version: a code
 # change to the build halves under unchanged corpus+params must
 # invalidate cached indexes (r8 review finding #2) — bump on any
@@ -435,34 +441,59 @@ def _read_claim(log: str, version: int):
 
 
 def _write_fence(index_dir: str, mver: int) -> None:
-    """Record this claimant as the index's CURRENT writer (atomic
-    os.replace). Called by every successful _claim_writer; later
-    claimants overwrite, which is exactly the fencing semantics —
-    epochs only move forward because slots are CAS-claimed in order."""
-    path = os.path.join(index_dir, _FENCE)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({"mver": mver, "pid": os.getpid()}, f)
-    os.replace(tmp, path)
+    """Record this claimant's epoch: create ``_fence/e<mver>`` (an
+    EEXIST from a reclaimed released slot is fine — the marker is the
+    same fact), then prune markers below it. Called by every
+    successful _claim_writer. The fence is an append-only SET whose
+    current epoch is the max: creating a marker can never lower it,
+    so a zombie that paused between its claim CAS and this write
+    cannot regress the epoch when it resumes (r12 review #1 — a
+    read-modify-replace fence file could be rewound exactly there,
+    re-opening the double-append the fence closes). Pruning is safe
+    for the same reason: a pruner only removes epochs below its OWN
+    marker, so the max never decreases."""
+    d = os.path.join(index_dir, _FENCE)
+    os.makedirs(d, exist_ok=True)
+    try:
+        open(os.path.join(d, f"e{mver:012d}"), "x").close()
+    except FileExistsError:
+        pass
+    for n in os.listdir(d):
+        try:
+            if n.startswith("e") and int(n[1:]) < mver:
+                os.remove(os.path.join(d, n))
+        except (ValueError, OSError):
+            continue
+
+
+def _fence_epoch(index_dir: str) -> int | None:
+    """The index's current writer epoch (max fence marker), or None
+    for an index without a fence (legacy / pre-r12 clone)."""
+    try:
+        names = os.listdir(os.path.join(index_dir, _FENCE))
+    except OSError:
+        return None
+    epochs = [
+        int(n[1:]) for n in names if n.startswith("e") and n[1:].isdigit()
+    ]
+    return max(epochs) if epochs else None
 
 
 def _check_fence(index_dir: str, mver: int) -> None:
     """Raise unless this writer's slot is still the index's current
     fence epoch — called IMMEDIATELY before the invalidate/rename
-    batch (the first destructive step of a maintenance txn). A
-    mismatch means a contender judged this writer dead (lapsed lease)
+    batch (the first destructive step of a maintenance txn). A later
+    epoch means a contender judged this writer dead (lapsed lease)
     and took over: its work must not be disturbed, so the zombie
-    aborts with the serving index untouched. A missing/unreadable
-    fence (legacy index, pre-r12 clone) compares as unknown — nothing
-    to enforce, the pre-r12 behavior."""
-    try:
-        with open(os.path.join(index_dir, _FENCE)) as f:
-            cur = int(json.load(f).get("mver", -1))
-    except (OSError, ValueError, TypeError):
+    aborts with the serving index untouched. A missing fence (legacy
+    index) compares as unknown — nothing to enforce, the pre-r12
+    behavior."""
+    cur = _fence_epoch(index_dir)
+    if cur is None:
         return
     if cur != mver:
         raise ConcurrentWriteError(
-            f"writer fence at {index_dir!r} moved to slot {cur} while "
+            f"writer fence at {index_dir!r} moved to epoch {cur} while "
             f"this writer held slot {mver} (lease lapsed while paused; "
             f"a contender owns the index) — retry the batch"
         )
@@ -493,6 +524,21 @@ def _end_claim(index_dir: str, mver: int, release: bool = False) -> None:
     if release and stopped:
         try:
             os.remove(path)
+        except OSError:
+            pass
+    if release:
+        # a released slot consumed nothing, so its fence marker must
+        # go too (r12 review follow-up): slot numbers are REUSED after
+        # a release, and a stale marker from a failed contender would
+        # otherwise fence every later claimant of the same slot
+        # forever (the manifest never advanced, so they all target
+        # it). Only the marker's OWN writer removes it — a removal can
+        # never lower the max below a LIVE/completed writer's later
+        # epoch, so monotonicity for superseded writers is preserved.
+        try:
+            os.remove(
+                os.path.join(index_dir, _FENCE, f"e{mver:012d}")
+            )
         except OSError:
             pass
 
@@ -812,8 +858,21 @@ def _finish_append(
     applied = list(meta.get("applied_batches", []))
     os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
     # pure renames from here: a transient Spark failure can no longer
-    # strand the index non-current (r11 review #3)
-    adopted_counts = _adopt_staged(stage, index_dir, tables)
+    # strand the index non-current (r11 review #3). A sweep landing
+    # MID-adopt (possible since r12's claimless _sweep_dead_stages can
+    # run beside a lapsed-lease writer) surfaces as an OSError from a
+    # vanished file or as an adopted/staged count mismatch — both must
+    # stop the renewer and degrade to a LOUD non-current rebuild, never
+    # an uncaught error that leaks a renewing claim and wedges every
+    # later writer in the process (r12 review #2).
+    try:
+        adopted_counts = _adopt_staged(stage, index_dir, tables)
+    except OSError:
+        _end_claim(index_dir, mver)  # stop the renewer; keep the claim
+        raise ConcurrentWriteError(
+            f"append at {index_dir!r} lost its stage mid-adopt (swept "
+            f"by a contender) — index left non-current; rebuild it"
+        ) from None
     if adopted_counts != staged_counts:
         _end_claim(index_dir, mver)  # stop the renewer; keep the claim
         raise ConcurrentWriteError(
@@ -1343,9 +1402,12 @@ def clone_index(src_dir: str, dst_dir: str) -> str:
             shutil.copytree(
                 src_dir, tmp,
                 ignore=shutil.ignore_patterns(
-                    # _FENCE is writer history like the log: the clone
-                    # starts its own maintenance epoch sequence
-                    _APPLOG, _FENCE, "*.compact.*", "*.tmp.*", "*.clone.*"
+                    # the fence is writer history like the log: the
+                    # clone starts its own maintenance epoch sequence
+                    # (_fence* also drops the short-lived r12 interim
+                    # _fence.json single-file form)
+                    _APPLOG, "_fence*", "*.compact.*", "*.tmp.*",
+                    "*.clone.*"
                 ),
             )
         except (shutil.Error, OSError) as e:
@@ -1495,8 +1557,6 @@ def pq_index_search(
     proportionally deeper exact rerank recovers what the compressed
     ranking loses, bounded by pool_cap and needs_retrain's budget.
     Exact integer arithmetic, replayed by the maintenance oracle."""
-    import math
-
     meta = _serving_manifest(index_dir, "pq")
     params = meta.get("params", {})
     m_idx = int(params.get("m", 8))
@@ -1517,9 +1577,10 @@ def pq_index_search(
     base = meta.get("base_rows")
     pool = None
     if base:
-        n_idx = int(base) + int(meta.get("appended_rows", 0))
-        s = math.ceil(math.sqrt(n_idx / float(scale_ref)))
-        pool = min(pool_cap, (k * rerank * s * n_idx) // int(base))
+        pool = rerank_pool_for_index(
+            int(base), int(meta.get("appended_rows", 0)),
+            k, rerank, pool_cap, scale_ref,
+        )
     return pq_search_frames(
         cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, m=m_idx, dim=dim_idx,
@@ -1631,8 +1692,6 @@ def ivfpq_index_search(
     exact rerank recovers what the compressed ranking loses, bounded
     by pool_cap and by needs_retrain's appended-fraction budget. Both
     rules are exact integer arithmetic the oracles replay."""
-    import math
-
     from bigdatafinalproject_spark.operators.ann import (
         ivfpq_search_frames,
         mass_schedule_for_n,
@@ -1655,9 +1714,10 @@ def ivfpq_index_search(
         probe_mass = mass_schedule_for_n(int(base), int(csref))
     pool = None
     if base:
-        n_idx = int(base) + int(meta.get("appended_rows", 0))
-        s = math.ceil(math.sqrt(n_idx / float(scale_ref)))
-        pool = min(pool_cap, (k * rerank * s * n_idx) // int(base))
+        pool = rerank_pool_for_index(
+            int(base), int(meta.get("appended_rows", 0)),
+            k, rerank, pool_cap, scale_ref,
+        )
     return ivfpq_search_frames(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,

@@ -1268,8 +1268,21 @@ def test_fence_blocks_both_alive_zombie_before_invalidate(spark, tmp_path):
     meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
     assert meta_after == meta_before
     assert not _os.path.isdir(stage)
-    # the zombie's slot was released: a healthy append proceeds (it
-    # re-claims and re-advances the fence itself)
+    # complete the simulated contender: it recommits at its slot (a
+    # real writer that fenced the zombie out either finishes — this —
+    # or releases, which removes its marker; a marker without either
+    # cannot exist). Later writers then claim PAST its slot and
+    # advance the fence themselves.
+    from bigdatafinalproject_spark.operators.ann_index import _commit
+
+    _commit(
+        idx, meta["kind"], meta["fingerprint"], meta["tables"],
+        src=meta.get("src"), params=meta.get("params", {}),
+        applied_batches=meta.get("applied_batches", []),
+        mver=mver + 1, base_rows=meta.get("base_rows"),
+        appended_rows=int(meta.get("appended_rows", 0)),
+        cell_sizes=meta.get("cell_sizes"),
+    )
     delta = emb.filter(F.col("vec_id") % 3 == 0)
     ivf_index_append(spark, idx, delta, batch_id=0)
     assert json.load(
@@ -1516,3 +1529,43 @@ def test_lease_paused_writer_race_lands_batches_exactly_once(
     assert (
         spark.read.parquet(f"{idx}/norms").count() == emb.count()
     )
+
+
+def test_released_claim_removes_fence_marker_slot_reusable(
+    spark, tmp_path
+):
+    """r12 review follow-up: slot numbers are REUSED after a
+    failure-release (the manifest never advanced), so a released
+    writer must remove its fence marker — a stale marker from a
+    failed contender would otherwise fence every later claimant of
+    the same slot forever (a permanent maintenance livelock)."""
+    import json
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _end_claim,
+        _fence_epoch,
+        _writer_txn,
+        ivf_index_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    idx = str(tmp_path / "ivf_release_fence")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+
+    # a writer claims the slot (fence epoch advances), then fails
+    # pre-invalidate and releases
+    meta, mver = _writer_txn(idx, None, "append")
+    assert _fence_epoch(idx) == mver
+    _end_claim(idx, mver, release=True)
+    assert _fence_epoch(idx) is None  # marker gone with the claim
+
+    # the SAME slot is claimable again and a healthy append completes
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    ivf_index_append(spark, idx, delta, batch_id=0)
+    m = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert m["applied_batches"] == [0] and m["mver"] == mver
