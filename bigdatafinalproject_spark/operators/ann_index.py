@@ -443,22 +443,60 @@ def _read_claim(log: str, version: int):
 def _write_fence(index_dir: str, mver: int) -> None:
     """Record this claimant's epoch: create ``_fence/e<mver>`` (an
     EEXIST from a reclaimed released slot is fine — the marker is the
-    same fact), then prune markers below it. Called by every
-    successful _claim_writer. The fence is an append-only SET whose
-    current epoch is the max: creating a marker can never lower it,
-    so a zombie that paused between its claim CAS and this write
-    cannot regress the epoch when it resumes (r12 review #1 — a
-    read-modify-replace fence file could be rewound exactly there,
-    re-opening the double-append the fence closes). Pruning is safe
-    for the same reason: a pruner only removes epochs below its OWN
-    marker, so the max never decreases."""
+    same fact). Called by every successful _claim_writer. The fence
+    is an append-only SET whose current epoch is the max: creating a
+    marker can never lower it, so a zombie that paused between its
+    claim CAS and this write cannot regress the epoch when it resumes
+    (r12 review #1 — a read-modify-replace fence file could be
+    rewound exactly there, re-opening the double-append the fence
+    closes).
+
+    LOWER markers are deliberately NOT pruned here (r12 review pass 2
+    #2: pruning a paused lower-slot writer's marker, followed by this
+    claimant's failure-release removing its own, could EMPTY the
+    fence and un-fence that zombie mid-pause); historical markers are
+    pruned post-COMMIT instead (beside the applog prune), where the
+    committing writer's own marker is guaranteed to remain. What IS
+    swept here are ORPHANED higher markers — epochs above this slot
+    whose claim is dead and which never committed (a SIGKILLed
+    contender's leftover): without the sweep, every future claimant
+    of the lower reusable slots would fail its fence check forever (a
+    permanent maintenance wedge, r12 review pass 2 #1). A LIVE higher
+    claim is left alone — this writer is genuinely superseded and its
+    own _check_fence will abort it."""
     d = os.path.join(index_dir, _FENCE)
     os.makedirs(d, exist_ok=True)
     try:
         open(os.path.join(d, f"e{mver:012d}"), "x").close()
     except FileExistsError:
         pass
+    log = os.path.join(index_dir, _APPLOG)
     for n in os.listdir(d):
+        try:
+            j = int(n[1:]) if n.startswith("e") else -1
+        except ValueError:
+            j = -1
+        if j <= mver:
+            continue
+        if _claim_alive(read_claim(log, j)):
+            continue  # a live contender: we are the superseded one
+        try:
+            os.remove(os.path.join(d, n))
+        except OSError:
+            continue
+
+
+def _prune_fence(index_dir: str, mver: int) -> None:
+    """Post-COMMIT fence cleanup: markers below the just-committed
+    epoch are definitively historical (any paused writer at such an
+    epoch is still fenced by the committing writer's own marker, which
+    this prune keeps — the dir can never empty here)."""
+    d = os.path.join(index_dir, _FENCE)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return
+    for n in names:
         try:
             if n.startswith("e") and int(n[1:]) < mver:
                 os.remove(os.path.join(d, n))
@@ -468,10 +506,14 @@ def _write_fence(index_dir: str, mver: int) -> None:
 
 def _fence_epoch(index_dir: str) -> int | None:
     """The index's current writer epoch (max fence marker), or None
-    for an index without a fence (legacy / pre-r12 clone)."""
+    for an index WITHOUT a fence (legacy / pre-r12 clone). Fails
+    CLOSED on transient listdir errors (r12 review pass 2 #5: EMFILE/
+    EIO must not read as 'legacy, nothing to enforce' and wave a
+    superseded zombie through its invalidate) — only a missing fence
+    dir is the legacy case."""
     try:
         names = os.listdir(os.path.join(index_dir, _FENCE))
-    except OSError:
+    except FileNotFoundError:
         return None
     epochs = [
         int(n[1:]) for n in names if n.startswith("e") and n[1:].isdigit()
@@ -517,6 +559,22 @@ def _end_claim(index_dir: str, mver: int, release: bool = False) -> None:
     path = entry_path(os.path.join(index_dir, _APPLOG), mver)
     r = _RENEWERS.pop(path, None)
     stopped = r.stop(release) if r is not None else True
+    if release:
+        # a released slot consumed nothing, so its fence marker must
+        # go too (r12 review follow-up): slot numbers are REUSED after
+        # a release, and a stale marker from a failed contender would
+        # otherwise fence every later claimant of the same slot
+        # forever (the manifest never advanced, so they all target
+        # it). Removed BEFORE the claim entry (r12 review pass 2 #3):
+        # the slot becomes re-CASable only once its old marker is
+        # gone, so this removal can never delete a live re-claimant's
+        # fresh marker for the same slot.
+        try:
+            os.remove(
+                os.path.join(index_dir, _FENCE, f"e{mver:012d}")
+            )
+        except OSError:
+            pass
     # only remove the entry here when no renewer tick can still be in
     # flight (r10 review #3: a tick blocked in os.replace past the
     # join timeout would resurrect a removed entry); on a timeout the
@@ -524,21 +582,6 @@ def _end_claim(index_dir: str, mver: int, release: bool = False) -> None:
     if release and stopped:
         try:
             os.remove(path)
-        except OSError:
-            pass
-    if release:
-        # a released slot consumed nothing, so its fence marker must
-        # go too (r12 review follow-up): slot numbers are REUSED after
-        # a release, and a stale marker from a failed contender would
-        # otherwise fence every later claimant of the same slot
-        # forever (the manifest never advanced, so they all target
-        # it). Only the marker's OWN writer removes it — a removal can
-        # never lower the max below a LIVE/completed writer's later
-        # epoch, so monotonicity for superseded writers is preserved.
-        try:
-            os.remove(
-                os.path.join(index_dir, _FENCE, f"e{mver:012d}")
-            )
         except OSError:
             pass
 
@@ -834,8 +877,28 @@ def _finish_append(
             f"took over — retry the batch"
         )
     try:
+        # a transient fence-read failure (EMFILE/EIO) aborts too —
+        # proceeding unfenced is the fail-open hole (r12 review pass 2
+        # #5); the abort is pre-invalidate, so retry is safe
         _check_fence(index_dir, mver)
-    except ConcurrentWriteError:
+        # manifest-snapshot re-check (r12 review pass 2 #2): between
+        # this writer's claim and this point, an interleaved lapsed-
+        # lease writer can have COMMITTED (both-alive lease reality) —
+        # recommitting from OUR older snapshot would drop its
+        # applied_batches entry (the r8 lost-update shape, surviving
+        # the >= recommit fence because our slot number is higher).
+        # Abort pre-invalidate; the retry re-reads and the redelivered
+        # batch idempotence does the rest.
+        cur = _manifest(index_dir)
+        if cur is None or int(cur.get("mver", 0)) != int(meta.get("mver", 0)):
+            raise ConcurrentWriteError(
+                f"manifest at {index_dir!r} advanced from snapshot mver "
+                f"{meta.get('mver', 0)} to "
+                f"{cur.get('mver') if cur else None} since this writer's "
+                f"claim (an interleaved writer committed) — retry the "
+                f"batch"
+            )
+    except (ConcurrentWriteError, OSError):
         # pre-invalidate abort: the slot was never consumed, so release
         # it (and our stage — the contender sweeps it anyway)
         _end_claim(index_dir, mver, release=True)
@@ -867,12 +930,20 @@ def _finish_append(
     # later writer in the process (r12 review #2).
     try:
         adopted_counts = _adopt_staged(stage, index_dir, tables)
-    except OSError:
+    except FileNotFoundError:
+        # the sweep signature: a staged file vanished under the rename
         _end_claim(index_dir, mver)  # stop the renewer; keep the claim
         raise ConcurrentWriteError(
             f"append at {index_dir!r} lost its stage mid-adopt (swept "
             f"by a contender) — index left non-current; rebuild it"
         ) from None
+    except OSError:
+        # a REAL I/O failure (ENOSPC/EACCES/EIO), not a concurrency
+        # event (r12 review pass 2 #4): stop the renewer so the dead
+        # txn's claim cannot keep renewing and wedge later writers,
+        # then let the original errno propagate undisguised
+        _end_claim(index_dir, mver)
+        raise
     if adopted_counts != staged_counts:
         _end_claim(index_dir, mver)  # stop the renewer; keep the claim
         raise ConcurrentWriteError(
@@ -899,8 +970,11 @@ def _finish_append(
     # bound the writer log: entries below the committed mver are spent
     # (slot numbers come from the manifest, so pruning cannot affect
     # any future CAS) — without this a streaming-maintained index
-    # accretes one claim file per micro-batch forever (r9 review #8)
+    # accretes one claim file per micro-batch forever (r9 review #8).
+    # Fence markers below the committed epoch prune with it (our own
+    # marker remains, so a paused lower-slot writer stays fenced)
     prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
+    _prune_fence(index_dir, mver)
     return index_dir
 
 
@@ -1344,9 +1418,19 @@ def compact_index(
     try:
         # fence check immediately before the destructive window (r12):
         # a paused-past-lease compactor must not swap directories over
-        # a contender's adopted state
+        # a contender's adopted state. OSError aborts too (fail
+        # closed); the manifest-snapshot re-check mirrors
+        # _finish_append's (an interleaved commit since our claim must
+        # not be overwritten from this stale snapshot)
         _check_fence(index_dir, mver)
-    except ConcurrentWriteError:
+        cur = _manifest(index_dir)
+        if cur is None or int(cur.get("mver", 0)) != int(meta.get("mver", 0)):
+            raise ConcurrentWriteError(
+                f"manifest at {index_dir!r} advanced from snapshot mver "
+                f"{meta.get('mver', 0)} since this compactor's claim — "
+                f"retry"
+            )
+    except (ConcurrentWriteError, OSError):
         _end_claim(index_dir, mver, release=True)
         for tmp in tmps.values():
             shutil.rmtree(tmp, ignore_errors=True)
@@ -1372,6 +1456,7 @@ def compact_index(
         cell_sizes=meta.get("cell_sizes"),
     )
     prune(os.path.join(index_dir, _APPLOG), keep_from=mver)  # see append twin
+    _prune_fence(index_dir, mver)
     return stats
 
 
