@@ -991,9 +991,19 @@ def _append_sizes(
     bounds the file count). Reads only the batch's staged data files,
     column-pruned to the cell id; ``pred`` restricts to one row per
     vector when the source table carries several (ivfpq codes: m
-    subspace rows per assignment). Returns the partial counts (a
-    bounded ≤C-row collect of the file just written) so the caller can
-    fold them into the manifest's ``cell_sizes`` snapshot (r12)."""
+    subspace rows per assignment). Returns the partial counts so the
+    caller can fold them into the manifest's ``cell_sizes`` snapshot
+    (r12).
+
+    ONE Spark job: the ≤C-row aggregate is COLLECTED and the staged
+    parquet file written driver-side from the rows in hand (pyarrow,
+    same int64 schema Spark wrote in v5) — the first r12 shape
+    (groupBy-write + read-back collect) was two jobs per micro-batch
+    append and showed up as +0.6-1.3 s on every streaming-maintenance
+    bench row."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
     from pyspark.sql import functions as F
 
     if not delta_files:
@@ -1001,17 +1011,24 @@ def _append_sizes(
     df = spark.read.parquet(*delta_files)
     if pred is not None:
         df = df.filter(pred)
-    (
+    rows = (
         df.groupBy(F.col(cell_col).alias("centroid_id"))
         .agg(F.count(F.lit(1)).alias("_csz"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(cpath)
+        .collect()
     )
-    return {
-        int(r["centroid_id"]): int(r["_csz"])
-        for r in spark.read.parquet(cpath).collect()
-    }
+    out = {int(r["centroid_id"]): int(r["_csz"]) for r in rows}
+    cells = sorted(out)
+    os.makedirs(cpath, exist_ok=True)
+    papq.write_table(
+        pa.table(
+            {
+                "centroid_id": pa.array(cells, pa.int64()),
+                "_csz": pa.array([out[c] for c in cells], pa.int64()),
+            }
+        ),
+        os.path.join(cpath, "part-00000.parquet"),
+    )
+    return out
 
 
 def _read_sizes(spark: SparkSession, cpath: str):
