@@ -487,6 +487,12 @@ def main() -> None:
         "ivf_candidate_frac": cand,
         "ivfpq_serve_frac": pqserve,
     }
+    # carry forward sections this script does not own (r12: the
+    # "clustered" rows from scripts/clustered_recall.py and the
+    # appended-tier protocol note) — a full isotropic sweep must not
+    # silently drop them from the artifact
+    for k, v in prev.items():
+        payload.setdefault(k, v)
     (REPO / "RECALL_SCALE.json").write_text(
         json.dumps(payload, indent=1) + "\n"
     )
