@@ -1757,3 +1757,94 @@ def test_sweep_dead_stages_spares_live_writer(spark, tmp_path):
     ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
     assert not _os.path.isdir(dead)
     assert _os.path.isdir(live)
+
+
+def test_compact_aborts_preinvalidate_on_fence_or_stale_snapshot(
+    spark, tmp_path
+):
+    """The compact twin of the append abort guards: a compactor whose
+    fence moved (a contender took over) or whose manifest snapshot is
+    stale (an interleaved writer committed) must abort BEFORE the
+    invalidate/swap — serving index untouched, claim released, aside
+    copies swept — in both interleavings."""
+    import json
+    import os as _os
+
+    import pytest
+
+    import bigdatafinalproject_spark.operators.ann_index as annidx
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf_compactfence")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    annidx.ivf_index_append(spark, idx, delta, batch_id=0)
+    meta_before = json.load(open(_os.path.join(idx, "_meta.json")))
+
+    # (a) fence moved mid-compaction: forge the contender's epoch via
+    # a monkeypatched rewrite hook so the move lands AFTER the claim
+    real_check = annidx._check_fence
+    state = {"armed": True}
+
+    def forge_then_check(index_dir, mver):
+        if state["armed"]:
+            state["armed"] = False
+            annidx._write_fence(index_dir, mver + 1)
+        return real_check(index_dir, mver)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(annidx, "_check_fence", forge_then_check)
+        with pytest.raises(annidx.ConcurrentWriteError, match="fence"):
+            annidx.compact_index(spark, idx)
+    meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_after == meta_before  # serving index untouched
+    assert not [n for n in _os.listdir(idx) if ".compact." in n]
+
+    # simulate the forged contender completing (its marker must be
+    # owned by a commit or a release — see the append twin's test)
+    annidx._commit(
+        idx, meta_after["kind"], meta_after["fingerprint"],
+        meta_after["tables"], src=meta_after.get("src"),
+        params=meta_after.get("params", {}),
+        applied_batches=meta_after.get("applied_batches", []),
+        mver=meta_after["mver"] + 2,
+        base_rows=meta_after.get("base_rows"),
+        appended_rows=meta_after.get("appended_rows", 0),
+        cell_sizes=meta_after.get("cell_sizes"),
+    )
+
+    # (b) stale snapshot: the manifest advances between the claim and
+    # the invalidate — forge by bumping mver inside the hook
+    meta_now = json.load(open(_os.path.join(idx, "_meta.json")))
+    state2 = {"armed": True}
+
+    def bump_then_check(index_dir, mver):
+        if state2["armed"]:
+            state2["armed"] = False
+            annidx._commit(
+                index_dir, meta_now["kind"], meta_now["fingerprint"],
+                meta_now["tables"], src=meta_now.get("src"),
+                params=meta_now.get("params", {}),
+                applied_batches=meta_now.get("applied_batches", []),
+                # the interleaved lapsed-lease writer committed at the
+                # slot this compactor also holds (the both-alive shape)
+                mver=mver,
+                base_rows=meta_now.get("base_rows"),
+                appended_rows=meta_now.get("appended_rows", 0),
+                cell_sizes=meta_now.get("cell_sizes"),
+            )
+        return real_check(index_dir, mver)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(annidx, "_check_fence", bump_then_check)
+        with pytest.raises(
+            annidx.ConcurrentWriteError, match="advanced"
+        ):
+            annidx.compact_index(spark, idx)
+    # the interleaved commit survives; a plain compaction then works
+    stats = annidx.compact_index(spark, idx)
+    assert stats and all(a <= b for _, (b, a) in stats.items())
