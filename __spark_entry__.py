@@ -606,6 +606,63 @@ _R11_DRIVER_CHECKED = (
     'dense_customer_ids',
 )
 
+# driver-checked in r12 (CORRECTNESS_r12.json keys, 50/50 green) —
+# union below
+_R12_DRIVER_CHECKED = (
+    'ann_ivf_index_append', 'ann_ivf_index_search', 'ann_ivf_recall',
+    'ann_ivf_topk', 'ann_ivfpq_index_append', 'ann_ivfpq_index_compact',
+    'ann_ivfpq_index_search', 'ann_ivfpq_recall', 'ann_ivfpq_topk',
+    'ann_mmr_from_index', 'ann_pq_index_append', 'ann_pq_index_compact',
+    'ann_pq_index_search', 'ann_pq_recall', 'ann_pq_topk',
+    'broadcast_dim_join', 'case_when_priority', 'clean_project',
+    'corr_covar_portable', 'customers_with_orders_semi',
+    'customers_without_orders_anti', 'dense_customer_ids',
+    'distinct_counts', 'distinct_pairs', 'doc_dedup_index_append',
+    'doc_dedup_index_check', 'doc_dedup_index_compact',
+    'doc_winnow_index_contamination', 'events_session_window',
+    'full_outer_join', 'left_join_order_counts', 'null_handling',
+    'null_safe_join', 'pivot_status', 'popular_parts', 'pricing_summary',
+    'rollup_revenue', 'scalar_functions', 'sessionize', 'set_operations',
+    'star_join_revenue_by_nation', 'stream_dedup_index_maintenance',
+    'stream_ivf_index_maintenance', 'stream_ivfpq_index_maintenance',
+    'stream_pq_index_maintenance', 'summary_stats', 'top_orders_by_revenue',
+    'topk_per_group', 'window_analytics', 'window_distribution',
+)
+
+_R13_FRONT = (
+    # changed in round 13: the v6 manifest-referenced batch-unit
+    # storage (VERDICT r12 #4 — fenced storage). Every persisted-index
+    # query re-fronts: builds commit a ``units`` map, appends/compacts
+    # adopt one renamed unit dir per table with NO manifest-invalidate
+    # window, and every serve resolves its file list from the manifest
+    # instead of a directory listing. Served CONTENT is invariant by
+    # construction (same rows, same folds) — the oracles are unchanged
+    # and must hash-match, which is exactly what fronting re-proves.
+    "ann_ivf_index_append",
+    "ann_ivf_index_search",
+    "stream_ivf_index_maintenance",
+    "ann_pq_index_append",
+    "ann_pq_index_search",
+    "ann_pq_index_compact",
+    "stream_pq_index_maintenance",
+    "ann_ivfpq_index_append",
+    "ann_ivfpq_index_search",
+    "ann_ivfpq_index_compact",
+    "stream_ivfpq_index_maintenance",
+    "doc_dedup_index_check",
+    "doc_dedup_index_append",
+    "doc_dedup_index_compact",
+    "stream_dedup_index_maintenance",
+    "doc_winnow_index_contamination",
+    # fed from the persisted IVFPQ index's serve panel (same build +
+    # search path as the *_index_search family)
+    "ann_mmr_from_index",
+    # lineitem compaction rides operators/layout.compact, which grew
+    # multi-path source support this round (single-path behavior
+    # unchanged; re-front to prove it)
+    "lineitem_compaction_roundtrip",
+)
+
 _R12_FRONT = (
     # (a) changed in round 12
     # the persisted ANN serve paths adopted the r12 drift policy
@@ -687,8 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R9_DRIVER_CHECKED)
         | set(_R10_DRIVER_CHECKED)
         | set(_R11_DRIVER_CHECKED)
+        | set(_R12_DRIVER_CHECKED)
     )
-    front = [n for n in _R12_FRONT if n in registry.QUERIES]
+    front = [n for n in _R13_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

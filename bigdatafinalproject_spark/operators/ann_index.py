@@ -150,7 +150,42 @@ _FENCE = "_fence"
 # pre-r12 writer's recommit simply DROPS the key (its manifest schema
 # has no such field), which degrades to the fold, never to a stale
 # snapshot.)
-_ALGO_VERSION = 5
+#
+# v6 (r13, VERDICT r12 #4 — true fenced storage): table data moves to
+# MANIFEST-REFERENCED BATCH UNITS. Each append/compact adopts its
+# staged output as ONE directory rename per table into
+# ``<table>/b<mver>.<pid>`` and the manifest's ``units`` map records
+# exactly which unit dirs are live — readers construct their file
+# lists FROM THE MANIFEST, never from a directory listing. Three
+# structural consequences:
+# - a paused-past-lease zombie's renames land in a unit no manifest
+#   references (its recommit is fenced by the >= mver check), so the
+#   check→first-rename residual the r12 fence left open can no longer
+#   make a stale writer's files reader-visible — dead namespace, the
+#   rename-target epoch encoding VERDICT r12 #4 asked for;
+# - the manifest-invalidate window is GONE: adoption is non-
+#   destructive (uncommitted units are invisible), so the manifest
+#   ``os.replace`` at recommit is the single atomic visibility flip —
+#   a crash ANYWHERE mid-append leaves the index CURRENT AND SERVING
+#   (pre-v6 it left a non-current index whose remedy was a rebuild),
+#   and every maintenance failure now releases its claim;
+# - compaction gets snapshot isolation: the rewrite lands as new
+#   units, the commit flips readers to them, and the OLD units are
+#   GC'd post-commit — an in-flight scan planned against the old
+#   manifest keeps its files until that GC instead of failing on a
+#   directory swap.
+# Unit names carry the claimed slot AND the writer pid, so a released
+# slot's re-claimant (or a both-alive duplicate claimant produced by
+# the stuck-renewer release handoff) can never collide with a dead
+# writer's leftover unit; post-commit GC sweeps unreferenced units at
+# or below the committed mver. MANDATORY version bump: a pre-v6
+# process reading a v6 index would list table dirs that contain unit
+# SUBDIRS and no top-level parquet, and a v6 reader of a units-less
+# manifest must fall back to the flat listing — the fingerprint salt
+# keeps the two layouts from ever sharing a cache entry. Maintenance
+# on a units-less (legacy) manifest is REFUSED rather than risking a
+# mixed flat+unit layout that a legacy reader would silently misread.
+_ALGO_VERSION = 6
 # how long a maintenance writer waits for a concurrent writer's
 # recommit before giving up (the streaming path's micro-batch appends
 # are seconds each). Crashed-vs-live claimants are decided by each
@@ -232,6 +267,44 @@ def _manifest(index_dir: str) -> dict | None:
         return None
 
 
+def _unit_name(mver: int) -> str:
+    """The batch-unit directory name for a writer slot: the slot
+    number (zero-padded so lexicographic == numeric) plus the writer
+    pid — two claimants of the SAME slot (a released slot's
+    re-claimant racing the stuck-renewer both-alive duplicate) adopt
+    into distinct namespaces, and the loser's unit is simply never
+    referenced by any manifest."""
+    return f"b{mver:012d}.{os.getpid()}"
+
+
+def _unit_mver(name: str) -> int | None:
+    """Parse a unit dir name's slot number; None for foreign names
+    (GC must never touch what it cannot attribute)."""
+    if not name.startswith("b"):
+        return None
+    head = name[1:].split(".", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
+def _unit_paths(index_dir: str, meta: dict, table: str) -> list[str]:
+    """The live data paths of a table, RESOLVED FROM THE MANIFEST
+    (v6): the unit dirs its ``units`` entry lists. A legacy manifest
+    (no ``units``) reads the flat table dir — the pre-v6 layout."""
+    units = (meta.get("units") or {}).get(table)
+    if units is None:
+        return [os.path.join(index_dir, table)]
+    return [os.path.join(index_dir, table, u) for u in units]
+
+
+def _read_table(
+    spark: SparkSession, index_dir: str, meta: dict, table: str
+) -> DataFrame:
+    """Manifest-scoped table read: only manifest-referenced unit dirs
+    reach the scan, so a zombie writer's adopted-but-never-committed
+    unit (or a unit awaiting GC) is invisible by construction."""
+    return spark.read.parquet(*_unit_paths(index_dir, meta, table))
+
+
 def _snap_pairs(cell_sizes) -> list[list[int]] | None:
     """Normalize a cell-size snapshot (dict or stored list of pairs)
     to the manifest form: [[centroid_id, count], ...] sorted by cell —
@@ -255,6 +328,7 @@ def _commit(
     base_rows: int | None = None,
     appended_rows: int = 0,
     cell_sizes=None,
+    units: dict[str, list[str]] | None = None,
 ) -> None:
     # tmp + os.replace: the manifest IS the commit record, so its own
     # write must be atomic — a crash mid-write must read as "no
@@ -299,6 +373,11 @@ def _commit(
         # OMITTED (not null) when absent so legacy readers see the
         # exact pre-r12 schema
         payload["cell_sizes"] = snap
+    if units is not None:
+        # v6: the manifest-referenced storage map — per table, the
+        # unit dirs whose files ARE the table. Sorted per table so
+        # recommits of identical content are byte-identical.
+        payload["units"] = {t: sorted(us) for t, us in units.items()}
     with open(tmp, "w") as f:
         json.dump(payload, f)
     os.replace(tmp, path)
@@ -311,8 +390,9 @@ def index_is_current(index_dir: str, kind: str, fingerprint: str) -> bool:
         and m.get("kind") == kind
         and m.get("fingerprint") == fingerprint
         and all(
-            os.path.isdir(os.path.join(index_dir, t))
+            os.path.isdir(p)
             for t in m.get("tables", [])
+            for p in _unit_paths(index_dir, m, t)
         )
     )
 
@@ -423,6 +503,20 @@ def _install_build(tmp: str, index_dir: str, kind: str, fingerprint: str) -> str
     )
 
 
+def _build_unit(tmp: str, table: str) -> str:
+    """Where a BUILD stages a table's data: the slot-0 unit dir (v6)
+    — the layout every later reader resolves through the manifest's
+    ``units`` map, so base data and appended batches share one
+    mechanism."""
+    return os.path.join(tmp, table, _unit_name(0))
+
+
+def _build_units(tables: list[str]) -> dict[str, list[str]]:
+    """The manifest ``units`` map for a fresh build: every table one
+    slot-0 unit."""
+    return {t: [_unit_name(0)] for t in tables}
+
+
 def _build_into_tmp(index_dir: str):
     # pid + thread id: two THREADED builders of the same fingerprint
     # must not interleave parquet writes into one tmp dir (caught by
@@ -466,10 +560,39 @@ def _write_fence(index_dir: str, mver: int) -> None:
     own _check_fence will abort it."""
     d = os.path.join(index_dir, _FENCE)
     os.makedirs(d, exist_ok=True)
+    # permanent e0 FLOOR marker (r13, ADVICE r12 #2): exempt from
+    # every prune/sweep, so a fenced index's marker dir can never
+    # read as empty — _fence_epoch's present-but-empty case (which
+    # now ENFORCES rather than waving a zombie through) becomes a
+    # transient-only state on pre-r13 fence dirs
     try:
-        open(os.path.join(d, f"e{mver:012d}"), "x").close()
+        open(os.path.join(d, "e000000000000"), "x").close()
     except FileExistsError:
         pass
+    marker = os.path.join(d, f"e{mver:012d}")
+    try:
+        open(marker, "x").close()
+    except FileExistsError:
+        # a dead prior claimant of this released slot left its marker
+        # behind (the stuck-renewer handoff can release the claim
+        # entry while the marker removal was skipped — ADVICE r12 #1).
+        # Re-create rather than adopt: this claimant must OWN its
+        # marker so no late cleanup of the predecessor's can delete
+        # it. The remove→create gap can only LOWER the visible max,
+        # and _fence_epoch's empty/floor reading makes any concurrent
+        # checker abort (safe: retry re-claims) — never proceed
+        # unfenced.
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        try:
+            open(marker, "x").close()
+        except FileExistsError:
+            # a same-slot duplicate claimant re-created it in the gap;
+            # the marker fact is identical and the recommit >= fence
+            # arbitrates the duplicate — nothing more to own here
+            pass
     log = os.path.join(index_dir, _APPLOG)
     for n in os.listdir(d):
         try:
@@ -498,7 +621,10 @@ def _prune_fence(index_dir: str, mver: int) -> None:
         return
     for n in names:
         try:
-            if n.startswith("e") and int(n[1:]) < mver:
+            if n.startswith("e") and 0 < int(n[1:]) < mver:
+                # the e0 FLOOR marker is permanent (never pruned):
+                # its presence is what keeps the dir from ever
+                # reading as empty/unenforced (ADVICE r12 #2)
                 os.remove(os.path.join(d, n))
         except (ValueError, OSError):
             continue
@@ -510,7 +636,11 @@ def _fence_epoch(index_dir: str) -> int | None:
     CLOSED on transient listdir errors (r12 review pass 2 #5: EMFILE/
     EIO must not read as 'legacy, nothing to enforce' and wave a
     superseded zombie through its invalidate) — only a missing fence
-    dir is the legacy case."""
+    dir is the legacy case. A PRESENT-BUT-EMPTY dir reads as epoch 0
+    — enforce, don't downgrade (ADVICE r12 #2): markers existed on
+    this index once, so a checker whose own marker is gone was
+    superseded or released and must abort; the permanent e0 floor
+    marker (r13) makes this state transient-only anyway."""
     try:
         names = os.listdir(os.path.join(index_dir, _FENCE))
     except FileNotFoundError:
@@ -518,7 +648,7 @@ def _fence_epoch(index_dir: str) -> int | None:
     epochs = [
         int(n[1:]) for n in names if n.startswith("e") and n[1:].isdigit()
     ]
-    return max(epochs) if epochs else None
+    return max(epochs) if epochs else 0
 
 
 def _check_fence(index_dir: str, mver: int) -> None:
@@ -559,7 +689,7 @@ def _end_claim(index_dir: str, mver: int, release: bool = False) -> None:
     path = entry_path(os.path.join(index_dir, _APPLOG), mver)
     r = _RENEWERS.pop(path, None)
     stopped = r.stop(release) if r is not None else True
-    if release:
+    if release and stopped:
         # a released slot consumed nothing, so its fence marker must
         # go too (r12 review follow-up): slot numbers are REUSED after
         # a release, and a stale marker from a failed contender would
@@ -568,7 +698,13 @@ def _end_claim(index_dir: str, mver: int, release: bool = False) -> None:
         # it). Removed BEFORE the claim entry (r12 review pass 2 #3):
         # the slot becomes re-CASable only once its old marker is
         # gone, so this removal can never delete a live re-claimant's
-        # fresh marker for the same slot.
+        # fresh marker for the same slot. GUARDED by ``stopped`` like
+        # the entry removal (ADVICE r12 #1): when the renewer timed
+        # out, ITS release handoff removes the entry whenever it
+        # unblocks — possibly before this line — and a re-claimant
+        # could have CAS'd the freed slot and own a fresh marker here;
+        # the stale marker is instead reaped by that re-claimant's
+        # _write_fence remove→re-create (it always OWNS its marker).
         try:
             os.remove(
                 os.path.join(index_dir, _FENCE, f"e{mver:012d}")
@@ -687,6 +823,16 @@ def _writer_txn(
     while True:
         meta = _manifest(index_dir)
         if meta is not None:
+            if meta.get("units") is None:
+                # legacy flat-layout manifest (pre-v6): adopting unit
+                # subdirs under its tables would build a MIXED layout
+                # a legacy reader silently misreads (top-level files
+                # only) — refuse; the v6 fingerprint salt already
+                # forces rebuilds everywhere an ensure_* runs
+                raise ValueError(
+                    f"index at {index_dir!r} uses the pre-v6 flat "
+                    f"layout — rebuild it before maintenance ({op})"
+                )
             applied = meta.get("applied_batches", [])
             if batch_id is not None and batch_id in applied:
                 return None
@@ -747,6 +893,30 @@ def _parquet_files(table_dir: str) -> list[str]:
     ]
 
 
+def _sweep_stage(index_dir: str, name: str) -> None:
+    """Remove a dead writer's stage dir by RENAME-THEN-DELETE (r13):
+    ``shutil.rmtree`` traverses by directory fd, so an rmtree racing
+    the owner's adopt rename would keep deleting entries INSIDE the
+    just-adopted unit dir — silent data loss the v5.1 count compare
+    existed to catch post-hoc. Renaming the stage aside first makes
+    the race a pair of atomic renames: the sweeper that wins removes
+    a dir the owner can no longer adopt (the owner's rename fails
+    ENOENT → clean pre-commit retry), and an owner that wins leaves
+    the sweeper's rename failing ENOENT — an rmtree can never start
+    against a dir that might still be adopted."""
+    import threading
+
+    aside = os.path.join(
+        index_dir,
+        f"_sweep.tmp.{os.getpid()}.{threading.get_ident()}.{name}",
+    )
+    try:
+        os.rename(os.path.join(index_dir, name), aside)
+    except OSError:
+        return  # the owner adopted it, or another sweeper won
+    shutil.rmtree(aside, ignore_errors=True)
+
+
 def _sweep_dead_stages(index_dir: str) -> None:
     """Best-effort sweep of stage dirs whose writer is DEAD — the
     read-side/ensure-side twin of _append_stage's sweep (ADVICE r11:
@@ -764,13 +934,18 @@ def _sweep_dead_stages(index_dir: str) -> None:
         return
     log = os.path.join(index_dir, _APPLOG)
     for n in names:
+        if n.startswith("_sweep.tmp."):
+            # a crashed sweeper's mid-delete leftovers: nothing ever
+            # adopts an aside dir, so removal is unconditionally safe
+            shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+            continue
         if not n.startswith("_stage.tmp."):
             continue
         parts = n.split(".")
         try:
             pid_s, mver_i = parts[2], int(parts[3])
         except (IndexError, ValueError):
-            shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+            _sweep_stage(index_dir, n)
             continue
         claim = read_claim(log, mver_i)
         if (
@@ -779,7 +954,7 @@ def _sweep_dead_stages(index_dir: str) -> None:
             and str(claim.get("pid")) == pid_s
         ):
             continue  # a live writer's in-flight stage
-        shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+        _sweep_stage(index_dir, n)
 
 
 def _append_stage(index_dir: str, mver: int) -> str:
@@ -796,42 +971,103 @@ def _append_stage(index_dir: str, mver: int) -> str:
     writers, so any existing stage belongs to a dead txn. The .tmp.
     infix keeps stages inside clone_index's ignore patterns."""
     for n in os.listdir(index_dir):
-        if n.startswith("_stage.tmp."):
+        if n.startswith("_sweep.tmp."):
+            # already aside (a crashed sweeper's leftovers): plain
+            # delete — nothing ever adopts an aside dir
             shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+        elif n.startswith("_stage.tmp."):
+            # rename-then-delete (r13, _sweep_stage): an rmtree racing
+            # the stage owner's adopt rename could hollow out the
+            # adopted unit through its directory fds
+            _sweep_stage(index_dir, n)
     stage = os.path.join(index_dir, f"_stage.tmp.{os.getpid()}.{mver}")
     return stage
 
 
 def _adopt_staged(
-    stage: str, index_dir: str, tables: list[str]
-) -> dict[str, int]:
-    """Move a staged append's parquet files into the live tables —
-    pure same-FS renames, the ONLY actions inside the invalidated
-    window. File names get a stage-unique prefix (pid + mver ride in
-    the stage dir name) so repeated appends can never collide with
-    prior batches' files. Returns per-table adopted file counts so the
-    caller can verify the adopt against the counts staged BEFORE the
-    invalidate (ADVICE r11: a stage swept between the existence check
-    and the renames must degrade to a loud non-current rebuild, never
-    a batch recorded as applied with missing files)."""
-    tag = os.path.basename(stage).replace("_stage.tmp.", "b")
-    adopted: dict[str, int] = {}
+    stage: str, index_dir: str, tables: list[str], mver: int
+) -> dict[str, str]:
+    """Adopt a staged append as manifest-referenced batch units (v6):
+    ONE same-FS directory rename per table, from ``stage/<t>`` to
+    ``<t>/b<mver>.<pid>``. The renamed units are INVISIBLE until the
+    recommit publishes them in the manifest's ``units`` map — so this
+    is non-destructive, runs with the serving manifest intact, and a
+    zombie writer racing here lands its renames in a unit no manifest
+    will ever reference (dead namespace — the fenced-storage closure
+    of the r12 check→first-rename residual). An existing target can
+    only be this writer's own dead leftover (unit names carry pid +
+    slot; slots are CAS-exclusive per liveness) and is cleared first.
+    Returns {table: unit_name} for the tables actually staged."""
+    unit = _unit_name(mver)
+    adopted: dict[str, str] = {}
     for t in tables:
+        # ``tables`` is exactly what the caller staged — a missing
+        # source dir means a contender's rename-aside sweep won the
+        # race, and the os.rename's FileNotFoundError is the loud
+        # pre-commit abort (silently skipping would commit the batch
+        # as applied with ZERO files, the r11 lost-redelivery shape)
         src = os.path.join(stage, t)
-        if not os.path.isdir(src):
-            continue
-        dst = os.path.join(index_dir, t)
-        os.makedirs(dst, exist_ok=True)
-        moved = 0
-        for n in sorted(os.listdir(src)):
-            if n.endswith(".parquet"):
-                os.rename(
-                    os.path.join(src, n), os.path.join(dst, f"{tag}-{n}")
-                )
-                moved += 1
-        adopted[t] = moved
+        dst_parent = os.path.join(index_dir, t)
+        os.makedirs(dst_parent, exist_ok=True)
+        dst = os.path.join(dst_parent, unit)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst, ignore_errors=True)
+        os.rename(src, dst)
+        adopted[t] = unit
     shutil.rmtree(stage, ignore_errors=True)
     return adopted
+
+
+def _gc_dead_units(index_dir: str, meta: dict) -> None:
+    """Post-commit sweep of DEAD batch units: subdirectories of the
+    manifest's tables that the just-committed manifest does not
+    reference and whose slot number is at or below the committed mver
+    — a superseded compaction's inputs, a zombie's adopted-but-fenced
+    batch, or a crashed writer's post-adopt leftovers. Serialization
+    makes attribution exact: any unit at slot ≤ the committed mver
+    that the winning manifest omits can never become referenced (slot
+    numbers only advance; recommits of lower slots are fenced).
+    Best-effort — a failed removal is retried by the next committer.
+
+    Reader note: an in-flight scan planned against a SUPERSEDED
+    manifest (pre-compaction) loses its files here — the residual
+    reader/writer window, now post-commit-only and compaction-only
+    (appends never unreference a unit). Full multi-version retention
+    would add a grace period keyed on unit mtime; at query volume
+    that is a one-line policy change in this sweep."""
+    units = meta.get("units")
+    if units is None:
+        return
+    committed = int(meta.get("mver", 0))
+    for t in meta.get("tables", []):
+        live = set(units.get(t, ()))
+        tdir = os.path.join(index_dir, t)
+        try:
+            names = os.listdir(tdir)
+        except OSError:
+            continue
+        for n in names:
+            mv = _unit_mver(n)
+            if mv is None or n in live or mv > committed:
+                continue
+            shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
+
+
+def _release_adopted(
+    index_dir: str, adopted: dict[str, str], mver: int
+) -> None:
+    """Failure cleanup for units adopted but never committed (the
+    recommit was fenced, or a commit-path error aborted the txn):
+    the units are unreferenced by construction, so removing them is
+    safe at any point; the claim entry is best-effort removed so the
+    slot never wedges later writers. (A crash here instead leaves the
+    units for the next committer's _gc_dead_units.)"""
+    for t, u in adopted.items():
+        shutil.rmtree(os.path.join(index_dir, t, u), ignore_errors=True)
+    try:
+        os.remove(entry_path(os.path.join(index_dir, _APPLOG), mver))
+    except OSError:
+        pass
 
 
 def _finish_append(
@@ -844,25 +1080,32 @@ def _finish_append(
     n_delta: int,
     sizes_delta: dict | None = None,
 ) -> str:
-    """The invalidate → adopt → recommit → prune tail every
-    ``*_index_append`` shares (r11 review #4: the protocol skeleton
-    was copy-pasted four times; a protocol fix must land once).
+    """The adopt → recommit → prune → GC tail every ``*_index_append``
+    shares (r11 review #4: the protocol skeleton was copy-pasted four
+    times; a protocol fix must land once). v6 (r13): adoption is ONE
+    rename per table into a manifest-referenced unit dir and the
+    serving manifest is NEVER invalidated — the recommit's
+    ``os.replace`` is the single atomic visibility flip, so the index
+    serves throughout the append and EVERY failure below is a
+    pre-commit abort that releases the claim and leaves the index
+    current (pre-v6, a mid-adopt failure left a non-current index
+    whose only remedy was a rebuild).
 
     Zombie-writer guard (r11 review #1): a writer whose LEASE lapsed
     while it was paused between staging and this call has had its
     stage swept by the contender that judged it dead — adopting
     nothing and recommitting would record the batch as applied with
     ZERO data files (silently unrecoverable: redelivery is skipped
-    forever). The guard raises BEFORE touching the live manifest, so
-    the contender's index is untouched and the caller retries the
-    batch. r12 adds the FENCE check right behind it: a zombie whose
-    stage was NOT yet swept (the r11 both-alive residual) fails the
-    epoch compare instead of invalidating the contender's manifest —
-    the remaining window is the fence-check→first-rename gap. And a
-    sweep racing BETWEEN these checks and the renames is caught by
-    the staged-vs-adopted file-count compare below: that raise lands
-    post-invalidate, so it degrades to a loud non-current rebuild —
-    never a batch recorded as applied with missing files (ADVICE r11).
+    forever). The fence check (r12) aborts a zombie whose stage was
+    NOT yet swept before it renames anything; and a zombie that slips
+    BOTH checks (the r12 check→first-rename residual) now merely
+    renames into a unit dir no manifest will ever reference — its
+    recommit is fenced by the ``>=`` mver compare and the dead unit
+    is GC'd by the next committer. A sweep racing mid-adopt surfaces
+    as FileNotFoundError from a vanished stage table and aborts
+    pre-commit (the v5.1 staged-vs-adopted count compare existed to
+    catch this POST-invalidate; with no invalidate it degrades to a
+    clean retry).
 
     ``sizes_delta`` (r12): the batch's per-cell partial counts; folded
     into the manifest's ``cell_sizes`` snapshot at recommit (only when
@@ -899,74 +1142,67 @@ def _finish_append(
                 f"batch"
             )
     except (ConcurrentWriteError, OSError):
-        # pre-invalidate abort: the slot was never consumed, so release
+        # pre-commit abort: the slot was never consumed, so release
         # it (and our stage — the contender sweeps it anyway)
         _end_claim(index_dir, mver, release=True)
         shutil.rmtree(stage, ignore_errors=True)
         raise
+    # adopt as uncommitted units — the serving manifest stays intact
+    # (v6: no invalidate). Every failure here aborts pre-commit: the
+    # slot is released, any adopted unit is unreferenced garbage, and
+    # the index keeps serving its committed snapshot.
     try:
-        staged_counts = {
-            t: len(_parquet_files(os.path.join(stage, t)))
-            for t in tables
-            if os.path.isdir(os.path.join(stage, t))
-        }
-    except OSError:
-        # stage swept between the fence check and the count capture:
-        # same pre-invalidate abort as the swept-stage guard above
+        adopted = _adopt_staged(stage, index_dir, tables, mver)
+    except OSError as e:
         _end_claim(index_dir, mver, release=True)
-        raise ConcurrentWriteError(
-            f"append stage for mver {mver} at {index_dir!r} was swept "
-            f"mid-capture (a contender took over) — retry the batch"
-        ) from None
-    applied = list(meta.get("applied_batches", []))
-    os.remove(os.path.join(index_dir, _META))  # invalidate during adopt
-    # pure renames from here: a transient Spark failure can no longer
-    # strand the index non-current (r11 review #3). A sweep landing
-    # MID-adopt (possible since r12's claimless _sweep_dead_stages can
-    # run beside a lapsed-lease writer) surfaces as an OSError from a
-    # vanished file or as an adopted/staged count mismatch — both must
-    # stop the renewer and degrade to a LOUD non-current rebuild, never
-    # an uncaught error that leaks a renewing claim and wedges every
-    # later writer in the process (r12 review #2).
-    try:
-        adopted_counts = _adopt_staged(stage, index_dir, tables)
-    except FileNotFoundError:
-        # the sweep signature: a staged file vanished under the rename
-        _end_claim(index_dir, mver)  # stop the renewer; keep the claim
-        raise ConcurrentWriteError(
-            f"append at {index_dir!r} lost its stage mid-adopt (swept "
-            f"by a contender) — index left non-current; rebuild it"
-        ) from None
-    except OSError:
-        # a REAL I/O failure (ENOSPC/EACCES/EIO), not a concurrency
-        # event (r12 review pass 2 #4): stop the renewer so the dead
-        # txn's claim cannot keep renewing and wedge later writers,
-        # then let the original errno propagate undisguised
-        _end_claim(index_dir, mver)
+        for t in tables:
+            shutil.rmtree(
+                os.path.join(index_dir, t, _unit_name(mver)),
+                ignore_errors=True,
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        if isinstance(e, FileNotFoundError):
+            # the sweep signature: a staged table vanished under the
+            # rename (a contender judged this writer dead mid-adopt)
+            raise ConcurrentWriteError(
+                f"append at {index_dir!r} lost its stage mid-adopt "
+                f"(swept by a contender) — index untouched; retry the "
+                f"batch"
+            ) from None
+        # a REAL I/O failure (ENOSPC/EACCES/EIO): propagate the errno
+        # undisguised — the index still serves its committed snapshot
         raise
-    if adopted_counts != staged_counts:
-        _end_claim(index_dir, mver)  # stop the renewer; keep the claim
-        raise ConcurrentWriteError(
-            f"append at {index_dir!r} adopted {adopted_counts} of staged "
-            f"{staged_counts} files (stage swept mid-adopt by a "
-            f"contender) — index left non-current; rebuild it"
-        )
+    applied = list(meta.get("applied_batches", []))
     snap = meta.get("cell_sizes")
     if snap is not None and sizes_delta is not None:
         folded = {int(c): int(n) for c, n in snap}
         for c, n in sizes_delta.items():
             folded[int(c)] = folded.get(int(c), 0) + int(n)
         snap = folded
+    units = {t: list(us) for t, us in (meta.get("units") or {}).items()}
+    for t, u in adopted.items():
+        units.setdefault(t, []).append(u)
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
-    _commit(
-        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
-        src=meta.get("src"), params=meta.get("params", {}),
-        applied_batches=applied
-        + ([batch_id] if batch_id is not None else [len(applied)]),
-        mver=mver, base_rows=meta.get("base_rows"),
-        appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
-        cell_sizes=snap,
-    )
+    try:
+        _commit(
+            index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
+            src=meta.get("src"), params=meta.get("params", {}),
+            applied_batches=applied
+            + ([batch_id] if batch_id is not None else [len(applied)]),
+            mver=mver, base_rows=meta.get("base_rows"),
+            appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
+            cell_sizes=snap,
+            units=units,
+        )
+    except BaseException:
+        # recommit fenced (an interleaved lapsed-lease contender
+        # committed past our snapshot) or a real I/O failure writing
+        # the manifest: nothing was published (_commit's os.replace is
+        # its last act), so our adopted units were never referenced —
+        # remove them, free the slot, and surface the error; the
+        # serving index is untouched and the batch retries
+        _release_adopted(index_dir, adopted, mver)
+        raise
     # bound the writer log: entries below the committed mver are spent
     # (slot numbers come from the manifest, so pruning cannot affect
     # any future CAS) — without this a streaming-maintained index
@@ -975,6 +1211,9 @@ def _finish_append(
     # marker remains, so a paused lower-slot writer stays fenced)
     prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
     _prune_fence(index_dir, mver)
+    committed = _manifest(index_dir)
+    if committed is not None:
+        _gc_dead_units(index_dir, committed)
     return index_dir
 
 
@@ -1006,17 +1245,21 @@ def _append_sizes(
 
     from pyspark.sql import functions as F
 
-    if not delta_files:
-        return {}
-    df = spark.read.parquet(*delta_files)
-    if pred is not None:
-        df = df.filter(pred)
-    rows = (
-        df.groupBy(F.col(cell_col).alias("centroid_id"))
-        .agg(F.count(F.lit(1)).alias("_csz"))
-        .collect()
-    )
-    out = {int(r["centroid_id"]): int(r["_csz"]) for r in rows}
+    out: dict[int, int] = {}
+    if delta_files:
+        df = spark.read.parquet(*delta_files)
+        if pred is not None:
+            df = df.filter(pred)
+        rows = (
+            df.groupBy(F.col(cell_col).alias("centroid_id"))
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .collect()
+        )
+        out = {int(r["centroid_id"]): int(r["_csz"]) for r in rows}
+    # ALWAYS write the staged file — possibly 0-row (an empty delta
+    # batch): v6's adopt renames every listed table's staged dir and
+    # treats a missing one as a swept stage, so an empty batch must
+    # stage an empty partial-count table, not nothing (r13)
     cells = sorted(out)
     os.makedirs(cpath, exist_ok=True)
     papq.write_table(
@@ -1031,7 +1274,7 @@ def _append_sizes(
     return out
 
 
-def _read_sizes(spark: SparkSession, cpath: str):
+def _read_sizes(spark: SparkSession, cpaths: list[str]):
     """The C-row (centroid_id, _csz) view of a v5 cell_sizes table:
     the persisted table is an append-only log of per-batch partial
     counts, so readers sum. On a fresh build this is a no-op aggregate
@@ -1040,7 +1283,7 @@ def _read_sizes(spark: SparkSession, cpath: str):
     from pyspark.sql import functions as F
 
     return (
-        spark.read.parquet(cpath)
+        spark.read.parquet(*cpaths)
         .groupBy("centroid_id")
         .agg(F.sum("_csz").alias("_csz"))
     )
@@ -1063,7 +1306,9 @@ def _sizes_frame(spark: SparkSession, index_dir: str, meta: dict):
             "centroid_id long, _csz long",
         )
     if "cell_sizes" in meta.get("tables", []):
-        return _read_sizes(spark, os.path.join(index_dir, "cell_sizes"))
+        return _read_sizes(
+            spark, _unit_paths(index_dir, meta, "cell_sizes")
+        )
     return None
 
 
@@ -1099,10 +1344,10 @@ def ensure_ivf_index(
     try:
         centroids, postings = ivf_build_frames(corpus, **build_params)
         centroids.write.mode("overwrite").parquet(
-            os.path.join(tmp, "centroids")
+            _build_unit(tmp, "centroids")
         )
         postings.write.mode("overwrite").parquet(
-            os.path.join(tmp, "postings")
+            _build_unit(tmp, "postings")
         )
         # base_rows from the just-written postings' parquet FOOTERS
         # (row count / postings-per-vector), never an extra corpus
@@ -1113,9 +1358,9 @@ def ensure_ivf_index(
         # inflates the appended fraction and fires needs_retrain early
         # (ADVICE r9; same accounting as ivf_index_append)
         multi = int(_effective_params("ivf", build_params, None)["multi_assign"])
-        n_cent = spark.read.parquet(os.path.join(tmp, "centroids")).count()
+        n_cent = spark.read.parquet(_build_unit(tmp, "centroids")).count()
         per_vec = max(1, min(multi, n_cent))
-        n_post = spark.read.parquet(os.path.join(tmp, "postings")).count()
+        n_post = spark.read.parquet(_build_unit(tmp, "postings")).count()
         # persisted cell sizes (v4, mirroring the v3 ivfpq table):
         # posting rows per cell, computed ONCE at build from the
         # just-written postings and maintained by appends — the
@@ -1124,12 +1369,12 @@ def ensure_ivf_index(
         from pyspark.sql import functions as F
 
         (
-            spark.read.parquet(os.path.join(tmp, "postings"))
+            spark.read.parquet(_build_unit(tmp, "postings"))
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("_csz"))
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "cell_sizes"))
+            .parquet(_build_unit(tmp, "cell_sizes"))
         )
         _commit(
             tmp, "ivf", fingerprint,
@@ -1143,9 +1388,10 @@ def ensure_ivf_index(
             cell_sizes={
                 int(r["centroid_id"]): int(r["_csz"])
                 for r in spark.read.parquet(
-                    os.path.join(tmp, "cell_sizes")
+                    _build_unit(tmp, "cell_sizes")
                 ).collect()
             },
+            units=_build_units(["centroids", "postings", "cell_sizes"]),
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # no abandoned tmp dirs
@@ -1189,7 +1435,7 @@ def ivf_index_append(
     stage = None
     try:
         multi = int(meta.get("params", {}).get("multi_assign", 1))
-        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        centroids = _read_table(spark, index_dir, meta, "centroids")
         postings = _nearest_centroids(
             centroids, delta, id_col, vec_col, multi, "neighbor_id"
         )
@@ -1261,16 +1507,17 @@ def ensure_pq_index(
     tmp = _build_into_tmp(index_dir)
     try:
         cb, codes, norms = pq_build_frames(corpus, **build_params)
-        cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
-        codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
-        norms.write.mode("overwrite").parquet(os.path.join(tmp, "norms"))
+        cb.write.mode("overwrite").parquet(_build_unit(tmp, "codebook"))
+        codes.write.mode("overwrite").parquet(_build_unit(tmp, "codes"))
+        norms.write.mode("overwrite").parquet(_build_unit(tmp, "norms"))
         # base_rows from the just-written norms table (one row per
         # corpus vector) via parquet footers — no extra corpus scan
         _commit(
             tmp, "pq", fingerprint, ["codebook", "codes", "norms"],
             src=src,
             params=_effective_params("pq", build_params, subset),
-            base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
+            base_rows=spark.read.parquet(_build_unit(tmp, "norms")).count(),
+            units=_build_units(["codebook", "codes", "norms"]),
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1316,7 +1563,7 @@ def pq_index_append(
         params = meta.get("params", {})
         m = int(params.get("m", 8))
         dim = int(params.get("dim", 64))
-        cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+        cb = _read_table(spark, index_dir, meta, "codebook")
         # encode the delta with THE SAME definition pq_build_frames
         # uses (shared helper — build and append cannot diverge)
         dcodes = encode_against_codebook(
@@ -1364,25 +1611,23 @@ def compact_index(
     scan-side (VERDICT r8 residual #1).
 
     Same writer protocol as the appends: CAS-claim the next ``mver``
-    slot (a compaction and an append can never interleave), write the
-    compacted copies ASIDE, then invalidate the manifest, swap the
-    table directories, and re-commit with ``applied_batches`` — and
-    the row counters — PRESERVED. A crash mid-swap leaves a
-    non-current index (rebuilt, never a half-compacted serve); a crash
-    before the invalidate leaves the serving index untouched (the
-    aside copies are swept on the next compaction). Content-neutral by
-    construction: rewrite-only, no dedup — the registered compaction
-    query shares the append oracle to prove the served results are
-    bit-identical.
+    slot (a compaction and an append can never interleave), rewrite
+    the live units ASIDE, adopt the rewrite as ONE new unit per table
+    (v6 — uncommitted units are invisible), and re-commit a manifest
+    whose ``units`` map references ONLY the new unit, with
+    ``applied_batches`` — and the row counters — PRESERVED. The
+    serving manifest is never invalidated: a crash ANYWHERE leaves
+    the index current and serving the pre-compaction snapshot (the
+    orphan rewrite is GC'd later). Content-neutral by construction:
+    rewrite-only, no dedup — the registered compaction query shares
+    the append oracle to prove the served results are bit-identical.
 
-    Reader honesty: like any in-place OPTIMIZE without snapshot
-    isolation, a search whose SCAN is already planned when the swap
-    lands can fail loudly on vanished files (never read mixed
-    content — the swap replaces whole directories); a search planned
-    after the invalidate refuses via the manifest check. Full
-    reader/writer isolation is the WAP pointer layout's job
-    (immutable version dirs), which an index served at query volume
-    would adopt.
+    Reader isolation (v6): a search planned against the
+    pre-compaction manifest keeps its files until the post-commit
+    _gc_dead_units sweep removes the superseded units — snapshot
+    isolation up to that sweep, the WAP pointer-layout behavior the
+    pre-v6 directory swap could not offer (it failed in-flight scans
+    the moment the swap landed).
 
     Returns {table: (files_before, files_after)}.
     """
@@ -1417,28 +1662,30 @@ def compact_index(
         stats: dict[str, tuple[int, int]] = {}
         tmps: dict[str, str] = {}
         for t in tables:
-            src = os.path.join(index_dir, t)
-            if not os.path.isdir(src):
-                # a legacy index predating the table (e.g. dedup
-                # without winnow_fps): nothing to rewrite
+            # rewrite exactly the units the manifest references — a
+            # zombie's unreferenced leftovers and a missing legacy
+            # table (e.g. pre-r11 dedup without winnow_fps) are both
+            # skipped by construction
+            srcs = [
+                p for p in _unit_paths(index_dir, meta, t)
+                if os.path.isdir(p)
+            ]
+            if not srcs:
                 continue
-            before = sum(
-                1 for n in os.listdir(src) if n.endswith(".parquet")
-            )
+            before = sum(len(_parquet_files(p)) for p in srcs)
             tmp = os.path.join(index_dir, f"{t}.compact.tmp.{os.getpid()}")
-            after = compact(spark, src, tmp, target_bytes=target_bytes)
+            after = compact(spark, srcs, tmp, target_bytes=target_bytes)
             stats[t] = (before, after)
             tmps[t] = tmp
     except BaseException:
         _end_claim(index_dir, mver, release=True)
         raise
     try:
-        # fence check immediately before the destructive window (r12):
-        # a paused-past-lease compactor must not swap directories over
-        # a contender's adopted state. OSError aborts too (fail
-        # closed); the manifest-snapshot re-check mirrors
-        # _finish_append's (an interleaved commit since our claim must
-        # not be overwritten from this stale snapshot)
+        # fence check before adoption (r12): a paused-past-lease
+        # compactor aborts here instead of wasting the rename+commit
+        # round trip (its recommit would be fenced anyway — v6 made
+        # adoption non-destructive). OSError aborts too (fail closed);
+        # the manifest-snapshot re-check mirrors _finish_append's
         _check_fence(index_dir, mver)
         cur = _manifest(index_dir)
         if cur is None or int(cur.get("mver", 0)) != int(meta.get("mver", 0)):
@@ -1452,28 +1699,57 @@ def compact_index(
         for tmp in tmps.values():
             shutil.rmtree(tmp, ignore_errors=True)
         raise
-    os.remove(os.path.join(index_dir, _META))  # invalidate during swap
-    # swap exactly the tables the rewrite loop produced (r11 review
-    # #1: iterating `tables` here crashed AFTER the invalidate on a
-    # legacy index missing a newer kind table — e.g. a pre-r11 dedup
-    # index without winnow_fps — leaving it non-current for good)
-    for t, tmp in tmps.items():
-        old = os.path.join(index_dir, f"{t}.compact.old.{os.getpid()}")
-        os.rename(os.path.join(index_dir, t), old)
-        os.rename(tmp, os.path.join(index_dir, t))
-        shutil.rmtree(old, ignore_errors=True)
+    # adopt the rewrites as uncommitted units (v6: the serving
+    # manifest stays intact; failures release the claim and leave the
+    # index serving its pre-compaction snapshot)
+    unit = _unit_name(mver)
+    adopted: dict[str, str] = {}
+    try:
+        for t, tmp in tmps.items():
+            dst_parent = os.path.join(index_dir, t)
+            os.makedirs(dst_parent, exist_ok=True)
+            dst = os.path.join(dst_parent, unit)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+            adopted[t] = unit
+    except OSError:
+        _end_claim(index_dir, mver, release=True)
+        for t, u in adopted.items():
+            shutil.rmtree(os.path.join(index_dir, t, u), ignore_errors=True)
+        for tmp in tmps.values():
+            shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    units = {t: list(us) for t, us in (meta.get("units") or {}).items()}
+    for t, u in adopted.items():
+        units[t] = [u]  # the rewrite REPLACES the table's unit set
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
-    _commit(
-        index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
-        src=meta.get("src"), params=meta.get("params"),
-        applied_batches=meta.get("applied_batches"),
-        mver=mver, base_rows=meta.get("base_rows"),
-        appended_rows=int(meta.get("appended_rows", 0)),
-        # compaction is rewrite-only: the folded snapshot is invariant
-        cell_sizes=meta.get("cell_sizes"),
-    )
+    try:
+        _commit(
+            index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
+            src=meta.get("src"), params=meta.get("params"),
+            applied_batches=meta.get("applied_batches"),
+            mver=mver, base_rows=meta.get("base_rows"),
+            appended_rows=int(meta.get("appended_rows", 0)),
+            # compaction is rewrite-only: the folded snapshot is
+            # invariant
+            cell_sizes=meta.get("cell_sizes"),
+            units=units,
+        )
+    except BaseException:
+        # nothing published (see the append twin): drop the adopted
+        # rewrite and free the slot — the index keeps serving its
+        # pre-compaction snapshot
+        _release_adopted(index_dir, adopted, mver)
+        raise
     prune(os.path.join(index_dir, _APPLOG), keep_from=mver)  # see append twin
     _prune_fence(index_dir, mver)
+    committed = _manifest(index_dir)
+    if committed is not None:
+        # the superseded pre-compaction units die here — the one
+        # reader-visible boundary (see docstring: snapshot isolation
+        # holds up to this sweep)
+        _gc_dead_units(index_dir, committed)
     return stats
 
 
@@ -1607,8 +1883,8 @@ def ivf_index_search(
     from bigdatafinalproject_spark.operators.ann import mass_schedule_for_n
 
     meta = _serving_manifest(index_dir, "ivf")
-    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    centroids = _read_table(spark, index_dir, meta, "centroids")
+    postings = _read_table(spark, index_dir, meta, "postings")
     # the maintained cell sizes (v4+): the manifest's folded snapshot
     # when present (r12 — zero extra reads per search), else the
     # summed view of the v5 partial-count log; a pre-v4 index falls
@@ -1673,9 +1949,9 @@ def pq_index_search(
             f"pq_index_search: caller dim={dim} but the index at "
             f"{index_dir!r} was built with dim={dim_idx} (manifest wins)"
         )
-    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    cb = _read_table(spark, index_dir, meta, "codebook")
+    codes = _read_table(spark, index_dir, meta, "codes")
+    norms = _read_table(spark, index_dir, meta, "norms")
     base = meta.get("base_rows")
     pool = None
     if base:
@@ -1719,38 +1995,41 @@ def ensure_ivfpq_index(
             corpus, **build_params
         )
         centroids.write.mode("overwrite").parquet(
-            os.path.join(tmp, "centroids")
+            _build_unit(tmp, "centroids")
         )
-        cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
-        codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
-        norms.write.mode("overwrite").parquet(os.path.join(tmp, "norms"))
+        cb.write.mode("overwrite").parquet(_build_unit(tmp, "codebook"))
+        codes.write.mode("overwrite").parquet(_build_unit(tmp, "codes"))
+        norms.write.mode("overwrite").parquet(_build_unit(tmp, "norms"))
         # persisted cell sizes (v3, r10 review #2): posting rows per
         # cell, computed ONCE at build from the just-written codes (a
         # 2-column scan) and maintained by appends — the mass-budgeted
         # probe reads this C-row table instead of re-scanning the
         # index's largest relation on every search
         (
-            spark.read.parquet(os.path.join(tmp, "codes"))
+            spark.read.parquet(_build_unit(tmp, "codes"))
             .filter(F.col("s") == 0)
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("_csz"))
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "cell_sizes"))
+            .parquet(_build_unit(tmp, "cell_sizes"))
         )
         _commit(
             tmp, "ivfpq", fingerprint,
             ["centroids", "codebook", "codes", "norms", "cell_sizes"],
             src=src,
             params=_effective_params("ivfpq", build_params, subset),
-            base_rows=spark.read.parquet(os.path.join(tmp, "norms")).count(),
+            base_rows=spark.read.parquet(_build_unit(tmp, "norms")).count(),
             # folded serve-time snapshot (r12) — see the ivf twin
             cell_sizes={
                 int(r["centroid_id"]): int(r["_csz"])
                 for r in spark.read.parquet(
-                    os.path.join(tmp, "cell_sizes")
+                    _build_unit(tmp, "cell_sizes")
                 ).collect()
             },
+            units=_build_units(
+                ["centroids", "codebook", "codes", "norms", "cell_sizes"]
+            ),
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1803,10 +2082,10 @@ def ivfpq_index_search(
     params = meta.get("params", {})
     m_idx = int(params.get("m", 16))
     dim_idx = int(params.get("dim", 64))
-    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    centroids = _read_table(spark, index_dir, meta, "centroids")
+    cb = _read_table(spark, index_dir, meta, "codebook")
+    codes = _read_table(spark, index_dir, meta, "codes")
+    norms = _read_table(spark, index_dir, meta, "norms")
     # the maintained cell sizes: manifest snapshot (r12) or the summed
     # v5 log view; pre-v3 falls back to the derived aggregate
     cell_sizes = _sizes_frame(spark, index_dir, meta)
@@ -1871,8 +2150,8 @@ def ivfpq_index_append(
         multi = int(params.get("multi_assign", 3))
         m = int(params.get("m", 16))
         dim = int(params.get("dim", 64))
-        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-        cb = spark.read.parquet(os.path.join(index_dir, "codebook"))
+        centroids = _read_table(spark, index_dir, meta, "centroids")
+        cb = _read_table(spark, index_dir, meta, "codebook")
         assigned = _nearest_centroids(
             centroids, delta, id_col, vec_col, multi, "neighbor_id"
         )
@@ -1975,7 +2254,7 @@ def ensure_dedup_index(
             corpus.select(F.md5(norm_text(F.col(text_col))).alias("digest"))
             .distinct()
             .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "digests"))
+            .parquet(_build_unit(tmp, "digests"))
         )
         (
             minhash_band_digests(
@@ -1985,7 +2264,7 @@ def ensure_dedup_index(
             .select("band", "band_digest")
             .distinct()
             .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "bands"))
+            .parquet(_build_unit(tmp, "bands"))
         )
         # the benchmark suite's winnowed span fingerprints (r11,
         # VERDICT r10 #4): distinct fp values of the corpus docs
@@ -2003,13 +2282,14 @@ def ensure_dedup_index(
             .select("fp")
             .distinct()
             .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "winnow_fps"))
+            .parquet(_build_unit(tmp, "winnow_fps"))
         )
         _commit(
             tmp, "dedup", fingerprint,
             ["digests", "bands", "winnow_fps"],
             src=src, params=p,
-            base_rows=_footer_rows(spark, os.path.join(tmp, "digests")),
+            base_rows=_footer_rows(spark, _build_unit(tmp, "digests")),
+            units=_build_units(["digests", "bands", "winnow_fps"]),
         )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2127,8 +2407,8 @@ def dedup_index_check(
 
     meta = _serving_manifest(index_dir, "dedup")
     p = meta.get("params", {})
-    digests = spark.read.parquet(os.path.join(index_dir, "digests"))
-    band_index = spark.read.parquet(os.path.join(index_dir, "bands"))
+    digests = _read_table(spark, index_dir, meta, "digests")
+    band_index = _read_table(spark, index_dir, meta, "bands")
     return dedup_status_against_index(
         batch, digests, band_index,
         p.get("text_col", "text"), p.get("id_col", "doc_id"),
@@ -2166,7 +2446,7 @@ def dedup_index_contamination(
             "(pre-r11 build) — rebuild under the current params"
         )
     p = meta.get("params", {})
-    bench_fps = spark.read.parquet(os.path.join(index_dir, "winnow_fps"))
+    bench_fps = _read_table(spark, index_dir, meta, "winnow_fps")
     return _broadcast_overlap_stats(
         winnow_fingerprints(
             batch, p.get("text_col", "text"), p.get("id_col", "doc_id"),

@@ -130,14 +130,17 @@ def zorder_write(
 
 def compact(
     spark,
-    src_path: str,
+    src_path: str | list[str],
     dst_path: str,
     target_bytes: int = 128 * 1024 * 1024,
     sort_col: str | None = None,
 ) -> int:
     """OPTIMIZE-style small-files compaction: rewrite a fragmented
     parquet dataset into ~``target_bytes`` files. Returns the file
-    count written.
+    count written. ``src_path`` may be a list of directories — the
+    manifest-referenced unit dirs of a maintained index (v6): the
+    rewrite must read exactly the LIVE units, never a directory
+    listing that would sweep in a dead writer's unreferenced files.
 
     Why this is an operator and not "just a repartition": the output
     file COUNT must be computed from the INPUT's physical size, and at
@@ -175,11 +178,12 @@ def compact(
         )
         return (int(row.b) if row.b is not None else 0, int(row.f))
 
+    srcs = [src_path] if isinstance(src_path, str) else list(src_path)
     # missing path and exists-but-empty both surface as the SAME
     # ValueError — callers see one error type for "nothing to compact"
     try:
-        df = spark.read.parquet(src_path)
-        input_bytes, input_files = _listing_bytes_files(src_path)
+        df = spark.read.parquet(*srcs)
+        input_bytes, input_files = _listing_bytes_files(srcs)
     except AnalysisException as e:
         raise ValueError(
             f"compact: no *.parquet files under {src_path!r}"

@@ -259,13 +259,20 @@ def ivf_cand_frac(spark, sf_dir: str) -> float:
         spark, emb, shared_index_dir("ivf", fp), fp,
         src=table_path(sf_dir, "embeddings"), **params,
     )
-    centroids = spark.read.parquet(_os.path.join(idx, "centroids"))
-    postings = spark.read.parquet(_os.path.join(idx, "postings"))
+    # v6 (r13): index tables resolve through the manifest's units map
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        _read_sizes,
+        _read_table,
+        _unit_paths,
+    )
+
+    meta = _manifest(idx)
+    centroids = _read_table(spark, idx, meta, "centroids")
+    postings = _read_table(spark, idx, meta, "postings")
     # v5: cell_sizes is an append-only partial-count log — read
     # through the summing view (a fresh build is exactly C rows)
-    from bigdatafinalproject_spark.operators.ann_index import _read_sizes
-
-    sizes = _read_sizes(spark, _os.path.join(idx, "cell_sizes"))
+    sizes = _read_sizes(spark, _unit_paths(idx, meta, "cell_sizes"))
     probes = _mass_probes(
         centroids, queries, sizes, _MASS, "vec_id", "embedding",
         mass_multi=3, sched_ref=_SREF,
@@ -300,7 +307,10 @@ def ivfpq_serve_frac(spark, sf_dir: str) -> dict[str, float]:
         _mass_probes,
     )
     from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
         _read_sizes,
+        _read_table,
+        _unit_paths,
         corpus_fingerprint,
         ensure_ivfpq_index,
         shared_index_dir,
@@ -320,9 +330,10 @@ def ivfpq_serve_frac(spark, sf_dir: str) -> dict[str, float]:
         spark, emb, shared_index_dir("ivfpq", fp), fp,
         src=table_path(sf_dir, "embeddings"), **params,
     )
-    centroids = spark.read.parquet(_os.path.join(idx, "centroids"))
-    codes = spark.read.parquet(_os.path.join(idx, "codes"))
-    sizes = _read_sizes(spark, _os.path.join(idx, "cell_sizes"))
+    meta = _manifest(idx)
+    centroids = _read_table(spark, idx, meta, "centroids")
+    codes = _read_table(spark, idx, meta, "codes")
+    sizes = _read_sizes(spark, _unit_paths(idx, meta, "cell_sizes"))
     probes = _mass_probes(
         centroids, queries, sizes, _MASS, "vec_id", "embedding",
         mass_multi=3, sched_ref=_SREF,

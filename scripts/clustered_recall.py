@@ -27,9 +27,20 @@ from bigdatafinalproject_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--fixtures", default="sf1,sf3,sf10,sf1_hard,sf10_hard",
+        help="comma-separated .scaledata/clustered fixture names "
+        "(r13: sf3/sf10 cover the schedule's scale steps on "
+        "clustered data — VERDICT r12 #5; *_hard are the Zipf-mass "
+        "overlapping-cluster fixtures — VERDICT r12 #2)",
+    )
+    args = ap.parse_args()
     spark = get_spark(app_name="bdfp-clustered-recall")
     out = {}
-    for name in ("sf1",):
+    for name in args.fixtures.split(","):
         d = str(REPO / ".scaledata" / "clustered" / name)
         if not Path(d).is_dir():
             raise SystemExit(f"{d} missing - run ivfpq_clustered_calibration.py")
@@ -37,12 +48,18 @@ def main() -> None:
         row["ivf_candidate_frac"] = ivf_cand_frac(spark, d)
         row["ivfpq_serve_frac"] = ivfpq_serve_frac(spark, d)
         out[name] = row
+        print(name, json.dumps(row), flush=True)
     art_path = REPO / "RECALL_SCALE.json"
     art = json.loads(art_path.read_text())
+    # carry-forward rule: merge this run's fixtures over the existing
+    # tier rows, never drop sections this run did not recompute
+    prev = art.get("clustered", {}).get("tiers", {})
     art["clustered"] = {
         "fixture": "scripts/ivfpq_clustered_calibration.py mixture "
-                   "(N/200 unit-norm Gaussian clusters, sigma=0.08)",
-        "tiers": out,
+                   "(N/200 unit-norm Gaussian clusters, sigma=0.08); "
+                   "*_hard = Zipf(s=1) masses + sigma=0.25 overlap "
+                   "(r13, VERDICT r12 #2)",
+        "tiers": {**prev, **out},
     }
     art_path.write_text(json.dumps(art, indent=1) + "\n")
     print(json.dumps(art["clustered"]))

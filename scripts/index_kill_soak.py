@@ -1,0 +1,361 @@
+"""Multiprocess SIGKILL soak for the persisted-index writer protocol
+(r13, VERDICT r12 #3).
+
+The fence/lease machinery was validated with in-process interleavings
+and SIGSTOP pause injection (tests/test_ann_index.py); the production
+threat model is PROCESS DEATH at arbitrary points of a maintenance
+transaction. This soak runs N concurrent OS-process writers — each a
+real SparkSession appending disjoint batch-id ranges to ONE shared IVF
+index, with periodic compactions — while a killer SIGKILLs a random
+worker's whole process group (python driver + its JVM) every few
+seconds and restarts it. A restarted worker simply retries from its
+first un-applied batch id: redelivery idempotence is the protocol's
+exactly-once story, so the soak's end-state assertion is total.
+
+Invariants asserted at the end (and the whole point):
+
+1. the manifest parses, is CURRENT, and records every expected batch
+   id exactly once (``applied_batches`` is a duplicate-free set);
+2. batch-exactly-once IN THE DATA: reading postings through the
+   manifest (the only read path), every batch's disjoint vec_id range
+   appears exactly once — no lost batch, no double-append, regardless
+   of where the kills landed;
+3. the cell_sizes manifest snapshot == the folded partial-count log
+   == the counts derived from the postings relation;
+4. ``appended_rows`` equals the sum of the landed batch sizes;
+5. after a final compaction, the on-disk unit dirs equal the
+   manifest's ``units`` map exactly (every orphan a killed writer
+   adopted-but-never-committed has been GC'd), and no stage/sweep/
+   compact litter remains;
+6. the fence dir carries the permanent e0 floor plus the committed
+   epoch's marker only.
+
+v6 property under test: SIGKILL ANYWHERE in a maintenance txn leaves
+the index CURRENT AND SERVING (the manifest-invalidate window is
+gone), so no worker ever needs the 'rebuild it' remedy — a worker
+seeing ValueError('no committed index') is itself an invariant
+violation and fails the soak.
+
+Usage:
+  python scripts/index_kill_soak.py                  # full soak
+  python scripts/index_kill_soak.py --workers 2 --batches 8 --kills 3
+  (the pytest wrapper in tests/test_ann_index.py runs a bounded soak)
+
+Lease mode with a short lease (default BDFP_ANN_LEASE_S=2) so killed
+writers' claims lapse quickly; pass --claim-mode pid for the
+same-host-exact variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+DIM = 8
+BATCH_ROWS = 40
+BASE_ROWS = 200
+PARAMS = dict(
+    centroid_mod=7, max_centroids=8, train_rounds=0, multi_assign=1
+)
+
+
+def _session(threads: int = 2):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{threads}]")
+        .appName("index-kill-soak")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _delta(spark, batch_id: int):
+    """Batch ``batch_id``'s delta: BATCH_ROWS vectors in a DISJOINT
+    deterministic vec_id range — the exactly-once check counts each
+    range's presence in the final postings."""
+    from pyspark.sql import functions as F
+
+    lo = 1_000_000 + batch_id * BATCH_ROWS
+    return (
+        spark.range(lo, lo + BATCH_ROWS)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {DIM}), "
+                "j -> cast(pmod(id * j, 97) + 1 as float) / 98.0)"
+            ).alias("embedding"),
+        )
+    )
+
+
+def build_base(index_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ensure_ivf_index,
+    )
+
+    spark = _session(threads=4)
+    corpus = (
+        spark.range(0, BASE_ROWS)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {DIM}), "
+                "j -> cast(pmod(id * 3 + j, 89) + 1 as float) / 90.0)"
+            ).alias("embedding"),
+        )
+    )
+    corpus_path = os.path.join(os.path.dirname(index_dir), "corpus")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    from bigdatafinalproject_spark.operators.ann_index import (
+        corpus_fingerprint,
+    )
+
+    fp = corpus_fingerprint(corpus_path, **PARAMS)
+    ensure_ivf_index(
+        spark, spark.read.parquet(corpus_path), index_dir, fp,
+        src=corpus_path, **PARAMS,
+    )
+    spark.stop()
+
+
+def worker(slot: int, nworkers: int, index_dir: str, n_batches: int,
+           compact_every: int) -> None:
+    """Append this slot's batch ids (slot, slot+N, ...) in order,
+    retrying through contention; compact periodically. Exits 0 when
+    every owned batch is applied."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        compact_index,
+    )
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ivf_index_append,
+    )
+    from bigdatafinalproject_spark.operators.txlog import (
+        ConcurrentWriteError,
+    )
+
+    spark = _session()
+    done = 0
+    for bid in range(slot, n_batches, nworkers):
+        while True:
+            try:
+                ivf_index_append(
+                    spark, index_dir, _delta(spark, bid), batch_id=bid
+                )
+                break
+            except ConcurrentWriteError:
+                time.sleep(random.uniform(0.05, 0.3))
+        done += 1
+        if compact_every and done % compact_every == 0:
+            try:
+                compact_index(spark, index_dir)
+            except ConcurrentWriteError:
+                pass  # someone else is writing; compaction is optional
+    print(f"WORKER_DONE slot={slot}", flush=True)
+    spark.stop()
+
+
+def _spawn(slot: int, args) -> subprocess.Popen:
+    env = dict(
+        os.environ,
+        BDFP_ANN_CLAIM_MODE=args.claim_mode,
+        BDFP_ANN_LEASE_S=str(args.lease_s),
+        PYTHONPATH=REPO,
+    )
+    log = open(
+        os.path.join(
+            os.path.dirname(args.index_dir), f"worker{slot}.log"
+        ),
+        "ab",
+    )
+    return subprocess.Popen(
+        [
+            sys.executable, os.path.abspath(__file__), "--worker",
+            str(slot), "--workers", str(args.workers),
+            "--batches", str(args.batches),
+            "--compact-every", str(args.compact_every),
+            "--index-dir", args.index_dir,
+        ],
+        env=env,
+        start_new_session=True,  # killpg must take the JVM too
+        stdout=log,
+        stderr=log,
+    )
+
+
+def verify(index_dir: str, n_batches: int) -> dict:
+    """The end-state invariant sweep; raises AssertionError on any
+    violation, returns a summary dict."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        _read_sizes,
+        _read_table,
+        _unit_mver,
+        _unit_paths,
+        compact_index,
+    )
+
+    spark = _session(threads=4)
+    # a final compaction bounds the unit count AND exercises GC so the
+    # disk-vs-manifest compare below is exact
+    compact_index(spark, index_dir)
+    meta = _manifest(index_dir)
+    assert meta is not None, "no committed manifest after soak"
+
+    # (1) every batch applied exactly once in the manifest
+    applied = meta.get("applied_batches", [])
+    assert sorted(applied) == list(range(n_batches)), (
+        f"applied_batches {sorted(applied)} != 0..{n_batches - 1}"
+    )
+    assert len(set(applied)) == len(applied), "duplicate batch ids"
+
+    # (2) batch-exactly-once in the data, read through the manifest
+    postings = _read_table(spark, index_dir, meta, "postings")
+    appended = postings.filter(F.col("neighbor_id") >= 1_000_000)
+    dup = appended.groupBy("neighbor_id").count().filter(
+        F.col("count") != 1
+    ).count()
+    assert dup == 0, f"{dup} vec_ids appear != once (double-append/loss)"
+    n_app = appended.count()
+    assert n_app == n_batches * BATCH_ROWS, (
+        f"appended postings {n_app} != {n_batches * BATCH_ROWS}"
+    )
+
+    # (3) cell_sizes: manifest snapshot == folded log == derived
+    snap = {int(c): int(n) for c, n in meta["cell_sizes"]}
+    folded = {
+        int(r["centroid_id"]): int(r["_csz"])
+        for r in _read_sizes(
+            spark, _unit_paths(index_dir, meta, "cell_sizes")
+        ).collect()
+    }
+    derived = {
+        int(r["centroid_id"]): int(r["cnt"])
+        for r in postings.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert snap == folded == derived, (snap, folded, derived)
+
+    # (4) row accounting
+    assert int(meta["appended_rows"]) == n_batches * BATCH_ROWS
+
+    # (5) disk units == manifest units, no litter
+    for t in meta["tables"]:
+        live = set(meta["units"][t])
+        on_disk = {
+            n for n in os.listdir(os.path.join(index_dir, t))
+            if _unit_mver(n) is not None
+        }
+        assert on_disk == live, (t, sorted(on_disk), sorted(live))
+    litter = [
+        n for n in os.listdir(index_dir)
+        if n.startswith(("_stage.tmp.", "_sweep.tmp."))
+        or ".compact." in n
+    ]
+    assert not litter, f"stage/sweep/compact litter: {litter}"
+
+    # (6) fence: permanent floor + the committed epoch only
+    fence = sorted(os.listdir(os.path.join(index_dir, "_fence")))
+    expect = sorted({"e000000000000", f"e{int(meta['mver']):012d}"})
+    assert fence == expect, (fence, expect)
+
+    spark.stop()
+    return {
+        "batches": n_batches,
+        "mver": int(meta["mver"]),
+        "appended_rows": int(meta["appended_rows"]),
+        "units": {t: len(us) for t, us in meta["units"].items()},
+    }
+
+
+def supervise(args) -> dict:
+    os.makedirs(args.index_dir, exist_ok=True)
+    build_base(args.index_dir)
+    procs = {s: _spawn(s, args) for s in range(args.workers)}
+    kills = 0
+    t0 = time.monotonic()
+    while True:
+        live = {s: p for s, p in procs.items() if p.poll() is None}
+        if not live:
+            break
+        if kills < args.kills:
+            time.sleep(random.uniform(args.kill_min_s, args.kill_max_s))
+            victims = [s for s, p in procs.items() if p.poll() is None]
+            if not victims:
+                continue
+            s = random.choice(victims)
+            try:
+                os.killpg(procs[s].pid, signal.SIGKILL)
+            except ProcessLookupError:
+                continue
+            procs[s].wait()
+            kills += 1
+            print(f"killed worker slot={s} (kill {kills}/{args.kills})",
+                  flush=True)
+            procs[s] = _spawn(s, args)
+        else:
+            time.sleep(1.0)
+        if time.monotonic() - t0 > args.timeout_s:
+            for p in procs.values():
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+            raise TimeoutError(
+                f"soak exceeded {args.timeout_s}s (wedged writers?)"
+            )
+    failed = {s: p.returncode for s, p in procs.items() if p.returncode}
+    assert not failed, f"worker exit codes: {failed}"
+    out = verify(args.index_dir, args.batches)
+    out["kills"] = kills
+    out["wall_s"] = round(time.monotonic() - t0, 1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--workers", type=int, default=3)
+    ap.add_argument("--batches", type=int, default=24)
+    ap.add_argument("--kills", type=int, default=6)
+    ap.add_argument("--compact-every", type=int, default=3)
+    ap.add_argument("--kill-min-s", type=float, default=4.0)
+    ap.add_argument("--kill-max-s", type=float, default=10.0)
+    ap.add_argument("--timeout-s", type=float, default=900.0)
+    ap.add_argument("--claim-mode", default="lease")
+    ap.add_argument("--lease-s", type=float, default=2.0)
+    ap.add_argument("--index-dir", default=None)
+    args = ap.parse_args()
+    if args.worker is not None:
+        worker(args.worker, args.workers, args.index_dir, args.batches,
+               args.compact_every)
+        return
+    if args.index_dir is None:
+        import tempfile
+
+        args.index_dir = os.path.join(
+            tempfile.mkdtemp(prefix="bdfp_killsoak_"), "ivf_index"
+        )
+    os.environ.setdefault("BDFP_ANN_CLAIM_MODE", args.claim_mode)
+    os.environ.setdefault("BDFP_ANN_LEASE_S", str(args.lease_s))
+    summary = supervise(args)
+    print("KILL_SOAK_OK " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,31 +70,75 @@ SEED = 20260816
 CLUSTER_SPAN = 200  # docs per cluster: k = N / 200
 SIGMA = 0.08  # per-dim noise; noise norm ~ sigma*sqrt(d) ~ 0.64
 
-FIXTURES = {"sf1": 20_000, "sf10": 200_000}
+# r13 HARD variants (VERDICT r12 #2): the r12 mixture (equal masses,
+# well-separated) read recall 1.000 everywhere — zero discriminating
+# power. Real embedding corpora have POWER-LAW cluster masses and
+# overlapping clusters; the hard fixture has both:
+# - Zipf(s=1) cluster sizes: the head cluster holds ~1/H(k) of the
+#   corpus (~19% at k=100), the binding case for the mass-budgeted
+#   probe (a fat head cell can swallow the whole budget);
+# - per-dim sigma=0.25: noise norm ~ 0.25*sqrt(64) = 2.0 vs ~1.41
+#   mean inter-center distance on S^63 — heavily overlapping (within-
+#   cluster cosine ~0.2 vs ~0 across), so coarse assignment is
+#   genuinely ambiguous instead of trivially separable.
+SIGMA_HARD = 0.25
+ZIPF_S = 1.0
+
+# (name, n, sigma, zipf): sf3 joins so the Spark twins cover the
+# schedule's scale-step boundaries on clustered data (VERDICT r12 #5)
+FIXTURES = {
+    "sf1": (20_000, SIGMA, False),
+    "sf3": (60_000, SIGMA, False),
+    "sf10": (200_000, SIGMA, False),
+    "sf1_hard": (20_000, SIGMA_HARD, True),
+    "sf10_hard": (200_000, SIGMA_HARD, True),
+}
 
 
-def make_clustered(n: int, seed: int = SEED):
+def _zipf_counts(n: int, k: int, s: float = ZIPF_S) -> np.ndarray:
+    """Largest-remainder apportionment of n points over k clusters
+    with Zipf(s) proportions — deterministic, sums to n exactly."""
+    w = 1.0 / np.arange(1, k + 1) ** s
+    p = w / w.sum()
+    counts = np.floor(p * n).astype(np.int64)
+    rem = n - counts.sum()
+    frac = p * n - counts
+    counts[np.argsort(-frac)[:rem]] += 1
+    return counts
+
+
+def make_clustered(
+    n: int, seed: int = SEED, sigma: float = SIGMA, zipf: bool = False
+):
     """Deterministic mixture on the unit sphere: k = n/CLUSTER_SPAN
     unit-norm means, per-point Gaussian noise, renormalized. Returns
-    (ids, emb float32 unit rows, labels). Cluster membership is
-    INTERLEAVED across ids (point i belongs to cluster i % k) so the
-    id-relative init/query sampling the pipeline uses stays unbiased
-    with respect to cluster structure."""
+    (ids, emb float32 unit rows, labels). Equal-mass clusters are
+    INTERLEAVED across ids (point i belongs to cluster i % k); Zipf
+    masses are assigned by a seeded PERMUTATION — both keep the
+    id-relative init/query sampling the pipeline uses unbiased with
+    respect to cluster structure."""
     k = n // CLUSTER_SPAN
-    rng = np.random.default_rng(seed + n)
+    rng = np.random.default_rng(seed + n + (7919 if zipf else 0))
     means = rng.standard_normal((k, DIM))
     means /= np.linalg.norm(means, axis=1)[:, None]
-    labels = (np.arange(n) % k).astype(np.int32)
-    pts = means[labels] + SIGMA * rng.standard_normal((n, DIM))
+    if zipf:
+        counts = _zipf_counts(n, k)
+        labels = np.repeat(np.arange(k, dtype=np.int32), counts)
+        labels = labels[rng.permutation(n)]
+    else:
+        labels = (np.arange(n) % k).astype(np.int32)
+    pts = means[labels] + sigma * rng.standard_normal((n, DIM))
     pts /= np.linalg.norm(pts, axis=1)[:, None]
     return np.arange(n, dtype=np.int64), pts.astype(np.float32), labels
 
 
-def write_fixture(name: str, n: int) -> Path:
+def write_fixture(
+    name: str, n: int, sigma: float = SIGMA, zipf: bool = False
+) -> Path:
     out = REPO / ".scaledata" / "clustered" / name
     out.mkdir(parents=True, exist_ok=True)
     path = out / "embeddings.parquet"
-    ids, emb, labels = make_clustered(n)
+    ids, emb, labels = make_clustered(n, sigma=sigma, zipf=zipf)
     tbl = pa.table(
         {
             "vec_id": pa.array(ids, pa.int64()),
@@ -220,33 +264,66 @@ def run_point(name: str, ids, emb):
 
 
 def main():
-    results = {}
-    for name, n in FIXTURES.items():
-        d = write_fixture(name, n)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--fixtures", default=None,
+        help="comma-separated fixture names (default: all); fixture "
+        "parquet is always (re)written for every requested name",
+    )
+    args = ap.parse_args()
+    wanted = (
+        list(FIXTURES) if args.fixtures is None
+        else args.fixtures.split(",")
+    )
+    results, results_hard = {}, {}
+    for name in wanted:
+        n, sigma, zipf = FIXTURES[name]
+        d = write_fixture(name, n, sigma=sigma, zipf=zipf)
+        if name == "sf3":
+            continue  # fixture for the Spark twins only (VERDICT #5)
         t = pq.read_table(d / "embeddings.parquet",
                           columns=["vec_id", "embedding"])
         ids = t.column("vec_id").to_numpy()
         emb = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-        results[name] = run_point(name, ids, emb)
-    with open(REPO / "IVFPQ_CALIBRATION_CLUSTERED.json", "w") as f:
-        json.dump(
-            {
-                "metric": "ivfpq_clustered_corpus_calibration",
-                "fixture": (
-                    f"mixture of N/{CLUSTER_SPAN} unit-norm Gaussian "
-                    f"clusters on S^{DIM - 1}, sigma={SIGMA}, "
-                    f"renormalized; interleaved labels; seed={SEED}"
-                ),
-                "rule_under_test": (
-                    f"C = min({C_CAP}, {BASE_C} * ceil(sqrt(N / "
-                    f"{SCALE_REF}))); mass per IVF_MASS_SCHEDULE; "
-                    "plus the UNCAPPED scheduled C at each point"
-                ),
-                "points": results,
-            },
-            f,
-            indent=1,
+        (results_hard if zipf else results)[name] = run_point(
+            name, ids, emb
         )
+    # carry-forward rule (VERDICT r11 #5 / r12 #8): a sweep that
+    # rewrites a shared artifact must preserve sections it did not
+    # recompute this run
+    art_path = REPO / "IVFPQ_CALIBRATION_CLUSTERED.json"
+    art = json.loads(art_path.read_text()) if art_path.exists() else {}
+    art.update(
+        {
+            "metric": "ivfpq_clustered_corpus_calibration",
+            "fixture": (
+                f"mixture of N/{CLUSTER_SPAN} unit-norm Gaussian "
+                f"clusters on S^{DIM - 1}, sigma={SIGMA}, "
+                f"renormalized; interleaved labels; seed={SEED}"
+            ),
+            "fixture_hard": (
+                f"r13 (VERDICT r12 #2): Zipf(s={ZIPF_S}) cluster "
+                f"masses (head ~19% of corpus at k=100) + "
+                f"sigma={SIGMA_HARD} overlap (noise norm ~2.0 vs "
+                f"~1.41 inter-center) — power-law AND ambiguous, the "
+                "regimes the equal-mass fixture could not probe"
+            ),
+            "rule_under_test": (
+                f"C = min({C_CAP}, {BASE_C} * ceil(sqrt(N / "
+                f"{SCALE_REF}))); mass per IVF_MASS_SCHEDULE; "
+                "plus the UNCAPPED scheduled C at each point"
+            ),
+        }
+    )
+    if results:
+        art["points"] = {**art.get("points", {}), **results}
+    if results_hard:
+        art["points_hard"] = {
+            **art.get("points_hard", {}), **results_hard
+        }
+    art_path.write_text(json.dumps(art, indent=1) + "\n")
     print("wrote IVFPQ_CALIBRATION_CLUSTERED.json")
 
 

@@ -24,6 +24,32 @@ _PARAMS = dict(
 )
 
 
+def _tbl(spark, index_dir, table):
+    """Read an index table the way serves do (v6): unit dirs resolved
+    from the manifest — tests must never assume the flat layout."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        _read_table,
+    )
+
+    return _read_table(spark, index_dir, _manifest(index_dir), table)
+
+
+def _tbl_files(index_dir, table):
+    """Parquet file count across a table's manifest-referenced unit
+    dirs (v6) — the physical-layout assertion surface."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        _unit_paths,
+    )
+
+    n = 0
+    for p in _unit_paths(index_dir, _manifest(index_dir), table):
+        if os.path.isdir(p):
+            n += sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    return n
+
+
 def test_index_build_once_serve_identical_and_invalidate(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(
@@ -112,13 +138,13 @@ def test_append_batch_ids_make_redelivery_idempotent(spark, tmp_path):
     ensure_pq_index(spark, base, idx, fp, **params)
 
     pq_index_append(spark, idx, delta, batch_id=0)
-    n_codes = spark.read.parquet(f"{idx}/codes").count()
-    n_norms = spark.read.parquet(f"{idx}/norms").count()
+    n_codes = _tbl(spark, idx, "codes").count()
+    n_norms = _tbl(spark, idx, "norms").count()
 
     # redelivery: same batch id -> idempotent skip, nothing grows
     pq_index_append(spark, idx, delta, batch_id=0)
-    assert spark.read.parquet(f"{idx}/codes").count() == n_codes
-    assert spark.read.parquet(f"{idx}/norms").count() == n_norms
+    assert _tbl(spark, idx, "codes").count() == n_codes
+    assert _tbl(spark, idx, "norms").count() == n_norms
     meta = json.load(open(os.path.join(idx, "_meta.json")))
     assert meta["applied_batches"] == [0]
 
@@ -229,8 +255,8 @@ def test_threaded_two_appender_race_both_batches_land_exactly_once(
     assert meta["applied_batches"] == [10, 11]
     assert meta["appended_rows"] == n0 + n1
     # exactly-once content: every vector encoded exactly once
-    assert spark.read.parquet(f"{idx}/norms").count() == n_base + n0 + n1
-    codes = spark.read.parquet(f"{idx}/codes")
+    assert _tbl(spark, idx, "norms").count() == n_base + n0 + n1
+    codes = _tbl(spark, idx, "codes")
     assert codes.count() == (n_base + n0 + n1) * 16
     assert (
         codes.groupBy("neighbor_id").count().filter(F.col("count") != 16)
@@ -269,7 +295,7 @@ def test_threaded_same_batch_race_lands_exactly_once(spark, tmp_path):
     meta = json.load(open(os.path.join(idx, "_meta.json")))
     assert meta["applied_batches"] == [7]
     assert meta["appended_rows"] == n_delta
-    assert spark.read.parquet(f"{idx}/norms").count() == n_base + n_delta
+    assert _tbl(spark, idx, "norms").count() == n_base + n_delta
 
 
 def test_serve_params_come_from_manifest(spark, tmp_path):
@@ -340,7 +366,7 @@ def test_compact_preserves_content_batches_and_counters(spark, tmp_path):
     assert meta_post["mver"] == meta_pre["mver"] + 1
     # redelivery of an already-applied batch is still a skip
     pq_index_append(spark, idx, delta, batch_id=1)
-    assert spark.read.parquet(f"{idx}/norms").count() == (
+    assert _tbl(spark, idx, "norms").count() == (
         base.count() + delta.count()
     )
 
@@ -562,7 +588,7 @@ def test_clone_index_is_writer_private_and_refuses_uncommitted(
     clone_index(src, dst)
     pq_index_append(spark, dst, delta, batch_id=0)
     # source untouched: no appended rows, no writer log, manifest clean
-    assert spark.read.parquet(f"{src}/norms").count() == n_base
+    assert _tbl(spark, src, "norms").count() == n_base
     src_meta = json.load(open(_os.path.join(src, "_meta.json")))
     assert src_meta["applied_batches"] == []
     assert src_meta["appended_rows"] == 0
@@ -746,7 +772,7 @@ def test_lease_mode_two_appender_race_lands_exactly_once(
     meta = json.load(open(os.path.join(idx, "_meta.json")))
     assert meta["applied_batches"] == [10, 11]
     assert meta["appended_rows"] == n0 + n1
-    assert spark.read.parquet(f"{idx}/norms").count() == n_base + n0 + n1
+    assert _tbl(spark, idx, "norms").count() == n_base + n0 + n1
     assert not ai._RENEWERS, "renewers must stop at recommit"
 
 
@@ -883,14 +909,14 @@ def test_ivfpq_cell_sizes_maintained_not_rescanned(spark, tmp_path):
     def maintained():
         # the reader-side view: sum of the v5 partial-count log
         agg: dict = {}
-        for r in spark.read.parquet(f"{idx}/cell_sizes").collect():
+        for r in _tbl(spark, idx, "cell_sizes").collect():
             agg[r.centroid_id] = agg.get(r.centroid_id, 0) + r._csz
         return set(agg.items())
 
     def derived():
         return {
             (r.centroid_id, r.cnt)
-            for r in spark.read.parquet(f"{idx}/codes")
+            for r in _tbl(spark, idx, "codes")
             .filter(F.col("s") == 0)
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -938,30 +964,26 @@ def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
     def maintained():
         # the reader-side view: sum of the v5 partial-count log
         agg: dict = {}
-        for r in spark.read.parquet(f"{idx}/cell_sizes").collect():
+        for r in _tbl(spark, idx, "cell_sizes").collect():
             agg[r.centroid_id] = agg.get(r.centroid_id, 0) + r._csz
         return set(agg.items())
 
     def derived():
         return {
             (r.centroid_id, r.cnt)
-            for r in spark.read.parquet(f"{idx}/postings")
+            for r in _tbl(spark, idx, "postings")
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
 
     assert maintained() == derived()
-    n_files_before = len(
-        [n for n in _os.listdir(f"{idx}/cell_sizes") if n.endswith(".parquet")]
-    )
+    n_files_before = _tbl_files(idx, "cell_sizes")
     ivf_index_append(spark, idx, delta, batch_id=0)
     assert maintained() == derived()  # partial counts sum exact
     # v5 contract: the append ADDED a partial-count file — it did not
     # rewrite the table (the rewrite was the 1.5× append regression)
-    n_files_after = len(
-        [n for n in _os.listdir(f"{idx}/cell_sizes") if n.endswith(".parquet")]
-    )
+    n_files_after = _tbl_files(idx, "cell_sizes")
     assert n_files_after == n_files_before + 1
 
     # served results from the maintained table == a derived-size serve
@@ -972,8 +994,8 @@ def test_ivf_cell_sizes_maintained_not_rescanned(spark, tmp_path):
             spark, idx, emb, queries, k=10, probe_mass=IVF_PROBE_MASS
         ).collect()
     }
-    centroids = spark.read.parquet(f"{idx}/centroids")
-    postings = spark.read.parquet(f"{idx}/postings")
+    centroids = _tbl(spark, idx, "centroids")
+    postings = _tbl(spark, idx, "postings")
     legacy = {
         tuple(r)
         for r in ivf_search_frames(
@@ -1016,12 +1038,12 @@ def test_dedup_index_lifecycle_idempotence_and_refusal(spark, tmp_path):
     ensure_dedup_index(spark, base, idx, "fp_base", **params)
     dedup_index_append(spark, idx, delta, batch_id=7)
     meta1 = json.load(open(_os.path.join(idx, "_meta.json")))
-    rows1 = spark.read.parquet(f"{idx}/digests").count()
+    rows1 = _tbl(spark, idx, "digests").count()
     # redelivery: same batch id must be a no-op
     dedup_index_append(spark, idx, delta, batch_id=7)
     meta2 = json.load(open(_os.path.join(idx, "_meta.json")))
     assert meta2["applied_batches"] == meta1["applied_batches"] == [7]
-    assert spark.read.parquet(f"{idx}/digests").count() == rows1
+    assert _tbl(spark, idx, "digests").count() == rows1
 
     maintained = {
         (r.doc_id, r.status)
@@ -1282,6 +1304,7 @@ def test_fence_blocks_both_alive_zombie_before_invalidate(spark, tmp_path):
         mver=mver + 1, base_rows=meta.get("base_rows"),
         appended_rows=int(meta.get("appended_rows", 0)),
         cell_sizes=meta.get("cell_sizes"),
+        units=meta.get("units"),
     )
     delta = emb.filter(F.col("vec_id") % 3 == 0)
     ivf_index_append(spark, idx, delta, batch_id=0)
@@ -1290,14 +1313,17 @@ def test_fence_blocks_both_alive_zombie_before_invalidate(spark, tmp_path):
     )["applied_batches"] == [0]
 
 
-def test_adopt_count_mismatch_degrades_to_loud_noncurrent(
+def test_sweep_mid_adopt_aborts_precommit_index_serves(
     spark, tmp_path, monkeypatch
 ):
-    """ADVICE r11 (medium): a stage swept BETWEEN _finish_append's
-    existence/fence checks and the renames must never record the batch
-    as applied with missing files — the staged-vs-adopted count
-    compare raises post-invalidate, degrading to a loud non-current
-    rebuild instead of silent loss."""
+    """ADVICE r11 / v6 (r13): a contender's sweep landing BETWEEN
+    _finish_append's existence/fence checks and the adopt renames must
+    never record the batch as applied with missing files. Sweeps are
+    rename-then-delete (_sweep_stage), so the race is a pair of atomic
+    renames: when the sweeper wins, the owner's adopt fails ENOENT and
+    aborts PRE-COMMIT — the serving manifest is untouched (pre-v6 this
+    degraded to a loud non-current rebuild), the batch stays
+    unrecorded, and a plain retry lands it."""
     import json
     import os as _os
 
@@ -1313,27 +1339,31 @@ def test_adopt_count_mismatch_degrades_to_loud_noncurrent(
         table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
     )
     ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    meta_before = json.load(open(_os.path.join(idx, "_meta.json")))
 
     real_adopt = annidx._adopt_staged
 
-    def sweep_then_adopt(stage, index_dir, tables):
-        # the contender's sweep lands mid-window: one staged file
-        # vanishes after the counts were captured
-        victim_dir = _os.path.join(stage, tables[0])
-        victim = sorted(
-            n for n in _os.listdir(victim_dir) if n.endswith(".parquet")
-        )[0]
-        _os.remove(_os.path.join(victim_dir, victim))
-        return real_adopt(stage, index_dir, tables)
+    def sweep_then_adopt(stage, index_dir, tables, mver):
+        # the contender's rename-aside sweep wins the race just before
+        # the owner's adopt renames run
+        annidx._sweep_stage(index_dir, _os.path.basename(stage))
+        return real_adopt(stage, index_dir, tables, mver)
 
     monkeypatch.setattr(annidx, "_adopt_staged", sweep_then_adopt)
-    with pytest.raises(annidx.ConcurrentWriteError, match="adopted"):
+    with pytest.raises(annidx.ConcurrentWriteError, match="retry"):
         annidx.ivf_index_append(spark, idx, delta, batch_id=0)
-    # loud non-current: no manifest (rebuild is the remedy), batch NOT
-    # recorded as applied — redelivery stays possible
-    assert not _os.path.exists(_os.path.join(idx, "_meta.json"))
+    # pre-commit abort: the serving manifest is UNTOUCHED (v6 — no
+    # invalidate window), the batch is not recorded, no unit leaked
+    meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_after == meta_before
+    for t in ("postings", "cell_sizes"):
+        units = meta_after["units"][t]
+        assert sorted(
+            n for n in _os.listdir(_os.path.join(idx, t))
+            if not n.startswith("_")
+        ) == sorted(units)
+    # retry lands the batch exactly once
     monkeypatch.setattr(annidx, "_adopt_staged", real_adopt)
-    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
     annidx.ivf_index_append(spark, idx, delta, batch_id=0)
     assert json.load(
         open(_os.path.join(idx, "_meta.json"))
@@ -1356,7 +1386,9 @@ def test_manifest_cell_sizes_snapshot_tracks_log(spark, tmp_path):
         mass_schedule_for_n,
     )
     from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
         _read_sizes,
+        _unit_paths,
         compact_index,
         ivf_index_append,
         ivf_index_search,
@@ -1379,7 +1411,7 @@ def test_manifest_cell_sizes_snapshot_tracks_log(spark, tmp_path):
         return {
             int(r["centroid_id"]): int(r["_csz"])
             for r in _read_sizes(
-                spark, _os.path.join(idx, "cell_sizes")
+                spark, _unit_paths(idx, _manifest(idx), "cell_sizes")
             ).collect()
         }
 
@@ -1402,14 +1434,16 @@ def test_manifest_cell_sizes_snapshot_tracks_log(spark, tmp_path):
             spark, idx, emb, queries, k=10, probe_mass=IVF_PROBE_MASS
         ).collect()
     }
-    centroids = spark.read.parquet(f"{idx}/centroids")
-    postings = spark.read.parquet(f"{idx}/postings")
+    centroids = _tbl(spark, idx, "centroids")
+    postings = _tbl(spark, idx, "postings")
     legacy = {
         tuple(r)
         for r in ivf_search_frames(
             centroids, postings, emb, queries, k=10,
             probe_mass=IVF_PROBE_MASS,
-            cell_sizes=_read_sizes(spark, _os.path.join(idx, "cell_sizes")),
+            cell_sizes=_read_sizes(
+                spark, _unit_paths(idx, _manifest(idx), "cell_sizes")
+            ),
             mass_multi=_PARAMS["multi_assign"],
         ).collect()
     }
@@ -1527,7 +1561,7 @@ def test_lease_paused_writer_race_lands_batches_exactly_once(
     assert meta["applied_batches"] == [0, 1]
     # exactly-once content: one norms row per corpus vector
     assert (
-        spark.read.parquet(f"{idx}/norms").count() == emb.count()
+        _tbl(spark, idx, "norms").count() == emb.count()
     )
 
 
@@ -1562,7 +1596,10 @@ def test_released_claim_removes_fence_marker_slot_reusable(
     meta, mver = _writer_txn(idx, None, "append")
     assert _fence_epoch(idx) == mver
     _end_claim(idx, mver, release=True)
-    assert _fence_epoch(idx) is None  # marker gone with the claim
+    # marker gone with the claim; the permanent e0 FLOOR remains, so
+    # the epoch drops to 0 instead of reading unfenced (r13, ADVICE
+    # r12 #2: a present fence dir must always enforce)
+    assert _fence_epoch(idx) == 0
 
     # the SAME slot is claimable again and a healthy append completes
     delta = emb.filter(F.col("vec_id") % 3 == 0)
@@ -1710,6 +1747,7 @@ def test_snapshot_recheck_aborts_on_interleaved_commit(spark, tmp_path):
         base_rows=meta.get("base_rows"),
         appended_rows=int(meta.get("appended_rows", 0)) + 5,
         cell_sizes=meta.get("cell_sizes"),
+        units=meta.get("units"),
     )
 
     with pytest.raises(ConcurrentWriteError, match="advanced"):
@@ -1815,6 +1853,7 @@ def test_compact_aborts_preinvalidate_on_fence_or_stale_snapshot(
         base_rows=meta_after.get("base_rows"),
         appended_rows=meta_after.get("appended_rows", 0),
         cell_sizes=meta_after.get("cell_sizes"),
+        units=meta_after.get("units"),
     )
 
     # (b) stale snapshot: the manifest advances between the claim and
@@ -1836,6 +1875,7 @@ def test_compact_aborts_preinvalidate_on_fence_or_stale_snapshot(
                 base_rows=meta_now.get("base_rows"),
                 appended_rows=meta_now.get("appended_rows", 0),
                 cell_sizes=meta_now.get("cell_sizes"),
+                units=meta_now.get("units"),
             )
         return real_check(index_dir, mver)
 
@@ -1848,3 +1888,238 @@ def test_compact_aborts_preinvalidate_on_fence_or_stale_snapshot(
     # the interleaved commit survives; a plain compaction then works
     stats = annidx.compact_index(spark, idx)
     assert stats and all(a <= b for _, (b, a) in stats.items())
+
+
+def test_append_commit_failure_serves_throughout_and_retries(
+    spark, tmp_path, monkeypatch
+):
+    """v6 (r13, VERDICT r12 #4): the manifest-invalidate window is
+    GONE — a writer dying at ANY point of an append (here: at the
+    recommit itself, the last possible moment) leaves the index
+    CURRENT AND SERVING its committed snapshot, with the batch
+    unrecorded and no adopted unit leaked; a plain retry lands it.
+    Pre-v6 the same crash left a non-current index whose only remedy
+    was a rebuild."""
+    import json
+    import os as _os
+
+    import pytest
+
+    import bigdatafinalproject_spark.operators.ann_index as annidx
+    from bigdatafinalproject_spark.operators.ann_index import (
+        pq_index_append,
+        pq_index_search,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_crashcommit")
+    meta_before = json.load(open(_os.path.join(idx, "_meta.json")))
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+    pre = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+
+    real_commit = annidx._commit
+    state = {"armed": True}
+
+    def dying_commit(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            raise OSError("simulated ENOSPC writing the manifest")
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(annidx, "_commit", dying_commit)
+    with pytest.raises(OSError, match="simulated"):
+        pq_index_append(spark, idx, delta, batch_id=0)
+
+    # the index is CURRENT and serves identical results mid-"crash"
+    meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_after == meta_before
+    mid = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    assert mid == pre and len(mid) > 0
+    # no adopted unit leaked (the failure path released them), and the
+    # slot was freed — the retry claims it again immediately
+    for t in ("codes", "norms"):
+        assert sorted(
+            n for n in _os.listdir(_os.path.join(idx, t))
+            if not n.startswith("_")
+        ) == sorted(meta_before["units"][t])
+    pq_index_append(spark, idx, delta, batch_id=0)
+    m = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert m["applied_batches"] == [0]
+    assert _tbl(spark, idx, "norms").count() == base.count() + delta.count()
+
+
+def test_compact_commit_failure_serves_pre_compaction_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """v6 (r13): a compactor dying at its recommit leaves the index
+    serving the PRE-compaction snapshot — same manifest, same units,
+    no aside/tmp litter that the next writer can't clear — and a plain
+    retry compacts. Pre-v6 the crash-after-invalidate shape left the
+    index non-current (test_crash_mid_compact_never_serves_half_
+    compacted still pins that refusal for hand-broken layouts)."""
+    import json
+    import os as _os
+
+    import pytest
+
+    import bigdatafinalproject_spark.operators.ann_index as annidx
+    from bigdatafinalproject_spark.operators.ann_index import (
+        compact_index,
+        pq_index_append,
+        pq_index_search,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_crashcompact")
+    pq_index_append(spark, idx, delta, batch_id=0)
+    meta_before = json.load(open(_os.path.join(idx, "_meta.json")))
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+    pre = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+
+    real_commit = annidx._commit
+    state = {"armed": True}
+
+    def dying_commit(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            raise OSError("simulated ENOSPC writing the manifest")
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(annidx, "_commit", dying_commit)
+    with pytest.raises(OSError, match="simulated"):
+        compact_index(spark, idx)
+    meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_after == meta_before
+    mid = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    assert mid == pre and len(mid) > 0
+    # retry compacts down to the committed unit set
+    stats = compact_index(spark, idx)
+    assert set(stats) == {"codes", "norms"}
+    post = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    assert post == pre
+
+
+def test_zombie_adopted_unit_is_dead_namespace(spark, tmp_path):
+    """v6 fenced storage (r13, VERDICT r12 #4): a zombie writer that
+    slips past its fence check and RENAMES its stage into the live
+    table tree lands in a unit dir NO manifest references — readers
+    resolve files from the manifest, so the zombie's files (here:
+    deliberately garbage) are invisible to every serve; the next
+    successful commit's GC removes them. This is the residual the r12
+    fence could not close (the check→first-rename gap made a stale
+    writer's per-file renames reader-visible)."""
+    import json
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _adopt_staged,
+        _append_stage,
+        _writer_txn,
+        ivf_index_search,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf_zombie_unit")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    pre = {
+        tuple(r)
+        for r in ivf_index_search(spark, idx, emb, queries, k=10).collect()
+    }
+
+    # the zombie: claims, stages GARBAGE (a non-parquet payload that
+    # would crash any scan that touched it), and renames it into the
+    # live tree without ever committing
+    meta, mver = _writer_txn(idx, None, "append")
+    stage = _append_stage(idx, mver)
+    _os.makedirs(_os.path.join(stage, "postings"))
+    with open(
+        _os.path.join(stage, "postings", "part-0.parquet"), "w"
+    ) as f:
+        f.write("NOT PARQUET")
+    adopted = _adopt_staged(stage, idx, ["postings"], mver)
+    assert adopted == {"postings": f"b{mver:012d}.{_os.getpid()}"}
+    zombie_unit = _os.path.join(idx, "postings", adopted["postings"])
+    assert _os.path.isdir(zombie_unit)
+
+    # invisible: the manifest doesn't reference it, so serves are
+    # byte-identical (a flat-layout reader would CRASH on the garbage)
+    mid = {
+        tuple(r)
+        for r in ivf_index_search(spark, idx, emb, queries, k=10).collect()
+    }
+    assert mid == pre and len(mid) > 0
+
+    # the zombie's slot is freed (its real-world twin aborts at the
+    # fence/recommit); plant a FOREIGN dead unit too (a different
+    # pid's leftover at the same slot — the stuck-renewer both-alive
+    # duplicate shape)
+    from bigdatafinalproject_spark.operators.ann_index import _end_claim
+
+    _end_claim(idx, mver, release=True)
+    foreign_unit = _os.path.join(idx, "postings", f"b{mver:012d}.999999")
+    _os.makedirs(foreign_unit)
+    with open(_os.path.join(foreign_unit, "part-0.parquet"), "w") as f:
+        f.write("ALSO NOT PARQUET")
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ivf_index_append,
+    )
+
+    ivf_index_append(spark, idx, delta, batch_id=0)
+    m = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert m["applied_batches"] == [0]
+    # the re-claimant (same pid, reused slot) cleared the zombie's
+    # garbage and OWNS the unit name — it is now manifest-referenced
+    # with the real batch content...
+    assert adopted["postings"] in m["units"]["postings"]
+    assert _tbl(spark, idx, "postings").count() > 0
+    # ...and the foreign dead unit was GC'd at commit
+    assert not _os.path.isdir(foreign_unit)
+
+
+def test_kill_soak_bounded(tmp_path):
+    """Bounded multiprocess SIGKILL soak (r13, VERDICT r12 #3): real
+    OS-process writers on one shared index, a killer SIGKILLing whole
+    process groups mid-transaction, then the full invariant sweep —
+    manifest exactly-once, data exactly-once, cell_sizes triple
+    equality, disk==manifest units, fence floor+epoch. The full-size
+    soak lives in scripts/index_kill_soak.py; this wrapper keeps a
+    small configuration in every pytest run. (Runs its own
+    SparkSessions in subprocesses — independent of the session
+    fixture.)"""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "index_kill_soak.py"),
+            "--workers", "2", "--batches", "6", "--kills", "2",
+            "--compact-every", "3", "--kill-min-s", "5",
+            "--kill-max-s", "9", "--timeout-s", "420",
+            "--index-dir", str(tmp_path / "soak" / "ivf_index"),
+        ],
+        capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "KILL_SOAK_OK" in r.stdout
