@@ -35,7 +35,24 @@ def run_once(queries: list[str]) -> dict:
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # scan stdout from the END for the first parseable JSON object
+    # (ADVICE r12 #3): stray trailing stdout noise (log4j, deprecation
+    # warnings, an atexit print) must not crash a multi-attempt
+    # protocol run minutes in and lose every attempt
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            r = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(r, dict) and "queries" in r:
+            return r
+    raise RuntimeError(
+        f"no bench JSON line found in bench.py stdout "
+        f"(last 500 chars: {out.stdout[-500:]!r})"
+    )
 
 
 def main() -> None:
@@ -49,33 +66,42 @@ def main() -> None:
     if "popular_parts" not in queries:
         queries.insert(0, "popular_parts")  # in-subset canary
     attempts = int(os.environ.get("BENCH_PROTOCOL_ATTEMPTS", "3"))
+    path = REPO / "BENCH_PROTOCOL.json"
+
+    def write_section(runs: list[dict], done: bool) -> None:
+        # persist after EVERY attempt (ADVICE r12 #3): a crash or a
+        # kill mid-protocol keeps the minutes of readings already
+        # taken, marked partial until the last attempt lands
+        per_q = {
+            q: {
+                "min_sec": min(r["queries"][q] for r in runs),
+                "attempts_sec": [r["queries"][q] for r in runs],
+            }
+            for q in queries
+        }
+        art = json.loads(path.read_text()) if path.is_file() else {}
+        art[section] = {
+            "sf": runs[0].get("sf"),
+            "attempts": attempts,
+            "canaries_sec": [r.get("canary_sec") for r in runs],
+            "canary_steady_sec": runs[0].get("canary_steady_sec"),
+            "queries": per_q,
+        }
+        if not done:
+            art[section]["partial"] = f"{len(runs)}/{attempts}"
+        path.write_text(json.dumps(art, indent=1) + "\n")
+
     runs = []
     for i in range(attempts):
         r = run_once(queries)
         runs.append(r)
+        write_section(runs, done=(i + 1 == attempts))
         print(
             f"attempt {i + 1}/{attempts}: total {r['value']}s "
             f"canary {r.get('canary_sec')}",
             flush=True,
         )
-    per_q = {
-        q: {
-            "min_sec": min(r["queries"][q] for r in runs),
-            "attempts_sec": [r["queries"][q] for r in runs],
-        }
-        for q in queries
-    }
-    path = REPO / "BENCH_PROTOCOL.json"
-    art = json.loads(path.read_text()) if path.is_file() else {}
-    art[section] = {
-        "sf": runs[0].get("sf"),
-        "attempts": attempts,
-        "canaries_sec": [r.get("canary_sec") for r in runs],
-        "canary_steady_sec": runs[0].get("canary_steady_sec"),
-        "queries": per_q,
-    }
-    path.write_text(json.dumps(art, indent=1) + "\n")
-    print(json.dumps({"section": section, "queries": len(per_q)}))
+    print(json.dumps({"section": section, "queries": len(queries)}))
 
 
 if __name__ == "__main__":

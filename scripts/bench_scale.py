@@ -51,6 +51,14 @@ HEAVY = [
     # the index serve's (bounded panel, scheduled scan), where the
     # exact-cosine-fed twin above is ~N^2/50 by construction
     "ann_mmr_from_index",
+    # persisted-index SERVE family (r13, VERDICT r12 #6): the queries
+    # a deployment runs at volume — ensure (cached) + search from the
+    # persisted frames. Their exponents are the 100 TB claim for the
+    # serving path; sf30 adds a third decade over sf0.1
+    "ann_ivf_index_search",
+    "ann_pq_index_search",
+    "ann_ivfpq_index_search",
+    "doc_dedup_index_check",
     "ann_index_append",
     # persisted dedup index: base build + two delta appends + check —
     # the maintenance-heaviest query of the new dedup lifecycle family
@@ -195,13 +203,23 @@ def main() -> None:
     for q in HEAVY:
         ts = [results[sf].get(q) for sf in sfs]
         entry = {f"sf{sf}_sec": t for sf, t in zip(sfs, ts)}
-        if all(t and t > 0 for t in ts) and len(ts) >= 2:
+        # fit over the points THIS query has readings for (r13): a
+        # point added for one family (sf30, serve queries) must not
+        # null out every other query's exponent — each row's fit uses
+        # its own non-null (sf, t) pairs, and sf_points records the
+        # union
+        pairs = [
+            (sf, t) for sf, t in zip(sfs, ts) if t is not None and t > 0
+        ]
+        if len(pairs) >= 2:
+            qsfs = [sf for sf, _ in pairs]
+            qts = [t for _, t in pairs]
             alpha, r2 = _fit(
-                [math.log(sf) for sf in sfs], [math.log(t) for t in ts]
+                [math.log(sf) for sf in qsfs], [math.log(t) for t in qts]
             )
             entry["exponent"] = round(alpha, 3)
             entry["r2"] = round(r2, 3)
-            c, oalpha, or2 = _fit_offset(sfs, ts)
+            c, oalpha, or2 = _fit_offset(qsfs, qts)
             entry["fixed_sec"] = c
             entry["data_exponent"] = oalpha
             entry["data_r2"] = or2
