@@ -2123,3 +2123,55 @@ def test_kill_soak_bounded(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "KILL_SOAK_OK" in r.stdout
+
+
+def test_legacy_flat_manifest_serves_but_refuses_maintenance(
+    spark, tmp_path
+):
+    """v6 upgrade honesty: a pre-v6 index (manifest without ``units``)
+    keeps SERVING through the flat-layout fallback, but maintenance is
+    REFUSED with a rebuild message — adopting unit subdirs under a
+    flat table would build a mixed layout a legacy reader silently
+    misreads. (In production the fingerprint's _ALGO_VERSION salt
+    rebuilds every ensure_* path; only hand-built dirs hit this.)"""
+    import json
+    import os as _os
+    import shutil as _shutil
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        ivf_index_append,
+        ivf_index_search,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf_legacy")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+
+    # forge the pre-v6 layout: flatten every unit dir and strip the
+    # manifest's units map
+    meta = _manifest(idx)
+    for t in meta["tables"]:
+        for u in meta["units"][t]:
+            src = _os.path.join(idx, t, u)
+            for n in _os.listdir(src):
+                _os.rename(
+                    _os.path.join(src, n), _os.path.join(idx, t, n)
+                )
+            _os.rmdir(src)
+    del meta["units"]
+    with open(_os.path.join(idx, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    assert ivf_index_search(spark, idx, emb, queries, k=10).count() > 0
+    with pytest.raises(ValueError, match="pre-v6 flat layout"):
+        ivf_index_append(spark, idx, delta, batch_id=0)
+    _shutil.rmtree(idx)
