@@ -329,6 +329,8 @@ def _commit(
     appended_rows: int = 0,
     cell_sizes=None,
     units: dict[str, list[str]] | None = None,
+    batches: dict | None = None,
+    retracted: list | None = None,
 ) -> None:
     # tmp + os.replace: the manifest IS the commit record, so its own
     # write must be atomic — a crash mid-write must read as "no
@@ -378,6 +380,15 @@ def _commit(
         # unit dirs whose files ARE the table. Sorted per table so
         # recommits of identical content are byte-identical.
         payload["units"] = {t: sorted(us) for t, us in units.items()}
+    if batches is not None:
+        # r13: per-batch provenance — which units (and row/cell-size
+        # deltas) each applied batch contributed. What makes
+        # retract_batch an O(1) metadata operation; compaction folds
+        # batches into the base and CLEARS this map (retract-before-
+        # compact, or rebuild).
+        payload["batches"] = {k: batches[k] for k in sorted(batches)}
+    if retracted is not None:
+        payload["retracted"] = sorted(retracted)
     with open(tmp, "w") as f:
         json.dump(payload, f)
     os.replace(tmp, path)
@@ -1182,17 +1193,27 @@ def _finish_append(
     units = {t: list(us) for t, us in (meta.get("units") or {}).items()}
     for t, u in adopted.items():
         units.setdefault(t, []).append(u)
+    # per-batch provenance (r13): the units, row delta and cell-size
+    # delta this batch contributed — retract_batch reverses exactly
+    # these at O(manifest) cost
+    applied_id = batch_id if batch_id is not None else len(applied)
+    batches = dict(meta.get("batches") or {})
+    bentry: dict = {"units": adopted, "rows": n_delta}
+    if sizes_delta is not None:
+        bentry["cell_sizes"] = _snap_pairs(sizes_delta)
+    batches[str(applied_id)] = bentry
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     try:
         _commit(
             index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
             src=meta.get("src"), params=meta.get("params", {}),
-            applied_batches=applied
-            + ([batch_id] if batch_id is not None else [len(applied)]),
+            applied_batches=applied + [applied_id],
             mver=mver, base_rows=meta.get("base_rows"),
             appended_rows=int(meta.get("appended_rows", 0)) + n_delta,
             cell_sizes=snap,
             units=units,
+            batches=batches,
+            retracted=meta.get("retracted"),
         )
     except BaseException:
         # recommit fenced (an interleaved lapsed-lease contender
@@ -1735,6 +1756,12 @@ def compact_index(
             # invariant
             cell_sizes=meta.get("cell_sizes"),
             units=units,
+            # batch identity is folded into the base by the rewrite —
+            # per-batch retraction is no longer possible (retract
+            # before compacting, or rebuild); the retracted ledger is
+            # history and survives
+            batches={},
+            retracted=meta.get("retracted"),
         )
     except BaseException:
         # nothing published (see the append twin): drop the adopted
@@ -1751,6 +1778,126 @@ def compact_index(
         # holds up to this sweep)
         _gc_dead_units(index_dir, committed)
     return stats
+
+
+def retract_batch(index_dir: str, batch_id) -> str:
+    """UN-INGEST an applied batch — the v6 payoff operator (r13): with
+    manifest-referenced batch units, removing a batch is an O(manifest)
+    METADATA operation, not a data rewrite. Production shapes: a crawl
+    batch found poisoned/contaminated after ingestion, a licensing or
+    right-to-be-forgotten takedown of one provider's delivery, a bad
+    upstream re-run — at 100 TB none of these can afford rewriting the
+    index, and under the pre-v6 flat layout (batch files interleaved
+    in one directory, counted into one snapshot) retraction WAS a
+    rewrite.
+
+    Semantics: exactly "as if the batch was never appended".
+
+    - the batch's unit dirs leave the ``units`` map (readers never see
+      them again; the post-commit GC removes the dirs);
+    - ``appended_rows`` drops by the batch's recorded row delta, so
+      the retrain trigger and the drift-aware serve policies
+      (schedule clamp, rerank-pool widening) compute exactly what a
+      never-appended index would;
+    - the ``cell_sizes`` snapshot subtracts the batch's recorded
+      per-cell partials (zero-count cells drop, matching the fold of
+      the log that just lost the batch's partial-count unit);
+    - dedup kinds are exact by construction: appends store each
+      batch's DISTINCT rows without cross-batch dedup, so a digest
+      re-crawled by another batch keeps that batch's copy — removing
+      batch A's units is precisely "A never ingested";
+    - ``applied_batches`` KEEPS the id: retraction means "remove and
+      do not re-ingest", so a checkpoint redelivery of the retracted
+      batch stays an idempotent skip (re-ingesting the same content
+      under a NEW batch id is the caller's explicit act); the id is
+      also recorded in the ``retracted`` ledger.
+
+    Serialized through the same writer claim + fence as appends and
+    compactions. Determinism makes the result BIT-IDENTICAL to an
+    index that never saw the batch, so the registered retract queries
+    share the append oracles (the retraction theorem). Raises
+    ``ValueError`` for a batch without provenance — never appended,
+    already retracted, appended by a pre-r13 writer, or folded into
+    the base by a compaction (``batches`` is cleared there: retract
+    before compacting, or rebuild)."""
+    txn = _writer_txn(index_dir, None, "retract")
+    meta, mver = txn
+    bkey = str(batch_id)
+    try:
+        batches = dict(meta.get("batches") or {})
+        if bkey not in batches:
+            raise ValueError(
+                f"batch {batch_id!r} has no provenance at {index_dir!r} "
+                f"(never appended, already retracted, or compacted into "
+                f"the base) — nothing to retract"
+            )
+        # same pre-commit guards as _finish_append: a paused-past-
+        # lease retractor must not commit from a stale snapshot
+        _check_fence(index_dir, mver)
+        cur = _manifest(index_dir)
+        if cur is None or int(cur.get("mver", 0)) != int(meta.get("mver", 0)):
+            raise ConcurrentWriteError(
+                f"manifest at {index_dir!r} advanced from snapshot mver "
+                f"{meta.get('mver', 0)} since this retractor's claim — "
+                f"retry"
+            )
+    except BaseException:
+        _end_claim(index_dir, mver, release=True)
+        raise
+    entry = batches.pop(bkey)
+    bunits = entry.get("units", {})
+    units = {
+        t: [u for u in us if u != bunits.get(t)]
+        for t, us in (meta.get("units") or {}).items()
+    }
+    snap = meta.get("cell_sizes")
+    if snap is not None:
+        bsizes = entry.get("cell_sizes")
+        if bsizes is not None:
+            folded = {int(c): int(n) for c, n in snap}
+            for c, n in bsizes:
+                folded[int(c)] = folded.get(int(c), 0) - int(n)
+            snap = {c: n for c, n in folded.items() if n > 0}
+        else:
+            # no recorded partials (shouldn't happen for kinds that
+            # track sizes, but fail soft): drop the snapshot — readers
+            # fold the log, which just lost the batch's unit
+            snap = None
+    retracted = list(meta.get("retracted") or [])
+    if bkey not in retracted:
+        retracted.append(bkey)
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
+    try:
+        _commit(
+            index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
+            src=meta.get("src"), params=meta.get("params", {}),
+            applied_batches=meta.get("applied_batches"),
+            mver=mver, base_rows=meta.get("base_rows"),
+            appended_rows=(
+                int(meta.get("appended_rows", 0))
+                - int(entry.get("rows", 0))
+            ),
+            cell_sizes=snap,
+            units=units,
+            batches=batches,
+            retracted=retracted,
+        )
+    except BaseException:
+        # nothing published; free the slot (no units were touched —
+        # retraction's only data action is the post-commit GC)
+        try:
+            os.remove(entry_path(os.path.join(index_dir, _APPLOG), mver))
+        except OSError:
+            pass
+        raise
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
+    _prune_fence(index_dir, mver)
+    committed = _manifest(index_dir)
+    if committed is not None:
+        # the retracted batch's unit dirs die here — the single
+        # physical action of a retraction
+        _gc_dead_units(index_dir, committed)
+    return index_dir
 
 
 def clone_index(src_dir: str, dst_dir: str) -> str:

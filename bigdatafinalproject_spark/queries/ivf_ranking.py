@@ -389,6 +389,77 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_index_retract", oracle_of="ann_ivf_index_append")
+def ann_ivf_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RETRACTION on the trained persisted IVF index (r13): the
+    delta arrives as two batches, the even batch is then UN-INGESTED
+    via operators/ann_index.retract_batch — an O(manifest) metadata
+    flip (units map, appended_rows, cell-size snapshot all reverse the
+    batch's recorded provenance) plus a unit-dir GC, never a rewrite
+    of postings — and re-appended under a new batch id. Every serve
+    policy input (base_rows, appended_rows, folded cell sizes) is
+    restored exactly, so the final index serves BIT-IDENTICALLY to the
+    plain single-append twin and shares ann_ivf_index_append's oracle
+    (the retraction theorem for a trained kind). RAISES unless the
+    retraction's row/ledger accounting actually reversed."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        corpus_fingerprint,
+        ensure_ivf_index,
+        ivf_index_append,
+        ivf_index_search,
+        retract_batch,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_IVF_BASE_PRED))
+    delta = emb.filter(~F.expr(_IVF_BASE_PRED))
+    params = dict(
+        centroid_mod=37, max_centroids=64,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        scale_ref=IVF_SCALE_REF,
+    )
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_IVF_BASE_PRED, **params
+    )
+    cached = ensure_ivf_index(
+        spark, base, shared_index_dir("ivf", fp), fp,
+        src=table_path(sf_dir, "embeddings"), subset=_IVF_BASE_PRED,
+        **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "ivfretractidx"))
+    ivf_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                     batch_id=0)
+    ivf_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
+                     batch_id=1)
+    pre = _manifest(idx)
+    retract_batch(idx, 0)
+    mid = _manifest(idx)
+    if not (
+        int(mid["appended_rows"]) < int(pre["appended_rows"])
+        and mid.get("retracted") == ["0"]
+        and "0" not in mid.get("batches", {})
+        and len(mid["units"]["postings"]) < len(pre["units"]["postings"])
+    ):
+        raise RuntimeError(
+            f"retraction accounting did not reverse: {pre} -> {mid}"
+        )
+    # re-ingest the same vectors under a new batch id; the index is
+    # now content-identical to the single-append twin
+    ivf_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                     batch_id=2)
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivf_index_search(
+        spark, idx, emb, queries, k=10, probe_mass=_IVF_MASS
+    )
+
+
 @query("stream_ivf_index_maintenance", oracle_of="ann_ivf_index_append")
 def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming trained-IVF index maintenance

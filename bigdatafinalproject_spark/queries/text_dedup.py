@@ -723,6 +723,59 @@ def doc_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_index_check(spark, idx, batch)
 
 
+@query("doc_dedup_index_retract", oracle_of="doc_incremental_dedup")
+def doc_dedup_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RETRACTION on the persisted dedup index (r13 — the
+    manifest-referenced-units payoff): the maintained index un-ingests
+    its even-doc batch via operators/ann_index.retract_batch — an
+    O(manifest) metadata flip plus a unit-dir GC, never a data rewrite
+    (the production shape for a poisoned/contaminated crawl batch or a
+    provider takedown at 100 TB). Because appends store each batch's
+    distinct rows without cross-batch dedup, retraction is EXACTLY
+    "the batch never ingested"; the even docs are then re-appended
+    under a new batch id, so the final index is content-identical to
+    the plain maintained clone and the standing-batch check shares the
+    doc_incremental_dedup oracle (the retraction theorem). RAISES
+    unless the retraction actually dropped the batch's digest unit and
+    row accounting."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        dedup_index_append,
+        dedup_index_check,
+        retract_batch,
+    )
+    from bigdatafinalproject_spark.streaming.dedup import (
+        DEDUP_BATCH_PRED,
+        DEDUP_DELTA_PRED,
+    )
+
+    idx = _maintained_dedup_clone(spark, sf_dir, "dedupretractidx")
+    docs = load_table(spark, sf_dir, "documents")
+    before = _manifest(idx)
+    retract_batch(idx, 0)
+    after = _manifest(idx)
+    if len(after["units"]["digests"]) >= len(before["units"]["digests"]):
+        raise RuntimeError(
+            "retraction did not drop the batch's digest unit: "
+            f"{before['units']['digests']} -> {after['units']['digests']}"
+        )
+    if int(after["appended_rows"]) >= int(before["appended_rows"]):
+        raise RuntimeError(
+            "retraction did not reduce appended_rows: "
+            f"{before['appended_rows']} -> {after['appended_rows']}"
+        )
+    if after.get("retracted") != ["0"] or "0" in after.get("batches", {}):
+        raise RuntimeError("retraction ledger not recorded")
+    # re-ingest the same content under a NEW batch id (the caller's
+    # explicit act — the retracted id itself stays an idempotent skip)
+    delta = docs.filter(F.expr(DEDUP_DELTA_PRED))
+    dedup_index_append(
+        spark, idx, delta.filter(F.col("doc_id") % 2 == 0), batch_id=2
+    )
+    batch = docs.filter(F.expr(DEDUP_BATCH_PRED))
+    return dedup_index_check(spark, idx, batch)
+
+
 @query("stream_dedup_index_maintenance", oracle_of="doc_incremental_dedup")
 def stream_dedup_index_maintenance(
     spark: SparkSession, sf_dir: str

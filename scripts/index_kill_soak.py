@@ -28,7 +28,11 @@ Invariants asserted at the end (and the whole point):
    adopted-but-never-committed has been GC'd), and no stage/sweep/
    compact litter remains;
 6. the fence dir carries the permanent e0 floor plus the committed
-   epoch's marker only.
+   epoch's marker only;
+7. (with --readers N) reader processes serving queries CONTINUOUSLY
+   through the kill storm never see the mid-maintenance refusal —
+   the v6 availability claim — with only bounded snapshot retries
+   from the documented compaction-GC window.
 
 v6 property under test: SIGKILL ANYWHERE in a maintenance txn leaves
 the index CURRENT AND SERVING (the manifest-invalidate window is
@@ -167,6 +171,71 @@ def worker(slot: int, nworkers: int, index_dir: str, n_batches: int,
     spark.stop()
 
 
+def reader(slot: int, index_dir: str) -> None:
+    """Serve queries CONTINUOUSLY while the writers churn and die —
+    the v6 availability claim under test: with no manifest-invalidate
+    window, a reader must NEVER see the 'absent, mid-maintenance, or
+    crashed' refusal, no matter where the kills land. The one
+    documented residual is the post-commit GC of a compaction's
+    superseded units: a scan planned against the pre-compaction
+    manifest can lose its files there — counted as a snapshot retry
+    (bounded, reported), never an acceptable refusal. Exits when the
+    supervisor drops the sentinel; writes {reads, retries} JSON."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ivf_index_search,
+    )
+
+    sentinel = os.path.join(os.path.dirname(index_dir), "_writers_done")
+    out_path = os.path.join(
+        os.path.dirname(index_dir), f"reader{slot}.json"
+    )
+    spark = _session()
+    corpus = spark.read.parquet(
+        os.path.join(os.path.dirname(index_dir), "corpus")
+    ).cache()
+    queries = corpus.filter(F.col("vec_id") % 37 == 0)
+    nq = queries.count()
+    reads = retries = 0
+    expected = None
+    while True:
+        done = os.path.exists(sentinel)
+        try:
+            rows = ivf_index_search(
+                spark, index_dir, corpus, queries, k=3
+            ).collect()
+        except ValueError as e:
+            # the REFUSAL path ('no committed ivf index ... absent,
+            # mid-maintenance, or crashed') — pre-v6's failure mode,
+            # which v6 must never show a reader
+            raise AssertionError(
+                f"reader {slot}: index refused during maintenance "
+                f"churn: {e}"
+            ) from e
+        except Exception:
+            # vanished-file shape from the compaction GC window: the
+            # scan was planned against a superseded snapshot — retry
+            retries += 1
+        else:
+            reads += 1
+            assert len(rows) >= nq, (
+                f"reader {slot}: {len(rows)} rows for {nq} queries"
+            )
+            ids = {r["query_id"] for r in rows}
+            if expected is None:
+                expected = ids
+            assert ids == expected, f"reader {slot}: query set changed"
+        if done:
+            break
+        time.sleep(random.uniform(0.05, 0.2))
+    with open(out_path, "w") as f:
+        json.dump({"reads": reads, "retries": retries}, f)
+    print(f"READER_DONE slot={slot} reads={reads} retries={retries}",
+          flush=True)
+    spark.stop()
+
+
 def _spawn(slot: int, args) -> subprocess.Popen:
     env = dict(
         os.environ,
@@ -283,9 +352,37 @@ def verify(index_dir: str, n_batches: int) -> dict:
     }
 
 
+def _spawn_reader(slot: int, args) -> subprocess.Popen:
+    env = dict(
+        os.environ,
+        BDFP_ANN_CLAIM_MODE=args.claim_mode,
+        BDFP_ANN_LEASE_S=str(args.lease_s),
+        PYTHONPATH=REPO,
+    )
+    log = open(
+        os.path.join(
+            os.path.dirname(args.index_dir), f"reader{slot}.log"
+        ),
+        "ab",
+    )
+    return subprocess.Popen(
+        [
+            sys.executable, os.path.abspath(__file__), "--reader",
+            str(slot), "--index-dir", args.index_dir,
+        ],
+        env=env,
+        start_new_session=True,
+        stdout=log,
+        stderr=log,
+    )
+
+
 def supervise(args) -> dict:
     os.makedirs(args.index_dir, exist_ok=True)
     build_base(args.index_dir)
+    readers = {
+        s: _spawn_reader(s, args) for s in range(args.readers)
+    }
     procs = {s: _spawn(s, args) for s in range(args.workers)}
     kills = 0
     t0 = time.monotonic()
@@ -321,16 +418,38 @@ def supervise(args) -> dict:
             )
     failed = {s: p.returncode for s, p in procs.items() if p.returncode}
     assert not failed, f"worker exit codes: {failed}"
+    # writers done: release the readers and demand they observed an
+    # always-serving index (the v6 availability claim)
+    reader_stats = {}
+    if readers:
+        sentinel = os.path.join(
+            os.path.dirname(args.index_dir), "_writers_done"
+        )
+        open(sentinel, "w").close()
+        for s, p in readers.items():
+            rc = p.wait(timeout=120)
+            assert rc == 0, f"reader {s} failed (exit {rc}) — see log"
+            with open(
+                os.path.join(
+                    os.path.dirname(args.index_dir), f"reader{s}.json"
+                )
+            ) as f:
+                reader_stats[s] = json.load(f)
+            assert reader_stats[s]["reads"] > 0, f"reader {s}: no reads"
     out = verify(args.index_dir, args.batches)
     out["kills"] = kills
     out["wall_s"] = round(time.monotonic() - t0, 1)
+    if reader_stats:
+        out["readers"] = reader_stats
     return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--reader", type=int, default=None)
     ap.add_argument("--workers", type=int, default=3)
+    ap.add_argument("--readers", type=int, default=2)
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--kills", type=int, default=6)
     ap.add_argument("--compact-every", type=int, default=3)
@@ -344,6 +463,9 @@ def main() -> None:
     if args.worker is not None:
         worker(args.worker, args.workers, args.index_dir, args.batches,
                args.compact_every)
+        return
+    if args.reader is not None:
+        reader(args.reader, args.index_dir)
         return
     if args.index_dir is None:
         import tempfile

@@ -2103,8 +2103,9 @@ def test_kill_soak_bounded(tmp_path):
     manifest exactly-once, data exactly-once, cell_sizes triple
     equality, disk==manifest units, fence floor+epoch. The full-size
     soak lives in scripts/index_kill_soak.py; this wrapper keeps a
-    small configuration in every pytest run. (Runs its own
-    SparkSessions in subprocesses — independent of the session
+    small configuration in every pytest run, including one continuous
+    reader that must never see the mid-maintenance refusal. (Runs its
+    own SparkSessions in subprocesses — independent of the session
     fixture.)"""
     import subprocess
     import sys
@@ -2115,6 +2116,7 @@ def test_kill_soak_bounded(tmp_path):
             sys.executable,
             os.path.join(repo, "scripts", "index_kill_soak.py"),
             "--workers", "2", "--batches", "6", "--kills", "2",
+            "--readers", "1",
             "--compact-every", "3", "--kill-min-s", "5",
             "--kill-max-s", "9", "--timeout-s", "420",
             "--index-dir", str(tmp_path / "soak" / "ivf_index"),
@@ -2175,3 +2177,82 @@ def test_legacy_flat_manifest_serves_but_refuses_maintenance(
     with pytest.raises(ValueError, match="pre-v6 flat layout"):
         ivf_index_append(spark, idx, delta, batch_id=0)
     _shutil.rmtree(idx)
+
+
+def test_retract_batch_restores_never_appended_state(spark, tmp_path):
+    """r13: retract_batch un-ingests an applied batch as an O(manifest)
+    metadata operation. The retracted index must be CONTENT-IDENTICAL
+    (served results, row accounting, cell-size snapshot, unit set) to
+    a twin that never appended the batch; the batch's unit dirs are
+    GC'd; the retracted id stays an idempotent skip on redelivery;
+    unknown/double/compacted retractions raise."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        compact_index,
+        ivf_index_append,
+        ivf_index_search,
+        retract_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    d_even = delta.filter(F.col("vec_id") % 2 == 0)
+    d_odd = delta.filter(F.col("vec_id") % 2 != 0)
+    src = str(tmp_path / "ivf_retract_src")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, src, fp, **_PARAMS)
+
+    # twin A: append even+odd, retract even
+    a = clone_index(src, str(tmp_path / "ivf_retract_a"))
+    ivf_index_append(spark, a, d_even, batch_id=0)
+    ivf_index_append(spark, a, d_odd, batch_id=1)
+    even_units = _manifest(a)["batches"]["0"]["units"]
+    retract_batch(a, 0)
+    # twin B: only ever appended odd
+    b = clone_index(src, str(tmp_path / "ivf_retract_b"))
+    ivf_index_append(spark, b, d_odd, batch_id=1)
+
+    ma, mb = _manifest(a), _manifest(b)
+    assert ma["appended_rows"] == mb["appended_rows"]
+    assert ma.get("cell_sizes") == mb.get("cell_sizes")
+    assert ma["retracted"] == ["0"] and "0" not in ma["batches"]
+    # the batch's unit dirs are gone from disk
+    for t, u in even_units.items():
+        assert not _os.path.isdir(_os.path.join(a, t, u)), (t, u)
+    # served results identical to the never-appended twin
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    ra = {
+        tuple(r)
+        for r in ivf_index_search(spark, a, emb, queries, k=10).collect()
+    }
+    rb = {
+        tuple(r)
+        for r in ivf_index_search(spark, b, emb, queries, k=10).collect()
+    }
+    assert ra == rb and len(ra) > 0
+
+    # redelivery of the retracted id stays an idempotent skip
+    n_before = _tbl(spark, a, "postings").count()
+    ivf_index_append(spark, a, d_even, batch_id=0)
+    assert _tbl(spark, a, "postings").count() == n_before
+    # double retract and unknown batch raise
+    with pytest.raises(ValueError, match="no provenance"):
+        retract_batch(a, 0)
+    with pytest.raises(ValueError, match="no provenance"):
+        retract_batch(a, 99)
+    # compaction folds batches into the base: batch 1 stops being
+    # retractable (the documented retract-before-compact trade)
+    compact_index(spark, a)
+    assert _manifest(a)["batches"] == {}
+    assert _manifest(a)["retracted"] == ["0"]  # ledger survives
+    with pytest.raises(ValueError, match="no provenance"):
+        retract_batch(a, 1)
