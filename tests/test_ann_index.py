@@ -2256,3 +2256,63 @@ def test_retract_batch_restores_never_appended_state(spark, tmp_path):
     assert _manifest(a)["retracted"] == ["0"]  # ledger survives
     with pytest.raises(ValueError, match="no provenance"):
         retract_batch(a, 1)
+
+
+def test_retract_batch_ivfpq_kind_restores_state(spark, tmp_path):
+    """retract_batch on the COMPOSED ivfpq kind (r13): the trained
+    kind with the most reversal surface — multi-table units
+    (codes/norms/cell_sizes), a folded snapshot, and a rerank pool
+    driven by appended_rows. Retract-then-compare against a
+    never-appended twin: manifest accounting and served results must
+    be identical."""
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_search,
+        retract_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    d_even = delta.filter(F.col("vec_id") % 2 == 0)
+    d_odd = delta.filter(F.col("vec_id") % 2 != 0)
+    params = dict(
+        centroid_mod=37, max_centroids=64, train_rounds=1,
+        multi_assign=3, m=16, dim=64, codeword_mod=13, max_codewords=64,
+    )
+    src = str(tmp_path / "ivfpq_retract_src")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **params
+    )
+    ensure_ivfpq_index(spark, base, src, fp, **params)
+
+    a = clone_index(src, str(tmp_path / "ivfpq_retract_a"))
+    ivfpq_index_append(spark, a, d_even, batch_id=0)
+    ivfpq_index_append(spark, a, d_odd, batch_id=1)
+    even_units = _manifest(a)["batches"]["0"]["units"]
+    assert set(even_units) == {"codes", "norms", "cell_sizes"}
+    retract_batch(a, 0)
+    b = clone_index(src, str(tmp_path / "ivfpq_retract_b"))
+    ivfpq_index_append(spark, b, d_odd, batch_id=1)
+
+    ma, mb = _manifest(a), _manifest(b)
+    assert ma["appended_rows"] == mb["appended_rows"]
+    assert ma.get("cell_sizes") == mb.get("cell_sizes")
+    for t, u in even_units.items():
+        assert not _os.path.isdir(_os.path.join(a, t, u)), (t, u)
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    ra = {
+        tuple(r)
+        for r in ivfpq_index_search(spark, a, emb, queries, k=10).collect()
+    }
+    rb = {
+        tuple(r)
+        for r in ivfpq_index_search(spark, b, emb, queries, k=10).collect()
+    }
+    assert ra == rb and len(ra) > 0
