@@ -270,11 +270,16 @@ def _manifest(index_dir: str) -> dict | None:
 def _unit_name(mver: int) -> str:
     """The batch-unit directory name for a writer slot: the slot
     number (zero-padded so lexicographic == numeric) plus the writer
-    pid — two claimants of the SAME slot (a released slot's
-    re-claimant racing the stuck-renewer both-alive duplicate) adopt
-    into distinct namespaces, and the loser's unit is simply never
-    referenced by any manifest."""
-    return f"b{mver:012d}.{os.getpid()}"
+    pid AND thread id — two claimants of the SAME slot (a released
+    slot's re-claimant racing the stuck-renewer both-alive duplicate,
+    which can be a THREAD SIBLING in one process: the handoff releases
+    the entry while the first thread's cleanup still runs) adopt into
+    distinct namespaces, and the loser's unit is simply never
+    referenced by any manifest (r13 review #2 — pid alone let a
+    sibling thread's failure cleanup delete the winner's fresh unit)."""
+    import threading
+
+    return f"b{mver:012d}.{os.getpid()}-{threading.get_ident()}"
 
 
 def _unit_mver(name: str) -> int | None:
@@ -1017,16 +1022,27 @@ def _adopt_staged(
         # race, and the os.rename's FileNotFoundError is the loud
         # pre-commit abort (silently skipping would commit the batch
         # as applied with ZERO files, the r11 lost-redelivery shape)
-        src = os.path.join(stage, t)
-        dst_parent = os.path.join(index_dir, t)
-        os.makedirs(dst_parent, exist_ok=True)
-        dst = os.path.join(dst_parent, unit)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst, ignore_errors=True)
-        os.rename(src, dst)
+        _adopt_dir_as_unit(index_dir, os.path.join(stage, t), t, unit)
         adopted[t] = unit
     shutil.rmtree(stage, ignore_errors=True)
     return adopted
+
+
+def _adopt_dir_as_unit(
+    index_dir: str, src: str, table: str, unit: str
+) -> None:
+    """THE one adopt primitive (r13 review #6 — the append and
+    compaction paths each inlined it, so a protocol fix could land on
+    one and silently miss the other): rename a finished directory into
+    ``<table>/<unit>``. An existing target can only be this writer's
+    own dead leftover (unit names carry pid+tid+slot; slots are
+    CAS-exclusive per liveness) and is cleared first."""
+    dst_parent = os.path.join(index_dir, table)
+    os.makedirs(dst_parent, exist_ok=True)
+    dst = os.path.join(dst_parent, unit)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst, ignore_errors=True)
+    os.rename(src, dst)
 
 
 def _gc_dead_units(index_dir: str, meta: dict) -> None:
@@ -1041,9 +1057,11 @@ def _gc_dead_units(index_dir: str, meta: dict) -> None:
     Best-effort — a failed removal is retried by the next committer.
 
     Reader note: an in-flight scan planned against a SUPERSEDED
-    manifest (pre-compaction) loses its files here — the residual
-    reader/writer window, now post-commit-only and compaction-only
-    (appends never unreference a unit). Full multi-version retention
+    manifest loses its files here — the residual reader/writer
+    window, now post-commit-only and entered only by operations that
+    UNREFERENCE previously-served units: compaction and batch
+    retraction (r13 review #5 — appends never unreference, so pure
+    append churn can't break a reader). Full multi-version retention
     would add a grace period keyed on unit mtime; at query volume
     that is a one-line policy change in this sweep."""
     units = meta.get("units")
@@ -1196,7 +1214,18 @@ def _finish_append(
     # per-batch provenance (r13): the units, row delta and cell-size
     # delta this batch contributed — retract_batch reverses exactly
     # these at O(manifest) cost
-    applied_id = batch_id if batch_id is not None else len(applied)
+    if batch_id is not None:
+        applied_id = batch_id
+    else:
+        # auto id = first unused non-negative integer (r13 review #3):
+        # len(applied) collides with an explicit id after mixed
+        # explicit/auto appends (applied=[0,1,3] -> next auto id 3),
+        # which would duplicate the applied entry AND overwrite batch
+        # 3's provenance — a later retract would then reverse the
+        # wrong units
+        taken = set(applied)
+        applied_id = next(i for i in range(len(applied) + 1)
+                          if i not in taken)
     batches = dict(meta.get("batches") or {})
     bentry: dict = {"units": adopted, "rows": n_delta}
     if sizes_delta is not None:
@@ -1674,12 +1703,20 @@ def compact_index(
             raise ValueError(
                 f"compact_index: unknown index kind {meta.get('kind')!r}"
             )
-        # sweep aside/tmp leftovers from a compaction that crashed
-        # before its invalidate (serving copy was untouched then, so
-        # these are pure garbage)
+        # sweep tmp leftovers from a compaction that died pre-commit
+        # (its units were never referenced, so these are pure garbage)
+        # — by RENAME-THEN-DELETE (r13 review #1): a raw rmtree here
+        # races a paused-past-lease compactor that already passed its
+        # pre-adopt checks and is about to rename this very tmp into a
+        # unit dir; rmtree's fd traversal would keep deleting inside
+        # the adopted unit, and the zombie's commit would publish a
+        # hollowed table (the same race _sweep_stage closes for
+        # stages). With rename-aside, exactly one of sweep/adopt wins
+        # its rename; the zombie's loss is a clean FileNotFoundError
+        # abort.
         for n in os.listdir(index_dir):
             if ".compact." in n:
-                shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+                _sweep_stage(index_dir, n)
         stats: dict[str, tuple[int, int]] = {}
         tmps: dict[str, str] = {}
         for t in tables:
@@ -1727,12 +1764,9 @@ def compact_index(
     adopted: dict[str, str] = {}
     try:
         for t, tmp in tmps.items():
-            dst_parent = os.path.join(index_dir, t)
-            os.makedirs(dst_parent, exist_ok=True)
-            dst = os.path.join(dst_parent, unit)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst, ignore_errors=True)
-            os.rename(tmp, dst)
+            # a vanished tmp (a contender's rename-aside sweep won)
+            # surfaces as FileNotFoundError — a clean pre-commit abort
+            _adopt_dir_as_unit(index_dir, tmp, t, unit)
             adopted[t] = unit
     except OSError:
         _end_claim(index_dir, mver, release=True)

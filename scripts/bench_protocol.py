@@ -29,17 +29,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def run_once(queries: list[str]) -> dict:
-    env = dict(os.environ, BENCH_QUERIES=",".join(queries))
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
-    )
-    # scan stdout from the END for the first parseable JSON object
-    # (ADVICE r12 #3): stray trailing stdout noise (log4j, deprecation
-    # warnings, an atexit print) must not crash a multi-attempt
-    # protocol run minutes in and lose every attempt
-    for line in reversed(out.stdout.strip().splitlines()):
+def parse_bench_stdout(stdout: str) -> dict:
+    """Scan bench.py stdout from the END for the first parseable JSON
+    object carrying a ``queries`` map (ADVICE r12 #3): stray trailing
+    stdout noise (log4j, deprecation warnings, an atexit print) must
+    not crash a long protocol or scale run and lose every reading.
+    The ONE copy — bench_scale imports it too (r13 review #4: its
+    inline splitlines()[-1] parse had the exact fragility this
+    function was written to fix)."""
+    for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
         if not (line.startswith("{") and line.endswith("}")):
             continue
@@ -51,8 +49,17 @@ def run_once(queries: list[str]) -> dict:
             return r
     raise RuntimeError(
         f"no bench JSON line found in bench.py stdout "
-        f"(last 500 chars: {out.stdout[-500:]!r})"
+        f"(last 500 chars: {stdout[-500:]!r})"
     )
+
+
+def run_once(queries: list[str]) -> dict:
+    env = dict(os.environ, BENCH_QUERIES=",".join(queries))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    return parse_bench_stdout(out.stdout)
 
 
 def main() -> None:

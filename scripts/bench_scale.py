@@ -117,8 +117,12 @@ def run_bench(sf_dir: str) -> dict[str, float]:
         text=True,
         check=True,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)["queries"]
+    # robust shared parse (r13 review #4): trailing stdout noise must
+    # not lose a multi-decade sweep minutes in
+    sys.path.insert(0, str(REPO / "scripts"))
+    from bench_protocol import parse_bench_stdout
+
+    return parse_bench_stdout(out.stdout)["queries"]
 
 
 def _fit(xs: list[float], ys: list[float]) -> tuple[float, float]:

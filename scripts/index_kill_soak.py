@@ -176,9 +176,10 @@ def reader(slot: int, index_dir: str) -> None:
     the v6 availability claim under test: with no manifest-invalidate
     window, a reader must NEVER see the 'absent, mid-maintenance, or
     crashed' refusal, no matter where the kills land. The one
-    documented residual is the post-commit GC of a compaction's
-    superseded units: a scan planned against the pre-compaction
-    manifest can lose its files there — counted as a snapshot retry
+    documented residual is the post-commit GC after a compaction (or
+    a retraction) unreferences previously-served units: a scan
+    planned against the superseded manifest can lose its files there
+    — counted as a snapshot retry
     (bounded, reported), never an acceptable refusal. Exits when the
     supervisor drops the sentinel; writes {reads, retries} JSON."""
     from pyspark.sql import functions as F

@@ -2056,7 +2056,9 @@ def test_zombie_adopted_unit_is_dead_namespace(spark, tmp_path):
     ) as f:
         f.write("NOT PARQUET")
     adopted = _adopt_staged(stage, idx, ["postings"], mver)
-    assert adopted == {"postings": f"b{mver:012d}.{_os.getpid()}"}
+    from bigdatafinalproject_spark.operators.ann_index import _unit_name
+
+    assert adopted == {"postings": _unit_name(mver)}
     zombie_unit = _os.path.join(idx, "postings", adopted["postings"])
     assert _os.path.isdir(zombie_unit)
 
@@ -2316,3 +2318,34 @@ def test_retract_batch_ivfpq_kind_restores_state(spark, tmp_path):
         for r in ivfpq_index_search(spark, b, emb, queries, k=10).collect()
     }
     assert ra == rb and len(ra) > 0
+
+
+def test_auto_batch_id_skips_explicit_ids(spark, tmp_path):
+    """r13 review #3: the auto-assigned batch id (batch_id=None) must
+    be the first UNUSED integer, not len(applied) — after mixed
+    explicit/auto appends the latter collides with an explicit id,
+    duplicating the applied entry and OVERWRITING that batch's
+    provenance (a later retract would then reverse the wrong units)."""
+    import json
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        pq_index_append,
+        retract_batch,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_autoid")
+    d = [delta.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    pq_index_append(spark, idx, d[0])               # auto -> 0
+    pq_index_append(spark, idx, d[1])               # auto -> 1
+    pq_index_append(spark, idx, d[2], batch_id=3)   # explicit 3
+    n3 = d[2].count()
+    pq_index_append(spark, idx, d[3])               # auto -> 2, NOT 3
+    m = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert m["applied_batches"] == [0, 1, 2, 3]
+    assert set(m["batches"]) == {"0", "1", "2", "3"}
+    assert m["batches"]["3"]["rows"] == n3  # provenance not overwritten
+    # retracting 3 reverses the EXPLICIT batch, proving the map is true
+    before = _tbl(spark, idx, "norms").count()
+    retract_batch(idx, 3)
+    assert _tbl(spark, idx, "norms").count() == before - n3
