@@ -629,6 +629,68 @@ _R12_DRIVER_CHECKED = (
     'topk_per_group', 'window_analytics', 'window_distribution',
 )
 
+# driver-checked in r13 (CORRECTNESS_r13.json keys, 50/50 green) —
+# union below
+_R13_DRIVER_CHECKED = (
+    'ann_ivf_index_append', 'ann_ivf_index_retract', 'ann_ivf_index_search',
+    'ann_ivfpq_index_append', 'ann_ivfpq_index_compact',
+    'ann_ivfpq_index_search', 'ann_mmr_from_index', 'ann_pq_index_append',
+    'ann_pq_index_compact', 'ann_pq_index_search', 'broadcast_dim_join',
+    'case_when_priority', 'clean_project', 'corr_covar_portable',
+    'customers_with_orders_semi', 'customers_without_orders_anti',
+    'dense_customer_ids', 'distinct_counts', 'distinct_pairs',
+    'doc_dedup_index_append', 'doc_dedup_index_check',
+    'doc_dedup_index_compact', 'doc_dedup_index_retract',
+    'doc_winnow_index_contamination', 'events_session_window',
+    'full_outer_join', 'kfold_assignment', 'leave_one_out_split',
+    'left_join_order_counts', 'lineitem_compaction_roundtrip',
+    'null_handling', 'null_safe_join', 'pivot_status', 'popular_parts',
+    'pricing_summary', 'rollup_revenue', 'scalar_functions', 'sessionize',
+    'set_operations', 'star_join_revenue_by_nation',
+    'stream_dedup_index_maintenance', 'stream_ivf_index_maintenance',
+    'stream_ivfpq_index_maintenance', 'stream_pq_index_maintenance',
+    'summary_stats', 'surrogate_join_back', 'top_orders_by_revenue',
+    'topk_per_group', 'window_analytics', 'window_distribution',
+)
+
+_R14_FRONT = (
+    # (a) new in round 14
+    # batch retraction for the COMPOSED kind (VERDICT r13 #1 — the
+    # hard case: cell-size snapshot subtraction, appended_rows
+    # reversal, schedule clamp and rerank-pool widening must all
+    # reverse exactly); shares ann_ivfpq_index_append's oracle (the
+    # retraction theorem), + scaled-branch spot-checks at sf0.3/sf1
+    "ann_ivfpq_index_retract",
+    # (b) changed in round 14: the maintenance-writer protocol
+    # hardened again (ADVICE r13) — fence-epoch recheck inside
+    # _commit immediately before the os.replace (closes the
+    # commit-ordering TOCTOU to a microsecond window), claim payloads
+    # carry the owning thread id and failure-path claim removals
+    # verify ownership first, batch ids normalized to int at every
+    # append entry, and _gc_dead_units grew the mtime-keyed grace
+    # window. Results identical, protocol changed: the whole
+    # maintained-index family re-fronts (the r10–r13 bar)
+    "ann_ivf_index_append",
+    "ann_ivf_index_search",
+    "ann_ivf_index_retract",
+    "stream_ivf_index_maintenance",
+    "ann_pq_index_append",
+    "ann_pq_index_search",
+    "ann_pq_index_compact",
+    "stream_pq_index_maintenance",
+    "ann_ivfpq_index_append",
+    "ann_ivfpq_index_search",
+    "ann_ivfpq_index_compact",
+    "stream_ivfpq_index_maintenance",
+    "doc_dedup_index_check",
+    "doc_dedup_index_append",
+    "doc_dedup_index_compact",
+    "doc_dedup_index_retract",
+    "stream_dedup_index_maintenance",
+    "doc_winnow_index_contamination",
+    "ann_mmr_from_index",
+)
+
 _R13_FRONT = (
     # changed in round 13: the v6 manifest-referenced batch-unit
     # storage (VERDICT r12 #4 — fenced storage). Every persisted-index
@@ -745,8 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | set(_R10_DRIVER_CHECKED)
         | set(_R11_DRIVER_CHECKED)
         | set(_R12_DRIVER_CHECKED)
+        | set(_R13_DRIVER_CHECKED)
     )
-    front = [n for n in _R13_FRONT if n in registry.QUERIES]
+    front = [n for n in _R14_FRONT if n in registry.QUERIES]
     fresh = [n for n in names if n not in checked and n not in front]
     green = [n for n in names if n in checked and n not in front]
     ordered = front + fresh + green

@@ -68,6 +68,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import types
 
@@ -369,7 +370,13 @@ def _commit(
         "tables": tables,
         "src": src,
         "params": params or {},
-        "applied_batches": sorted(applied_batches or []),
+        # type-stable sort key (r14, ADVICE r13 #3): new appends write
+        # int ids only (_norm_batch_id), but a legacy manifest can
+        # still carry str ids — a plain sorted() over the mix raises
+        # TypeError HERE, at commit time, after adoption
+        "applied_batches": sorted(
+            applied_batches or [], key=lambda b: (isinstance(b, str), b)
+        ),
         "mver": mver,
         "base_rows": base_rows,
         "appended_rows": appended_rows,
@@ -396,6 +403,33 @@ def _commit(
         payload["retracted"] = sorted(retracted)
     with open(tmp, "w") as f:
         json.dump(payload, f)
+    # fence-epoch recheck (r14, ADVICE r13 medium): the recommit fence
+    # above reads the MANIFEST, so a zombie that resumed after its
+    # pre-adopt _check_fence could still publish at slot N before a
+    # contender (claimed at N+1 after skipping the zombie's dead slot)
+    # commits from its pre-N snapshot — the zombie's caller sees
+    # success, then the contender's recommit drops the batch from
+    # applied_batches and checkpointed streaming never redelivers.
+    # The contender writes its fence marker AT CLAIM TIME, so checking
+    # the FENCE here (not the manifest) catches it through its whole
+    # staging phase: the window shrinks to the microseconds between
+    # this stat and the os.replace below. (Epoch > mver: superseded —
+    # abort, the caller retries and redelivery applies the batch.
+    # Epoch < mver or None: our own marker was swept/legacy — nothing
+    # newer to protect; proceed, the recommit fence above already
+    # arbitrated manifest order.)
+    if mver:
+        cur_epoch = _fence_epoch(index_dir)
+        if cur_epoch is not None and cur_epoch > mver:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise ConcurrentWriteError(
+                f"commit fenced at {index_dir!r}: writer epoch moved "
+                f"to {cur_epoch} past this writer's slot {mver} (lease "
+                f"lapsed; a contender owns the index) — retry the batch"
+            )
     os.replace(tmp, path)
 
 
@@ -824,6 +858,31 @@ def _claim_writer(index_dir: str, meta: dict, payload: dict) -> int:
         return target
 
 
+def _norm_batch_id(batch_id):
+    """Normalize a caller-supplied batch id to a plain int (r14,
+    ADVICE r13 #3): provenance is keyed by ``str(batch_id)``, so an
+    explicit string id "3" and an int 3 would COLLIDE in the batches
+    map (the later append silently overwriting the earlier batch's
+    provenance — a retract would then reverse the wrong units), and
+    mixed int/str ids would make ``sorted(applied_batches)`` raise
+    TypeError at commit time, after adoption. One normalization at the
+    ``_writer_txn`` / ``_finish_append`` / ``retract_batch`` choke
+    points covers every public append entry. None passes through
+    (auto-id); bools are rejected (an int subtype that is never a
+    batch id on purpose)."""
+    if batch_id is None:
+        return None
+    if isinstance(batch_id, bool):
+        raise TypeError(f"batch_id must be an int, got bool {batch_id!r}")
+    try:
+        return int(batch_id)
+    except (TypeError, ValueError):
+        raise TypeError(
+            f"batch_id must be an int (or int-parseable string), got "
+            f"{type(batch_id).__name__} {batch_id!r}"
+        ) from None
+
+
 def _writer_txn(
     index_dir: str, batch_id, op: str, wait_s: float = _WRITER_WAIT_S
 ) -> tuple[dict, int] | None:
@@ -835,6 +894,7 @@ def _writer_txn(
     claimed mver), or None when ``batch_id`` is already applied.
     Raises ``ValueError`` for an index that is absent/non-current
     beyond the wait (crashed mid-append: rebuild is the remedy)."""
+    batch_id = _norm_batch_id(batch_id)
     deadline = time.monotonic() + wait_s
     while True:
         meta = _manifest(index_dir)
@@ -853,8 +913,14 @@ def _writer_txn(
             if batch_id is not None and batch_id in applied:
                 return None
             try:
+                # tid (r14, ADVICE r13 #2): failure-path claim
+                # removals verify pid+tid ownership before the
+                # os.remove — pid alone can't tell two threads of one
+                # process apart
                 return meta, _claim_writer(
-                    index_dir, meta, {"op": op, "batch_id": batch_id}
+                    index_dir, meta,
+                    {"op": op, "batch_id": batch_id,
+                     "tid": threading.get_ident()},
                 )
             except ConcurrentWriteError:
                 if time.monotonic() > deadline:
@@ -1061,12 +1127,27 @@ def _gc_dead_units(index_dir: str, meta: dict) -> None:
     window, now post-commit-only and entered only by operations that
     UNREFERENCE previously-served units: compaction and batch
     retraction (r13 review #5 — appends never unreference, so pure
-    append churn can't break a reader). Full multi-version retention
-    would add a grace period keyed on unit mtime; at query volume
-    that is a one-line policy change in this sweep."""
+    append churn can't break a reader). GRACE PERIOD (r14, ADVICE r13
+    #4): with ``BDFP_INDEX_GC_GRACE_S`` > 0 a dead unit is first
+    TOMBSTONED — a ``_DEAD`` marker file written inside it (readers
+    resolve paths from the manifest and Spark ignores ``_``-prefixed
+    files, so the marker is invisible; the unit's data files stay
+    byte-intact) — and removed only by a later sweep once the marker
+    is older than the grace window, so a scan planned against the
+    pre-compaction/pre-retraction manifest keeps its files for at
+    least the window. The marker, not the unit's own mtime, keys the
+    clock: a unit's content mtime records when it was WRITTEN, which
+    for a superseded compaction input can be arbitrarily far in the
+    past — exactly the unit an in-flight reader is scanning. Default
+    0 (immediate removal, the r13 behavior) — a query-volume
+    deployment sets the window to its scan-latency ceiling."""
     units = meta.get("units")
     if units is None:
         return
+    try:
+        grace = float(os.environ.get("BDFP_INDEX_GC_GRACE_S", "0"))
+    except ValueError:
+        grace = 0.0
     committed = int(meta.get("mver", 0))
     for t in meta.get("tables", []):
         live = set(units.get(t, ()))
@@ -1079,7 +1160,49 @@ def _gc_dead_units(index_dir: str, meta: dict) -> None:
             mv = _unit_mver(n)
             if mv is None or n in live or mv > committed:
                 continue
-            shutil.rmtree(os.path.join(tdir, n), ignore_errors=True)
+            dead = os.path.join(tdir, n)
+            if grace > 0:
+                marker = os.path.join(dead, "_DEAD")
+                try:
+                    age = time.time() - os.path.getmtime(marker)
+                except OSError:
+                    # first sweep that sees this unit dead: tombstone
+                    # it and leave the data for the grace window
+                    try:
+                        open(marker, "x").close()
+                    except OSError:
+                        pass
+                    continue
+                if age < grace:
+                    continue
+            shutil.rmtree(dead, ignore_errors=True)
+
+
+def _remove_own_claim(index_dir: str, mver: int) -> None:
+    """Remove slot ``mver``'s claim entry iff THIS writer still owns
+    it (r14, ADVICE r13 #2): failure paths that run after a
+    stuck-renewer stop-timeout can interleave with the renewer's own
+    release handoff — the entry may already be gone and the freed slot
+    re-CAS'd by a live re-claimant, whose fresh entry an unconditional
+    os.remove would delete (re-opening the duplicate-claimant race the
+    ``stopped`` guard in _end_claim closes). Ownership is judged by
+    the claim's recorded pid+tid (r14 payloads; a legacy payload
+    without tid falls back to pid — the pre-r14 exposure, no worse).
+    Removal stays best-effort: losing the read-check race to a prune
+    just means the entry is already gone."""
+    path = entry_path(os.path.join(index_dir, _APPLOG), mver)
+    claim = _read_claim(os.path.join(index_dir, _APPLOG), mver)
+    if claim is None:
+        return
+    if claim.get("pid") != os.getpid():
+        return
+    tid = claim.get("tid")
+    if tid is not None and tid != threading.get_ident():
+        return
+    try:
+        os.remove(path)
+    except OSError:
+        pass
 
 
 def _release_adopted(
@@ -1089,14 +1212,14 @@ def _release_adopted(
     recommit was fenced, or a commit-path error aborted the txn):
     the units are unreferenced by construction, so removing them is
     safe at any point; the claim entry is best-effort removed so the
-    slot never wedges later writers. (A crash here instead leaves the
-    units for the next committer's _gc_dead_units.)"""
+    slot never wedges later writers — via the pid+tid ownership check
+    (r14, ADVICE r13 #2: an unconditional remove here bypassed the
+    ``stopped`` guard and could delete a re-claimant's fresh entry).
+    (A crash here instead leaves the units for the next committer's
+    _gc_dead_units.)"""
     for t, u in adopted.items():
         shutil.rmtree(os.path.join(index_dir, t, u), ignore_errors=True)
-    try:
-        os.remove(entry_path(os.path.join(index_dir, _APPLOG), mver))
-    except OSError:
-        pass
+    _remove_own_claim(index_dir, mver)
 
 
 def _finish_append(
@@ -1214,6 +1337,7 @@ def _finish_append(
     # per-batch provenance (r13): the units, row delta and cell-size
     # delta this batch contributed — retract_batch reverses exactly
     # these at O(manifest) cost
+    batch_id = _norm_batch_id(batch_id)  # int-keyed provenance (r14)
     if batch_id is not None:
         applied_id = batch_id
     else:
@@ -1854,6 +1978,9 @@ def retract_batch(index_dir: str, batch_id) -> str:
     already retracted, appended by a pre-r13 writer, or folded into
     the base by a compaction (``batches`` is cleared there: retract
     before compacting, or rebuild)."""
+    if batch_id is None:
+        raise TypeError("retract_batch requires an explicit batch_id")
+    batch_id = _norm_batch_id(batch_id)  # int/str "3" name ONE batch
     txn = _writer_txn(index_dir, None, "retract")
     meta, mver = txn
     bkey = str(batch_id)
@@ -1918,11 +2045,9 @@ def retract_batch(index_dir: str, batch_id) -> str:
         )
     except BaseException:
         # nothing published; free the slot (no units were touched —
-        # retraction's only data action is the post-commit GC)
-        try:
-            os.remove(entry_path(os.path.join(index_dir, _APPLOG), mver))
-        except OSError:
-            pass
+        # retraction's only data action is the post-commit GC).
+        # Ownership-verified (r14, ADVICE r13 #2) like _release_adopted
+        _remove_own_claim(index_dir, mver)
         raise
     prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
     _prune_fence(index_dir, mver)

@@ -492,6 +492,92 @@ def ann_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_index_retract", oracle_of="ann_ivfpq_index_append")
+def ann_ivfpq_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RETRACTION on the COMPOSED persisted IVFPQ index (r14 —
+    the hard retraction case): the delta arrives as two batches, the
+    even batch is UN-INGESTED via operators/ann_index.retract_batch
+    and re-appended under a new batch id. The composed kind is where
+    EVERY serve-policy input must reverse at once: the ``cell_sizes``
+    snapshot subtracts the batch's recorded per-cell partials (the
+    mass-budgeted probe reads the snapshot), ``appended_rows`` drops
+    by the batch's row delta (the r12 schedule clamp AND the exact-
+    rerank pool widening both derive from appended/base), and the
+    batch's codes + norms unit dirs leave the ``units`` map. A hash
+    match against ann_ivfpq_index_append's oracle is the retraction
+    theorem for the composed layout: retract(b) ∘ append(b') with
+    b' ≡ b serves BIT-IDENTICALLY to the single-append twin — probe
+    set, PQ ranking, and rerank pool all included. RAISES unless the
+    row/ledger/snapshot accounting actually reversed."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_search,
+        retract_batch,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_PQ_BASE_PRED))
+    delta = emb.filter(~F.expr(_PQ_BASE_PRED))
+    params = dict(
+        centroid_mod=_IVF_MOD, max_centroids=_IVF_C,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD, max_codewords=_PQ_MAXC,
+        coarse_scale_ref=IVF_SCALE_REF,
+    )
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
+    )
+    cached = ensure_ivfpq_index(
+        spark, base, shared_index_dir("ivfpq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), subset=_PQ_BASE_PRED,
+        **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "ivfpqretractidx"))
+    ivfpq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                       batch_id=0)
+    ivfpq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
+                       batch_id=1)
+    pre = _manifest(idx)
+    retract_batch(idx, 0)
+    mid = _manifest(idx)
+    pre_sz = sum(n for _, n in pre["cell_sizes"])
+    mid_sz = sum(n for _, n in mid["cell_sizes"])
+    # batch 0's recorded provenance: its (vector, cell) assignment
+    # partials (multi-assign makes this a multiple of the row delta)
+    b0_sz = sum(n for _, n in pre["batches"]["0"]["cell_sizes"])
+    b0_rows = int(pre["batches"]["0"]["rows"])
+    if not (
+        int(pre["appended_rows"]) - int(mid["appended_rows"]) == b0_rows
+        and mid.get("retracted") == ["0"]
+        and "0" not in mid.get("batches", {})
+        and len(mid["units"]["codes"]) < len(pre["units"]["codes"])
+        and len(mid["units"]["norms"]) < len(pre["units"]["norms"])
+        # the probe's mass snapshot lost exactly the batch's partials
+        and pre_sz - mid_sz == b0_sz
+    ):
+        raise RuntimeError(
+            f"ivfpq retraction accounting did not reverse: {pre} -> {mid}"
+        )
+    # re-ingest the same vectors under a new batch id; the index is
+    # now content-identical to the single-append twin
+    ivfpq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                       batch_id=2)
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivfpq_index_search(
+        spark, idx, emb, queries, k=10, probe_mass=_IVFPQ_MASS,
+        rerank=4, scale=_PQ_SCALE,
+    )
+
+
 @query("stream_ivfpq_index_maintenance", oracle_of="ann_ivfpq_index_append")
 def stream_ivfpq_index_maintenance(
     spark: SparkSession, sf_dir: str

@@ -2106,9 +2106,15 @@ def test_kill_soak_bounded(tmp_path):
     equality, disk==manifest units, fence floor+epoch. The full-size
     soak lives in scripts/index_kill_soak.py; this wrapper keeps a
     small configuration in every pytest run, including one continuous
-    reader that must never see the mid-maintenance refusal. (Runs its
-    own SparkSessions in subprocesses — independent of the session
+    reader that must never see the mid-maintenance refusal (and whose
+    worst consecutive-retry streak the soak bounds numerically — r14,
+    VERDICT r13 #6) and one retract target riding the storm (r14,
+    VERDICT r13 #2: append → retract → re-ingest with kills anywhere;
+    the deterministic mid-retract kill is pinned separately in
+    test_kill_inside_retraction_leaves_index_serving). (Runs its own
+    SparkSessions in subprocesses — independent of the session
     fixture.)"""
+    import json as _json
     import subprocess
     import sys
 
@@ -2118,7 +2124,7 @@ def test_kill_soak_bounded(tmp_path):
             sys.executable,
             os.path.join(repo, "scripts", "index_kill_soak.py"),
             "--workers", "2", "--batches", "6", "--kills", "2",
-            "--readers", "1",
+            "--readers", "1", "--retract-mod", "4",
             "--compact-every", "3", "--kill-min-s", "5",
             "--kill-max-s", "9", "--timeout-s", "420",
             "--index-dir", str(tmp_path / "soak" / "ivf_index"),
@@ -2127,6 +2133,13 @@ def test_kill_soak_bounded(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "KILL_SOAK_OK" in r.stdout
+    summary = _json.loads(r.stdout.split("KILL_SOAK_OK ", 1)[1])
+    # batches=6, mod=4 -> exactly one retract target (bid 2), resolved
+    # one way or the other; the soak's verifier asserted which
+    assert summary["retract_targets"] == 1
+    assert len(summary["retracted"]) + len(
+        summary["folded_by_compaction"]
+    ) == 1
 
 
 def test_legacy_flat_manifest_serves_but_refuses_maintenance(
@@ -2349,3 +2362,332 @@ def test_auto_batch_id_skips_explicit_ids(spark, tmp_path):
     before = _tbl(spark, idx, "norms").count()
     retract_batch(idx, 3)
     assert _tbl(spark, idx, "norms").count() == before - n3
+
+
+def test_commit_fence_epoch_recheck_blocks_zombie_publish(
+    spark, tmp_path
+):
+    """r14 (ADVICE r13 medium): the commit-ordering TOCTOU. A zombie
+    that resumed after its pre-adopt _check_fence could os.replace the
+    manifest at slot N while a contender (which wrote fence e(N+1) at
+    CLAIM time) is still staging its own commit at N+1 from a pre-N
+    snapshot — the zombie's caller would see success and the
+    contender's recommit would drop the batch from applied_batches
+    (lost batch, never redelivered). _commit now re-reads the FENCE
+    immediately before its os.replace: any epoch above the writer's
+    slot aborts the publish with the serving manifest untouched."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        ConcurrentWriteError,
+        _commit,
+        _manifest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    idx = str(tmp_path / "ivf_fence_commit")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, idx, fp, **_PARAMS)
+    before = _manifest(idx)
+
+    # a contender claimed slot 2 (its _write_fence ran at claim time)
+    fence = _os.path.join(idx, "_fence")
+    _os.makedirs(fence, exist_ok=True)
+    open(_os.path.join(fence, "e000000000002"), "x").close()
+
+    # the zombie tries to publish at slot 1: fenced, nothing replaced
+    with pytest.raises(ConcurrentWriteError, match="epoch moved to 2"):
+        _commit(
+            idx, before["kind"], before["fingerprint"], before["tables"],
+            src=before.get("src"), params=before.get("params", {}),
+            applied_batches=[0], mver=1,
+            base_rows=before.get("base_rows"), appended_rows=123,
+            units=before.get("units"),
+        )
+    after = _manifest(idx)
+    assert after == before  # serving manifest untouched
+    # no torn tmp file left beside the manifest
+    assert not [n for n in _os.listdir(idx) if ".tmp." in n]
+
+    # with the contender's marker gone (epoch == slot), publish lands
+    _os.remove(_os.path.join(fence, "e000000000002"))
+    open(_os.path.join(fence, "e000000000001"), "x").close()
+    _commit(
+        idx, before["kind"], before["fingerprint"], before["tables"],
+        src=before.get("src"), params=before.get("params", {}),
+        applied_batches=[0], mver=1,
+        base_rows=before.get("base_rows"), appended_rows=123,
+        units=before.get("units"),
+    )
+    assert _manifest(idx)["appended_rows"] == 123
+
+
+def test_remove_own_claim_leaves_foreign_entries(tmp_path):
+    """r14 (ADVICE r13 #2): failure-path claim removal verifies
+    pid+tid ownership, so it can never delete a live re-claimant's
+    fresh entry for the same slot (the duplicate-claimant race the
+    ``stopped`` guard in _end_claim closes). A legacy payload without
+    a tid falls back to the pid check."""
+    import threading
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _remove_own_claim,
+    )
+    from bigdatafinalproject_spark.operators.txlog import (
+        commit_exclusive,
+        entry_path,
+    )
+
+    idx = str(tmp_path / "idx")
+    log = os.path.join(idx, "_applog")
+    p = entry_path(log, 1)
+
+    # foreign pid: kept
+    commit_exclusive(log, 1, {"pid": 999999999, "tid": 1})
+    _remove_own_claim(idx, 1)
+    assert os.path.exists(p)
+    os.remove(p)
+
+    # own pid, foreign tid (a thread-sibling re-claimant): kept
+    commit_exclusive(
+        log, 1, {"pid": os.getpid(), "tid": threading.get_ident() + 1}
+    )
+    _remove_own_claim(idx, 1)
+    assert os.path.exists(p)
+    os.remove(p)
+
+    # own pid + own tid: removed
+    commit_exclusive(
+        log, 1, {"pid": os.getpid(), "tid": threading.get_ident()}
+    )
+    _remove_own_claim(idx, 1)
+    assert not os.path.exists(p)
+
+    # legacy payload (no tid), own pid: removed (pre-r14 exposure)
+    commit_exclusive(log, 1, {"pid": os.getpid()})
+    _remove_own_claim(idx, 1)
+    assert not os.path.exists(p)
+
+    # missing entry: a no-op
+    _remove_own_claim(idx, 1)
+
+
+def test_batch_id_normalized_to_int_at_every_entry(spark, tmp_path):
+    """r14 (ADVICE r13 #3): provenance is keyed by str(batch_id), so
+    an explicit string "3" and an int 3 would collide in the batches
+    map and mixed int/str ids would make sorted(applied_batches) raise
+    at commit time. _norm_batch_id at the _writer_txn /
+    _finish_append / retract_batch choke points makes every public
+    entry int-keyed: "0" and 0 name ONE batch (idempotent skip, one
+    provenance entry), retract accepts either spelling, bools and
+    non-int strings are rejected before any claim is taken."""
+    import json
+    import os as _os
+
+    import pytest
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        pq_index_append,
+        retract_batch,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_normid")
+    d0 = delta.filter(F.col("vec_id") % 2 == 0)
+    d1 = delta.filter(F.col("vec_id") % 2 != 0)
+
+    pq_index_append(spark, idx, d0, batch_id="0")  # string spelling
+    m = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert m["applied_batches"] == [0]  # stored as int
+    assert set(m["batches"]) == {"0"}
+
+    # the int spelling of the same id is an idempotent skip
+    n_before = _tbl(spark, idx, "norms").count()
+    pq_index_append(spark, idx, d0, batch_id=0)
+    assert _tbl(spark, idx, "norms").count() == n_before
+
+    pq_index_append(spark, idx, d1, batch_id=1)
+    # retract accepts the string spelling and reverses batch 1
+    n1 = d1.count()
+    retract_batch(idx, "1")
+    assert _tbl(spark, idx, "norms").count() == n_before
+    m = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert m["retracted"] == ["1"] and "1" not in m["batches"]
+    assert m["applied_batches"] == [0, 1]  # ints, sorted, kept
+
+    # rejected spellings never reach a claim
+    with pytest.raises(TypeError, match="bool"):
+        pq_index_append(spark, idx, d1, batch_id=True)
+    with pytest.raises(TypeError, match="int"):
+        pq_index_append(spark, idx, d1, batch_id="seven")
+    with pytest.raises(TypeError):
+        retract_batch(idx, None)
+
+
+def test_gc_grace_tombstones_then_reaps_dead_units(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (ADVICE r13 #4): with BDFP_INDEX_GC_GRACE_S set, a unit a
+    commit unreferences (retraction here) is TOMBSTONED — a _DEAD
+    marker inside the dir, data files byte-intact and still readable
+    by a scan planned against the superseded manifest — and reaped
+    only once the marker outlives the grace window. Default (no env)
+    keeps the r13 immediate-removal behavior, which every other test
+    in this file pins."""
+    import os as _os
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _gc_dead_units,
+        _manifest,
+        clone_index,
+        ivf_index_append,
+        retract_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    src = str(tmp_path / "ivf_grace_src")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, src, fp, **_PARAMS)
+    idx = clone_index(src, str(tmp_path / "ivf_grace"))
+    ivf_index_append(spark, idx, delta, batch_id=0)
+    dead_units = _manifest(idx)["batches"]["0"]["units"]
+
+    monkeypatch.setenv("BDFP_INDEX_GC_GRACE_S", "3600")
+    retract_batch(idx, 0)
+
+    # first sweep tombstoned, did not remove: files intact + readable
+    for t, u in dead_units.items():
+        d = _os.path.join(idx, t, u)
+        assert _os.path.isdir(d), (t, u)
+        assert _os.path.exists(_os.path.join(d, "_DEAD"))
+        assert spark.read.parquet(d).count() > 0  # _DEAD is invisible
+
+    # a second sweep inside the window still keeps them
+    _gc_dead_units(idx, _manifest(idx))
+    for t, u in dead_units.items():
+        assert _os.path.isdir(_os.path.join(idx, t, u))
+
+    # age the tombstones past the window: reaped
+    past = (1, 1)
+    for t, u in dead_units.items():
+        _os.utime(_os.path.join(idx, t, u, "_DEAD"), past)
+    _gc_dead_units(idx, _manifest(idx))
+    for t, u in dead_units.items():
+        assert not _os.path.isdir(_os.path.join(idx, t, u)), (t, u)
+
+
+def test_kill_inside_retraction_leaves_index_serving(spark, tmp_path):
+    """r14 (VERDICT r13 #2): SIGKILL a writer INSIDE a retraction —
+    after its claim + fence (the widest pre-commit window of the
+    third writer verb). The index must stay current and serving, the
+    zombie's lease must lapse, and a successor's retract of the same
+    batch must succeed and reverse the accounting exactly. (The
+    random-kill version runs in the soak; this pins the window
+    deterministically in every pytest pass.)"""
+    import json
+    import os as _os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        index_is_current,
+        ivf_index_append,
+        ivf_index_search,
+        retract_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    src = str(tmp_path / "ivf_killretract_src")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_PARAMS
+    )
+    ensure_ivf_index(spark, base, src, fp, **_PARAMS)
+    idx = clone_index(src, str(tmp_path / "ivf_killretract"))
+    ivf_index_append(spark, idx, delta, batch_id=0)
+    pre = _manifest(idx)
+
+    # the victim: claims the retract txn (slot + fence marker), then
+    # stalls forever pre-commit; ready-marker written post-claim
+    ready = str(tmp_path / "victim_claimed")
+    victim_code = textwrap.dedent(f"""
+        import time
+        from bigdatafinalproject_spark.operators.ann_index import (
+            _writer_txn,
+        )
+        _writer_txn({idx!r}, None, "retract")
+        open({ready!r}, "w").close()
+        time.sleep(300)
+    """)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ, PYTHONPATH=repo,
+        BDFP_ANN_CLAIM_MODE="lease", BDFP_ANN_LEASE_S="2",
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", victim_code],
+        env=env, start_new_session=True,
+    )
+    try:
+        deadline = _time.monotonic() + 60
+        while not _os.path.exists(ready):
+            assert p.poll() is None, "victim died before claiming"
+            assert _time.monotonic() < deadline, "victim never claimed"
+            _time.sleep(0.05)
+        _os.killpg(p.pid, signal.SIGKILL)
+        p.wait()
+    finally:
+        if p.poll() is None:
+            _os.killpg(p.pid, signal.SIGKILL)
+
+    # mid-kill: the index is untouched, current, and SERVING
+    assert _manifest(idx) == pre
+    assert index_is_current(idx, pre["kind"], pre["fingerprint"])
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    assert ivf_index_search(spark, idx, emb, queries, k=5).count() > 0
+
+    # a successor retracts the same batch once the lease lapses
+    # (retract_batch waits out the live-claim window internally);
+    # BDFP_ANN_LEASE_S is read per-claim, so the zombie's 2s lease
+    # comes from ITS env — this process just retries through it
+    deadline = _time.monotonic() + 60
+    while True:
+        try:
+            retract_batch(idx, 0)
+            break
+        except Exception:
+            assert _time.monotonic() < deadline, "retract never won"
+            _time.sleep(0.25)
+    after = _manifest(idx)
+    assert after["appended_rows"] == 0
+    assert after.get("retracted") == ["0"]
+    # accounting returned to the base build's exact state (the clone
+    # carries the source's unit names verbatim)
+    b = _manifest(src)
+    assert after["cell_sizes"] == b["cell_sizes"]
+    assert after["units"] == b["units"]
+    # served results identical to the never-appended source
+    ra = {
+        tuple(r)
+        for r in ivf_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    rb = {
+        tuple(r)
+        for r in ivf_index_search(spark, src, emb, queries, k=5).collect()
+    }
+    assert ra == rb and len(ra) > 0
