@@ -661,6 +661,10 @@ _R14_FRONT = (
     # reverse exactly); shares ann_ivfpq_index_append's oracle (the
     # retraction theorem), + scaled-branch spot-checks at sf0.3/sf1
     "ann_ivfpq_index_retract",
+    # PQ-kind retraction (completes the family: all four persisted
+    # kinds carry a driver-checked retract query; PQ's reversal
+    # surface is units + appended_rows -> rerank-pool widening)
+    "ann_pq_index_retract",
     # (b) changed in round 14: the maintenance-writer protocol
     # hardened again (ADVICE r13) — fence-epoch recheck inside
     # _commit immediately before the os.replace (closes the

@@ -322,6 +322,41 @@ def _snap_pairs(cell_sizes) -> list[list[int]] | None:
     return sorted([int(c), int(n)] for c, n in items)
 
 
+def _batch_sizes(index_dir: str, entry: dict) -> list[list[int]] | None:
+    """An applied batch's per-cell count delta, for retraction's
+    snapshot subtraction. r14 manifests keep provenance O(1) per batch
+    (units + rows only — VERDICT r13 #3: the per-batch pairs copy made
+    the manifest rewrite/parse the streaming micro-batch tax), so the
+    delta is read back from the batch's OWN cell_sizes unit parquet —
+    the staged partial-count file the append adopted, which holds
+    exactly the pairs the manifest used to copy. Driver-side pyarrow
+    read of one ≤C-row file: no Spark session needed, retraction stays
+    an O(manifest)+O(C) metadata operation. Must be called BEFORE the
+    retraction commits (the post-commit GC removes the unit). An r13
+    manifest's recorded copy, when present, is used as-is. None when
+    the delta is unrecoverable (no unit, unreadable file) — the caller
+    fails soft by dropping the snapshot so readers fold the log."""
+    bsizes = entry.get("cell_sizes")
+    if bsizes is not None:
+        return bsizes
+    unit = (entry.get("units") or {}).get("cell_sizes")
+    if unit is None:
+        return None
+    try:
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(
+            os.path.join(index_dir, "cell_sizes", unit),
+            columns=["centroid_id", "_csz"],
+        )
+    except Exception:
+        return None
+    return _snap_pairs(
+        zip(t.column("centroid_id").to_pylist(),
+            t.column("_csz").to_pylist())
+    )
+
+
 def _commit(
     index_dir: str,
     kind: str,
@@ -1351,9 +1386,15 @@ def _finish_append(
         applied_id = next(i for i in range(len(applied) + 1)
                           if i not in taken)
     batches = dict(meta.get("batches") or {})
+    # O(1) manifest per batch (r14, VERDICT r13 #3): the per-cell
+    # delta is NOT copied into the provenance entry — the batch's own
+    # cell_sizes unit (staged above, adopted here) already holds
+    # exactly those pairs, and retract_batch reads them back via
+    # _batch_sizes. Measured: the manifest copy grew the per-txn
+    # rewrite and per-serve parse ~1.2 kB/batch at C=512
+    # (MANIFEST_GROWTH.json), the whole tax of the streaming
+    # micro-batch regime.
     bentry: dict = {"units": adopted, "rows": n_delta}
-    if sizes_delta is not None:
-        bentry["cell_sizes"] = _snap_pairs(sizes_delta)
     batches[str(applied_id)] = bentry
     _end_claim(index_dir, mver)  # stop lease renewal before the prune
     try:
@@ -1388,6 +1429,27 @@ def _finish_append(
     committed = _manifest(index_dir)
     if committed is not None:
         _gc_dead_units(index_dir, committed)
+    # compaction-cadence bound (r14, VERDICT r13 #3): with the O(1)
+    # manifest the remaining lazy-compaction tax is FILE-COUNT growth
+    # — every serve plans one unit dir per uncompacted batch
+    # (MANIFEST_GROWTH.json's serve_s curve). Warn past the
+    # env-tunable threshold so a streaming deployment that forgot a
+    # compaction schedule hears about it before the scan-planning cost
+    # dominates.
+    warn_n = int(
+        os.environ.get("BDFP_INDEX_COMPACT_WARN_BATCHES", "512") or 0
+    )
+    if warn_n and len(batches) >= warn_n:
+        import warnings
+
+        warnings.warn(
+            f"index at {index_dir!r} has {len(batches)} uncompacted "
+            f"batches (>= {warn_n}): serve-side file counts grow per "
+            f"batch — schedule compact_index (retract first if any "
+            f"batch may need un-ingesting)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return index_dir
 
 
@@ -2013,7 +2075,10 @@ def retract_batch(index_dir: str, batch_id) -> str:
     }
     snap = meta.get("cell_sizes")
     if snap is not None:
-        bsizes = entry.get("cell_sizes")
+        # the batch's per-cell delta: from its own cell_sizes unit
+        # (r14 O(1)-manifest layout) or the r13 manifest copy — read
+        # BEFORE the commit GCs the unit (_batch_sizes docstring)
+        bsizes = _batch_sizes(index_dir, entry)
         if bsizes is not None:
             folded = {int(c): int(n) for c, n in snap}
             for c, n in bsizes:

@@ -788,3 +788,76 @@ def ann_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_index_search(
         spark, idx, emb, queries, k=10, rerank=4, scale=_PQ_SCALE,
     )
+
+
+@query("ann_pq_index_retract", oracle_of="ann_pq_index_append")
+def ann_pq_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RETRACTION on the trained persisted PQ index (r14 —
+    completes the retraction family: all four persisted kinds now
+    carry a driver-checked retract query). The delta arrives as two
+    batches, the even batch is UN-INGESTED via
+    operators/ann_index.retract_batch and re-appended under a new
+    batch id. PQ is the no-cell-partition kind (codes + norms only —
+    no cell_sizes snapshot to subtract), so the reversal surface is
+    the units map, ``appended_rows``, and with it the r12 drift-aware
+    exact-rerank pool widening (pool = f(appended/base) — the one
+    serve-policy input a stale reversal would corrupt). Shares
+    ann_pq_index_append's oracle (the retraction theorem). RAISES
+    unless the row/ledger accounting actually reversed."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        corpus_fingerprint,
+        ensure_pq_index,
+        pq_index_append,
+        pq_index_search,
+        retract_batch,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_PQ_BASE_PRED))
+    delta = emb.filter(~F.expr(_PQ_BASE_PRED))
+    params = dict(
+        m=_PQ_M, dim=64, codeword_mod=_PQ_MOD,
+        max_codewords=_PQ_MAXC, train_rounds=_PQ_ROUNDS,
+    )
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_PQ_BASE_PRED, **params
+    )
+    cached = ensure_pq_index(
+        spark, base, shared_index_dir("pq", fp), fp,
+        src=table_path(sf_dir, "embeddings"), subset=_PQ_BASE_PRED,
+        **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "pqretractidx"))
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                    batch_id=0)
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
+                    batch_id=1)
+    pre = _manifest(idx)
+    b0_rows = int(pre["batches"]["0"]["rows"])
+    retract_batch(idx, 0)
+    mid = _manifest(idx)
+    if not (
+        int(pre["appended_rows"]) - int(mid["appended_rows"]) == b0_rows
+        and mid.get("retracted") == ["0"]
+        and "0" not in mid.get("batches", {})
+        and len(mid["units"]["codes"]) < len(pre["units"]["codes"])
+        and len(mid["units"]["norms"]) < len(pre["units"]["norms"])
+    ):
+        raise RuntimeError(
+            f"pq retraction accounting did not reverse: {pre} -> {mid}"
+        )
+    # re-ingest the same vectors under a new batch id; the index is
+    # now content-identical to the single-append twin
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 == 0),
+                    batch_id=2)
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return pq_index_search(
+        spark, idx, emb, queries, k=10, rerank=4, scale=_PQ_SCALE,
+    )

@@ -511,6 +511,7 @@ def ann_ivfpq_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     row/ledger/snapshot accounting actually reversed."""
     from bigdatafinalproject_spark.catalog import table_path
     from bigdatafinalproject_spark.operators.ann_index import (
+        _batch_sizes,
         _manifest,
         clone_index,
         corpus_fingerprint,
@@ -545,14 +546,16 @@ def ann_ivfpq_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_index_append(spark, idx, delta.filter(F.col("vec_id") % 2 != 0),
                        batch_id=1)
     pre = _manifest(idx)
+    # batch 0's provenance delta: its (vector, cell) assignment
+    # partials (multi-assign makes this a multiple of the row delta) —
+    # read from the batch's own cell_sizes unit BEFORE the retraction
+    # GCs it (the r14 O(1)-manifest layout; _batch_sizes docstring)
+    b0_sz = sum(n for _, n in _batch_sizes(idx, pre["batches"]["0"]))
+    b0_rows = int(pre["batches"]["0"]["rows"])
     retract_batch(idx, 0)
     mid = _manifest(idx)
     pre_sz = sum(n for _, n in pre["cell_sizes"])
     mid_sz = sum(n for _, n in mid["cell_sizes"])
-    # batch 0's recorded provenance: its (vector, cell) assignment
-    # partials (multi-assign makes this a multiple of the row delta)
-    b0_sz = sum(n for _, n in pre["batches"]["0"]["cell_sizes"])
-    b0_rows = int(pre["batches"]["0"]["rows"])
     if not (
         int(pre["appended_rows"]) - int(mid["appended_rows"]) == b0_rows
         and mid.get("retracted") == ["0"]

@@ -63,6 +63,14 @@ HEAVY = [
     # persisted dedup index: base build + two delta appends + check —
     # the maintenance-heaviest query of the new dedup lifecycle family
     "doc_dedup_index_append",
+    # maintenance WRITER family at every decade (r14, VERDICT r13 #5):
+    # compaction rewrites (two-batch append + size-targeted rewrite
+    # under the claim/fence protocol) and the O(manifest) retraction
+    # lifecycle — the staged-append/adopt/GC path where a super-linear
+    # term (file-count growth, manifest rewrite) would first surface
+    "ann_pq_index_compact",
+    "ann_ivfpq_index_compact",
+    "ann_ivf_index_retract",
     # winnowed MOSS span fingerprints: corpus-wide gram explode +
     # per-doc window argmin + shared-fp aggregation
     "doc_winnow_spans",

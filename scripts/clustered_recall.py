@@ -37,7 +37,14 @@ def main() -> None:
         "clustered data — VERDICT r12 #5; *_hard are the Zipf-mass "
         "overlapping-cluster fixtures — VERDICT r12 #2)",
     )
+    ap.add_argument(
+        "--tiers", default="ivf_trained,pq_trained,ivfpq",
+        help="RECALL_TIERS subset to measure (r14, VERDICT r13 #4: "
+        "the appended-drift tiers run on the hard fixtures with "
+        "--tiers ivf_appended,pq_appended,ivfpq_appended)",
+    )
     args = ap.parse_args()
+    os.environ["RECALL_TIERS"] = args.tiers
     spark = get_spark(app_name="bdfp-clustered-recall")
     out = {}
     for name in args.fixtures.split(","):

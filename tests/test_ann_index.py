@@ -2691,3 +2691,31 @@ def test_kill_inside_retraction_leaves_index_serving(spark, tmp_path):
         for r in ivf_index_search(spark, src, emb, queries, k=5).collect()
     }
     assert ra == rb and len(ra) > 0
+
+
+def test_compaction_cadence_warning(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 #3): past BDFP_INDEX_COMPACT_WARN_BATCHES
+    uncompacted batches an append warns — with the O(1) manifest the
+    remaining lazy-compaction tax is per-batch file-count growth on
+    every serve, and a streaming deployment without a compaction
+    schedule should hear about it. Compaction clears the batches map
+    and with it the warning."""
+    import warnings as _warnings
+
+    from bigdatafinalproject_spark.operators.ann_index import (
+        compact_index,
+        pq_index_append,
+    )
+
+    monkeypatch.setenv("BDFP_INDEX_COMPACT_WARN_BATCHES", "2")
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_cadence")
+    d = [delta.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # first append must NOT warn
+        pq_index_append(spark, idx, d[0], batch_id=0)
+    with pytest.warns(RuntimeWarning, match="uncompacted"):
+        pq_index_append(spark, idx, d[1], batch_id=1)
+    compact_index(spark, idx)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # compaction reset the count
+        pq_index_append(spark, idx, d[2], batch_id=2)
