@@ -58,15 +58,20 @@ def main() -> None:
         print(name, json.dumps(row), flush=True)
     art_path = REPO / "RECALL_SCALE.json"
     art = json.loads(art_path.read_text())
-    # carry-forward rule: merge this run's fixtures over the existing
-    # tier rows, never drop sections this run did not recompute
+    # carry-forward rule at TIER granularity (r14: a --tiers subset
+    # run must not drop a fixture row's previously measured tiers —
+    # the r13 fixture-level merge silently discarded the trained keys
+    # when the appended-tier subset ran on the hard fixtures)
     prev = art.get("clustered", {}).get("tiers", {})
     art["clustered"] = {
         "fixture": "scripts/ivfpq_clustered_calibration.py mixture "
                    "(N/200 unit-norm Gaussian clusters, sigma=0.08); "
                    "*_hard = Zipf(s=1) masses + sigma=0.25 overlap "
                    "(r13, VERDICT r12 #2)",
-        "tiers": {**prev, **out},
+        "tiers": {
+            **prev,
+            **{n: {**prev.get(n, {}), **row} for n, row in out.items()},
+        },
     }
     art_path.write_text(json.dumps(art, indent=1) + "\n")
     print(json.dumps(art["clustered"]))

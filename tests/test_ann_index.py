@@ -1468,8 +1468,18 @@ def test_appended_drift_floor_pinned_in_artifact():
     art = json.loads(
         (Path(__file__).resolve().parents[1] / "RECALL_SCALE.json")
         .read_text()
-    )["recall_at_10"]
-    for sf, rows in art.items():
+    )
+    # r14 (VERDICT r13 #4): the floor also covers the hard clustered
+    # fixtures (Zipf masses + overlapping clusters) — the isotropic
+    # corpus proved too easy to discriminate, so the appended tier is
+    # measured where the fixture can actually say no
+    hard = {
+        sf: rows
+        for sf, rows in art["clustered"]["tiers"].items()
+        if sf.endswith("_hard")
+    }
+    assert hard, "hard clustered fixtures missing from RECALL_SCALE"
+    for sf, rows in {**art["recall_at_10"], **hard}.items():
         for tier in ("ivf_appended", "pq_appended", "ivfpq_appended"):
             assert rows[tier] >= 0.90, (sf, tier, rows[tier])
         assert rows["ivf_retrained"] == rows["ivf_trained"], sf
