@@ -661,6 +661,13 @@ _R14_FRONT = (
     # reverse exactly); shares ann_ivfpq_index_append's oracle (the
     # retraction theorem), + scaled-branch spot-checks at sf0.3/sf1
     "ann_ivfpq_index_retract",
+    # size-tiered MINOR compaction (r14 — the LSM answer to the
+    # lazy-compaction file-count tax MANIFEST_GROWTH.json measures):
+    # aged-out batch units merge into one L1 unit, the base tier is
+    # never rewritten, the newest batches stay retractable; shares the
+    # append oracles (content-neutrality + post-minor retraction)
+    "ann_ivf_index_minor_compact",
+    "doc_dedup_index_minor_compact",
     # PQ-kind retraction (completes the family: all four persisted
     # kinds carry a driver-checked retract query; PQ's reversal
     # surface is units + appended_rows -> rerank-pool widening)

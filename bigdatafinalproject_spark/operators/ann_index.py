@@ -2000,6 +2000,196 @@ def compact_index(
     return stats
 
 
+def _unit_bytes(path: str) -> int:
+    """Physical bytes of a unit dir — a driver-side METADATA listing
+    (file sizes only, no content), the same information layout.compact
+    derives from Spark's file index; unit dirs hold a handful of
+    files, so this is microseconds even on a long-maintained index."""
+    try:
+        return sum(os.path.getsize(f) for f in _parquet_files(path))
+    except OSError:
+        return 0
+
+
+def minor_compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    keep_recent: int = 2,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Size-tiered MINOR compaction — the LSM shape of index
+    maintenance. ``compact_index`` rewrites EVERY live unit into one
+    file set: O(index) bytes moved, and per-batch retraction dies with
+    it (``batches`` is cleared). At 100 TB neither cost is payable on
+    a cadence, yet the lazy-append tax is real: one unit dir per
+    micro-batch makes serve-side scan planning the bottleneck
+    (MANIFEST_GROWTH.json's serve_s curve — the r14 cadence warning's
+    reason to exist). Minor compaction splits the difference exactly
+    the way LSM trees do:
+
+    - the LARGEST unit per table (the base tier — the build output, or
+      a previous compaction's rewrite) is NEVER touched;
+    - the ``keep_recent`` NEWEST applied batches keep their own unit
+      dirs and their ``batches`` provenance — still individually
+      retractable (the production retraction case is a RECENT bad
+      batch: a poisoned crawl delivery is noticed in hours, not after
+      a thousand micro-batches);
+    - everything else — aged-out batch units plus any previous minor
+      pass's merged unit — is rewritten into ONE new unit per table.
+
+    Bytes moved per pass are bounded by the appended tier, which the
+    retrain trigger caps at ``max_appended_frac`` (default 0.5) of the
+    base — amortized O(appended bytes), never O(index). File counts
+    stay at base + 1 merged + ``keep_recent``, so a streaming
+    deployment on a minor-compaction cadence never hits the
+    BDFP_INDEX_COMPACT_WARN_BATCHES wall at all.
+
+    Folded batches leave the ``batches`` map (their ids stay in
+    ``applied_batches`` — redelivery idempotence survives folding, and
+    a later ``retract_batch`` of a folded id raises the documented
+    "compacted into the base" ValueError). ``appended_rows`` and the
+    ``cell_sizes`` snapshot are INVARIANT: rewrite-only, no dedup —
+    the registered minor-compact queries share the append oracles to
+    prove the served content is bit-identical.
+
+    Same writer protocol as ``compact_index`` (CAS claim, fence check,
+    adopt-then-recommit; the serving manifest is never invalidated —
+    a crash anywhere leaves the index current, serving the pre-pass
+    snapshot, and the orphan rewrite is GC'd later).
+
+    Returns {"tables": {table: (files_merged, files_after)},
+    "folded": [batch ids folded], "kept": [batch ids still
+    retractable]} — empty "tables" when nothing needed merging (the
+    claim is released, no commit happens).
+    """
+    from bigdatafinalproject_spark.operators.layout import compact
+
+    pre = _manifest(index_dir)
+    if pre is not None and pre.get("kind") not in _APPEND_TABLES:
+        raise ValueError(
+            f"minor_compact_index: unknown index kind {pre.get('kind')!r}"
+        )
+    if keep_recent < 0:
+        raise ValueError("minor_compact_index: keep_recent must be >= 0")
+    txn = _writer_txn(index_dir, None, "minor_compact")
+    meta, mver = txn
+    try:
+        tables = _APPEND_TABLES.get(meta.get("kind"), ())
+        if not tables:
+            raise ValueError(
+                f"minor_compact_index: unknown index kind "
+                f"{meta.get('kind')!r}"
+            )
+        for n in os.listdir(index_dir):
+            if ".minorc." in n:
+                _sweep_stage(index_dir, n)
+        batches = dict(meta.get("batches") or {})
+        # tier split at BATCH granularity: the keep_recent highest ids
+        # stay retractable; older provenance folds into the base tier
+        ids = sorted(int(k) for k in batches)
+        kept_ids = ids[len(ids) - keep_recent:] if keep_recent else []
+        fold_ids = [i for i in ids if i not in kept_ids]
+        protected: dict[str, set] = {t: set() for t in tables}
+        for i in kept_ids:
+            for t, u in (batches[str(i)].get("units") or {}).items():
+                protected.setdefault(t, set()).add(u)
+        stats: dict[str, tuple[int, int]] = {}
+        tmps: dict[str, str] = {}
+        merged: dict[str, list[str]] = {}
+        for t in tables:
+            cands = [
+                p for u in (meta.get("units") or {}).get(t, ())
+                if u not in protected.get(t, ())
+                and os.path.isdir(p := os.path.join(index_dir, t, u))
+            ]
+            if len(cands) < 2:
+                continue
+            # the base tier stays put: drop the largest candidate by
+            # physical bytes (metadata listing); ties broken by name
+            # for determinism
+            base_unit = max(
+                cands, key=lambda p: (_unit_bytes(p), os.path.basename(p))
+            )
+            srcs = [p for p in cands if p != base_unit]
+            if len(srcs) < 2:
+                continue
+            before = sum(len(_parquet_files(p)) for p in srcs)
+            tmp = os.path.join(index_dir, f"{t}.minorc.tmp.{os.getpid()}")
+            after = compact(spark, srcs, tmp, target_bytes=target_bytes)
+            stats[t] = (before, after)
+            tmps[t] = tmp
+            merged[t] = [os.path.basename(p) for p in srcs]
+    except BaseException:
+        _end_claim(index_dir, mver, release=True)
+        raise
+    if not tmps:
+        # nothing to merge (fresh index, or only base + recent units):
+        # release the slot without a commit — provenance keeps its
+        # retractability for free
+        _end_claim(index_dir, mver, release=True)
+        return {"tables": {}, "folded": [], "kept": kept_ids}
+    try:
+        _check_fence(index_dir, mver)
+        cur = _manifest(index_dir)
+        if cur is None or int(cur.get("mver", 0)) != int(meta.get("mver", 0)):
+            raise ConcurrentWriteError(
+                f"manifest at {index_dir!r} advanced from snapshot mver "
+                f"{meta.get('mver', 0)} since this minor compactor's "
+                f"claim — retry"
+            )
+    except (ConcurrentWriteError, OSError):
+        _end_claim(index_dir, mver, release=True)
+        for tmp in tmps.values():
+            shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    unit = _unit_name(mver)
+    adopted: dict[str, str] = {}
+    try:
+        for t, tmp in tmps.items():
+            _adopt_dir_as_unit(index_dir, tmp, t, unit)
+            adopted[t] = unit
+    except OSError:
+        _end_claim(index_dir, mver, release=True)
+        for t, u in adopted.items():
+            shutil.rmtree(os.path.join(index_dir, t, u), ignore_errors=True)
+        for tmp in tmps.values():
+            shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    units = {t: list(us) for t, us in (meta.get("units") or {}).items()}
+    for t, u in adopted.items():
+        # the merged unit REPLACES exactly its sources; base tier and
+        # recent-batch units keep their positions
+        units[t] = [x for x in units[t] if x not in merged.get(t, ())] + [u]
+    # fold the aged-out provenance (ids stay in applied_batches)
+    for i in fold_ids:
+        batches.pop(str(i), None)
+    _end_claim(index_dir, mver)  # stop lease renewal before the prune
+    try:
+        _commit(
+            index_dir, meta["kind"], meta["fingerprint"], meta["tables"],
+            src=meta.get("src"), params=meta.get("params"),
+            applied_batches=meta.get("applied_batches"),
+            mver=mver, base_rows=meta.get("base_rows"),
+            appended_rows=int(meta.get("appended_rows", 0)),
+            # rewrite-only: the folded snapshot is invariant
+            cell_sizes=meta.get("cell_sizes"),
+            units=units,
+            batches=batches,
+            retracted=meta.get("retracted"),
+        )
+    except BaseException:
+        _release_adopted(index_dir, adopted, mver)
+        raise
+    prune(os.path.join(index_dir, _APPLOG), keep_from=mver)
+    _prune_fence(index_dir, mver)
+    committed = _manifest(index_dir)
+    if committed is not None:
+        # the merged source units die here (same reader-visible
+        # boundary as compact_index; the GC grace window applies)
+        _gc_dead_units(index_dir, committed)
+    return {"tables": stats, "folded": fold_ids, "kept": kept_ids}
+
+
 def retract_batch(index_dir: str, batch_id) -> str:
     """UN-INGEST an applied batch — the v6 payoff operator (r13): with
     manifest-referenced batch units, removing a batch is an O(manifest)

@@ -460,6 +460,97 @@ def ann_ivf_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_index_minor_compact", oracle_of="ann_ivf_index_append")
+def ann_ivf_index_minor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered MINOR compaction on the maintained IVF index
+    (operators/ann_index.minor_compact_index — the r14 answer to the
+    lazy-compaction file-count tax): the delta arrives as THREE
+    batches; the minor pass merges the two aged-out batches' postings
+    units into ONE L1 unit while the base tier stays untouched and the
+    newest batch keeps its own unit AND its retractability. Bytes
+    moved are bounded by the appended tier (never O(index), unlike
+    compact_index), which is the only affordable compaction cadence at
+    100 TB. The query RAISES unless the pass folded exactly the aged
+    batches, merged their files, left ``appended_rows`` and the
+    retained provenance intact, a folded batch refuses retraction, and
+    the RETAINED batch still retracts exactly (retract + re-append
+    under a new id). Content is rewrite-invariant throughout, so the
+    serve shares ann_ivf_index_append's oracle (minor-compaction
+    content-neutrality + post-minor retraction theorem)."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        corpus_fingerprint,
+        ensure_ivf_index,
+        ivf_index_append,
+        ivf_index_search,
+        minor_compact_index,
+        retract_batch,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_IVF_BASE_PRED))
+    delta = emb.filter(~F.expr(_IVF_BASE_PRED))
+    params = dict(
+        centroid_mod=37, max_centroids=64,
+        train_rounds=_IVF_ROUNDS, multi_assign=_IVF_MULTI,
+        scale_ref=IVF_SCALE_REF,
+    )
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "embeddings"), base_pred=_IVF_BASE_PRED, **params
+    )
+    cached = ensure_ivf_index(
+        spark, base, shared_index_dir("ivf", fp), fp,
+        src=table_path(sf_dir, "embeddings"), subset=_IVF_BASE_PRED,
+        **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "ivfminorcidx"))
+    # delta is the vec_id%3==0 stripe — split it by vec_id%9 so all
+    # three batches are non-empty
+    for b in range(3):
+        ivf_index_append(spark, idx,
+                         delta.filter(F.col("vec_id") % 9 == 3 * b),
+                         batch_id=b)
+    pre = _manifest(idx)
+    res = minor_compact_index(spark, idx, keep_recent=1)
+    mid = _manifest(idx)
+    merged_files, after_files = res["tables"].get("postings", (0, 0))
+    if not (
+        res["folded"] == [0, 1]
+        and res["kept"] == [2]
+        and after_files < merged_files
+        and sorted(mid.get("batches", {})) == ["2"]
+        # base + merged L1 + kept batch — one unit fewer than before
+        and len(mid["units"]["postings"]) == len(pre["units"]["postings"]) - 1
+        and int(mid["appended_rows"]) == int(pre["appended_rows"])
+    ):
+        raise RuntimeError(
+            f"minor compaction did not tier as specified: {res}, "
+            f"{pre['units']['postings']} -> {mid['units']['postings']}"
+        )
+    try:
+        retract_batch(idx, 0)
+        raise RuntimeError("retracting a FOLDED batch must raise")
+    except ValueError:
+        pass  # folded into the base tier — the documented refusal
+    # the retained batch keeps exact retractability through the pass
+    retract_batch(idx, 2)
+    post = _manifest(idx)
+    if int(post["appended_rows"]) >= int(mid["appended_rows"]):
+        raise RuntimeError("post-minor retraction did not reverse rows")
+    ivf_index_append(spark, idx,
+                     delta.filter(F.col("vec_id") % 9 == 6), batch_id=3)
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    )
+    return ivf_index_search(
+        spark, idx, emb, queries, k=10, probe_mass=_IVF_MASS
+    )
+
+
 @query("stream_ivf_index_maintenance", oracle_of="ann_ivf_index_append")
 def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming trained-IVF index maintenance

@@ -723,6 +723,91 @@ def doc_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_index_check(spark, idx, batch)
 
 
+@query("doc_dedup_index_minor_compact", oracle_of="doc_incremental_dedup")
+def doc_dedup_index_minor_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Size-tiered MINOR compaction on the persisted dedup index
+    (operators/ann_index.minor_compact_index): the delta docs arrive
+    as THREE crawl batches; the minor pass merges the two aged-out
+    batches' digest/band units into one L1 unit per table — the base
+    tier (the bulk of the index) is never rewritten and the newest
+    batch keeps its unit and its retractability. This is THE cadence
+    shape for a 100 TB crawl-dedup index: full compact_index rewrites
+    the whole digest table (O(index)), minor compaction moves only the
+    appended tier (O(appended)), and on a minor cadence the per-batch
+    file-count growth the BDFP_INDEX_COMPACT_WARN_BATCHES warning
+    exists for never accumulates. RAISES unless the pass folded
+    exactly the aged batches, merged their digest files, kept the
+    newest batch's provenance, and a folded batch refuses retraction.
+    Rewrite-only, so the standing-batch check shares the
+    doc_incremental_dedup oracle (minor-compaction content-neutrality
+    for the dedup layout)."""
+    from bigdatafinalproject_spark.catalog import table_path
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        clone_index,
+        corpus_fingerprint,
+        dedup_index_append,
+        dedup_index_check,
+        ensure_dedup_index,
+        minor_compact_index,
+        retract_batch,
+        shared_index_dir,
+    )
+    from bigdatafinalproject_spark.queries.layout import _scratch
+    from bigdatafinalproject_spark.streaming.dedup import (
+        DEDUP_BASE_PRED,
+        DEDUP_BATCH_PRED,
+        DEDUP_DELTA_PRED,
+    )
+
+    params = _dedup_idx_params()
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.expr(DEDUP_BASE_PRED))
+    delta = docs.filter(F.expr(DEDUP_DELTA_PRED))
+    fp = corpus_fingerprint(
+        table_path(sf_dir, "documents"), base_pred=DEDUP_BASE_PRED,
+        **params,
+    )
+    cached = ensure_dedup_index(
+        spark, base, shared_index_dir("dedup", fp), fp,
+        src=table_path(sf_dir, "documents"), subset=DEDUP_BASE_PRED,
+        **params,
+    )
+    idx = clone_index(cached, _scratch(sf_dir, "dedupminorcidx"))
+    # delta is the doc_id%3==0 (mod-5-excluded) stripe — split it by
+    # doc_id%9 so all three crawl batches are non-empty
+    for b in range(3):
+        dedup_index_append(
+            spark, idx, delta.filter(F.col("doc_id") % 9 == 3 * b),
+            batch_id=b,
+        )
+    pre = _manifest(idx)
+    res = minor_compact_index(spark, idx, keep_recent=1)
+    mid = _manifest(idx)
+    merged_files, after_files = res["tables"].get("digests", (0, 0))
+    if not (
+        res["folded"] == [0, 1]
+        and res["kept"] == [2]
+        and after_files < merged_files
+        and sorted(mid.get("batches", {})) == ["2"]
+        and len(mid["units"]["digests"]) == len(pre["units"]["digests"]) - 1
+        and int(mid["appended_rows"]) == int(pre["appended_rows"])
+    ):
+        raise RuntimeError(
+            f"dedup minor compaction did not tier as specified: {res}, "
+            f"{pre['units']['digests']} -> {mid['units']['digests']}"
+        )
+    try:
+        retract_batch(idx, 0)
+        raise RuntimeError("retracting a FOLDED dedup batch must raise")
+    except ValueError:
+        pass  # folded into the base tier — the documented refusal
+    batch = docs.filter(F.expr(DEDUP_BATCH_PRED))
+    return dedup_index_check(spark, idx, batch)
+
+
 @query("doc_dedup_index_retract", oracle_of="doc_incremental_dedup")
 def doc_dedup_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch RETRACTION on the persisted dedup index (r13 — the

@@ -2729,3 +2729,188 @@ def test_compaction_cadence_warning(spark, tmp_path, monkeypatch):
     with _warnings.catch_warnings():
         _warnings.simplefilter("error")  # compaction reset the count
         pq_index_append(spark, idx, d[2], batch_id=2)
+
+
+def test_minor_compact_tiers_merge_and_keep_recent_retractable(
+    spark, tmp_path
+):
+    """Size-tiered minor compaction (r14): three appended batches,
+    ``keep_recent=1`` — the two aged batches' units merge into ONE L1
+    unit per table while the base tier unit and the newest batch's
+    unit survive untouched; ``appended_rows`` and served content are
+    invariant; the folded batches refuse retraction (the documented
+    ValueError) and the RETAINED batch still retracts exactly."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        minor_compact_index,
+        pq_index_append,
+        pq_index_search,
+        retract_batch,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_minorc")
+    # delta is the vec_id%3==0 stripe: split by %9 for 3 NON-EMPTY batches
+    for b in range(3):
+        pq_index_append(
+            spark, idx, delta.filter(F.col("vec_id") % 9 == 3 * b),
+            batch_id=b,
+        )
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+    pre_rows = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    pre = _manifest(idx)
+    assert len(pre["units"]["codes"]) == 4  # base + 3 batches
+    res = minor_compact_index(spark, idx, keep_recent=1)
+    assert res["folded"] == [0, 1] and res["kept"] == [2]
+    merged, after = res["tables"]["codes"]
+    assert after < merged
+    mid = _manifest(idx)
+    assert sorted(mid["batches"]) == ["2"]
+    assert len(mid["units"]["codes"]) == 3  # base + L1 + kept batch
+    assert sorted(mid["applied_batches"]) == [0, 1, 2]  # idempotence keys
+    assert int(mid["appended_rows"]) == int(pre["appended_rows"])
+    mid_rows = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    assert mid_rows == pre_rows and len(mid_rows) > 0
+    with pytest.raises(ValueError, match="compacted into the base"):
+        retract_batch(idx, 0)
+    retract_batch(idx, 2)  # the retained batch keeps exact retractability
+    post = _manifest(idx)
+    assert int(post["appended_rows"]) < int(mid["appended_rows"])
+    assert post["retracted"] == ["2"] and "2" not in post["batches"]
+
+
+def test_minor_compact_noop_releases_claim_and_slot(spark, tmp_path):
+    """A minor pass with nothing to merge (fresh base, or only base +
+    protected recent units) commits NOTHING — same mver — and releases
+    its writer claim, so the next maintenance writer proceeds."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        minor_compact_index,
+        pq_index_append,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_minornoop")
+    before = _manifest(idx)
+    res = minor_compact_index(spark, idx, keep_recent=1)
+    assert res["tables"] == {} and res["folded"] == []
+    after = _manifest(idx)
+    assert int(after["mver"]) == int(before["mver"])
+    # one batch + keep_recent=1 still has nothing to merge (the batch
+    # unit is protected; the base is the lone candidate)
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 9 == 0),
+                    batch_id=0)
+    res2 = minor_compact_index(spark, idx, keep_recent=1)
+    assert res2["tables"] == {} and res2["kept"] == [0]
+    # the claim was released both times: a real append still lands
+    pq_index_append(spark, idx, delta.filter(F.col("vec_id") % 9 == 3),
+                    batch_id=1)
+    assert sorted(_manifest(idx)["applied_batches"]) == [0, 1]
+
+
+def test_minor_compact_commit_failure_serves_pre_pass_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """A minor compactor dying at its recommit leaves the index
+    serving the pre-pass snapshot (manifest unchanged, adopted L1 unit
+    unreferenced) and a plain retry completes the pass — the same v6
+    guarantee the full compactor carries."""
+    import json
+    import os as _os
+
+    import bigdatafinalproject_spark.operators.ann_index as annidx
+    from bigdatafinalproject_spark.operators.ann_index import (
+        minor_compact_index,
+        pq_index_append,
+        pq_index_search,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_minorcrash")
+    for b in range(3):
+        pq_index_append(
+            spark, idx, delta.filter(F.col("vec_id") % 9 == 3 * b),
+            batch_id=b,
+        )
+    meta_before = json.load(open(_os.path.join(idx, "_meta.json")))
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+    pre = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    real_commit = annidx._commit
+    state = {"armed": True}
+
+    def dying_commit(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            raise OSError("simulated ENOSPC writing the manifest")
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(annidx, "_commit", dying_commit)
+    with pytest.raises(OSError, match="simulated"):
+        minor_compact_index(spark, idx, keep_recent=1)
+    meta_after = json.load(open(_os.path.join(idx, "_meta.json")))
+    assert meta_after == meta_before
+    mid = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    assert mid == pre and len(mid) > 0
+    res = minor_compact_index(spark, idx, keep_recent=1)  # retry completes
+    assert res["folded"] == [0, 1] and res["tables"]
+    post = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    assert post == pre
+
+
+def test_repeated_minor_compacts_bound_unit_count(spark, tmp_path):
+    """The LSM invariant on a minor cadence: however many batches
+    stream in, the per-table unit count stays at base + 1 merged L1 +
+    keep_recent — the serve-side scan-planning cost the
+    MANIFEST_GROWTH.json curve showed growing per batch under lazy
+    full compaction stays CONSTANT, with only the appended tier ever
+    rewritten."""
+    from bigdatafinalproject_spark.operators.ann_index import (
+        _manifest,
+        minor_compact_index,
+        pq_index_append,
+        pq_index_search,
+    )
+
+    emb, base, delta, idx = _build_pq_base(spark, tmp_path, "pq_minorloop")
+    # 6 batches on a minor cadence of 2 (delta stripe split by %18)
+    for b in range(6):
+        pq_index_append(
+            spark, idx, delta.filter(F.col("vec_id") % 18 == 3 * b),
+            batch_id=b,
+        )
+        if b % 2 == 1:
+            minor_compact_index(spark, idx, keep_recent=1)
+    m = _manifest(idx)
+    assert len(m["units"]["codes"]) <= 3  # base + L1 + kept
+    assert sorted(m["applied_batches"]) == list(range(6))
+    # content equals a single-append twin of the same rows
+    import bigdatafinalproject_spark.operators.ann_index as annidx
+
+    twin = str(tmp_path / "pq_minorloop_twin")
+    fp = corpus_fingerprint(
+        table_path(SF_DIR, "embeddings"), base_pred="b", **_pq_params()
+    )
+    annidx.ensure_pq_index(spark, base, twin, fp, **_pq_params())
+    pq_index_append(spark, twin, delta.filter(F.col("vec_id") % 18 < 16))
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+    a = {
+        tuple(r)
+        for r in pq_index_search(spark, idx, emb, queries, k=5).collect()
+    }
+    b_ = {
+        tuple(r)
+        for r in pq_index_search(spark, twin, emb, queries, k=5).collect()
+    }
+    assert a == b_ and len(a) > 0
