@@ -1548,6 +1548,49 @@ def _sizes_frame(spark: SparkSession, index_dir: str, meta: dict):
     return None
 
 
+def _run_concurrent(thunks):
+    """Run independent Spark actions from sibling threads and return
+    their results in input order (r14 — the §2.6 overlap-independent-
+    jobs recipe applied to index maintenance): a build or append that
+    materializes SEVERAL tables (digests+bands+winnow_fps, codes+norms)
+    pays the driver's per-job scheduling latency serially when the
+    writes run one after another, even though the jobs share no data.
+    Submitting them from a small thread group lets the scheduler
+    overlap one job's tail with the next job's ramp-up — on a cluster
+    this also back-fills executors freed by a finishing stage.
+
+    Every thunk runs to completion before this returns (the staging
+    cleanup paths in the callers assume no write is still in flight
+    when an exception propagates); the first error is re-raised after
+    the join. ``pyspark.InheritableThread`` is the documented way to
+    run driver-side Spark actions from threads (JVM thread-locals —
+    job groups/descriptions — are inherited and cleaned up)."""
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list[BaseException] = []
+
+    def _runner(i, t):
+        try:
+            results[i] = t()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+
+    threads = [
+        InheritableThread(target=_runner, args=(i, t))
+        for i, t in enumerate(thunks)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
 def _footer_rows(spark: SparkSession, path: str) -> int:
     """Row count from parquet FOOTERS (metadata-only scan of a
     count(*)-pruned read) — how the maintenance paths measure appended
@@ -1579,12 +1622,20 @@ def ensure_ivf_index(
     tmp = _build_into_tmp(index_dir)
     try:
         centroids, postings = ivf_build_frames(corpus, **build_params)
-        centroids.write.mode("overwrite").parquet(
-            _build_unit(tmp, "centroids")
-        )
-        postings.write.mode("overwrite").parquet(
-            _build_unit(tmp, "postings")
-        )
+        # the two table writes are independent jobs (trained centroids
+        # are barriered in ivf_centroids, so the postings job reuses
+        # the materialized frame instead of re-running Lloyd) —
+        # overlap them (r14, _run_concurrent). Unit paths resolve in
+        # THIS thread: _unit_name embeds the thread id, so a path
+        # computed inside a sibling thread would name a different unit
+        # than the manifest records.
+        cent_u = _build_unit(tmp, "centroids")
+        post_u = _build_unit(tmp, "postings")
+        csz_u = _build_unit(tmp, "cell_sizes")
+        _run_concurrent([
+            lambda: centroids.write.mode("overwrite").parquet(cent_u),
+            lambda: postings.write.mode("overwrite").parquet(post_u),
+        ])
         # base_rows from the just-written postings' parquet FOOTERS
         # (row count / postings-per-vector), never an extra corpus
         # scan (r9 review #7: a redundant full pass per retrain at
@@ -1594,24 +1645,28 @@ def ensure_ivf_index(
         # inflates the appended fraction and fires needs_retrain early
         # (ADVICE r9; same accounting as ivf_index_append)
         multi = int(_effective_params("ivf", build_params, None)["multi_assign"])
-        n_cent = spark.read.parquet(_build_unit(tmp, "centroids")).count()
-        per_vec = max(1, min(multi, n_cent))
-        n_post = spark.read.parquet(_build_unit(tmp, "postings")).count()
         # persisted cell sizes (v4, mirroring the v3 ivfpq table):
         # posting rows per cell, computed ONCE at build from the
         # just-written postings and maintained by appends — the
         # mass-budgeted probe reads this C-row table instead of
-        # re-scanning the postings relation on every search
+        # re-scanning the postings relation on every search. The two
+        # footer counts and the cell-size aggregate all read the
+        # already-written units — independent jobs, overlapped (r14)
         from pyspark.sql import functions as F
 
-        (
-            spark.read.parquet(_build_unit(tmp, "postings"))
-            .groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("_csz"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_build_unit(tmp, "cell_sizes"))
-        )
+        n_cent, n_post, _ = _run_concurrent([
+            lambda: spark.read.parquet(cent_u).count(),
+            lambda: spark.read.parquet(post_u).count(),
+            lambda: (
+                spark.read.parquet(post_u)
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("_csz"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(csz_u)
+            ),
+        ])
+        per_vec = max(1, min(multi, n_cent))
         _commit(
             tmp, "ivf", fingerprint,
             ["centroids", "postings", "cell_sizes"],
@@ -1623,9 +1678,7 @@ def ensure_ivf_index(
             # manifest instead of folding the parquet log per search
             cell_sizes={
                 int(r["centroid_id"]): int(r["_csz"])
-                for r in spark.read.parquet(
-                    _build_unit(tmp, "cell_sizes")
-                ).collect()
+                for r in spark.read.parquet(csz_u).collect()
             },
             units=_build_units(["centroids", "postings", "cell_sizes"]),
         )
@@ -1675,11 +1728,6 @@ def ivf_index_append(
         postings = _nearest_centroids(
             centroids, delta, id_col, vec_col, multi, "neighbor_id"
         )
-        # every vector gets exactly min(multi, |centroids|) postings
-        # (the top-n window is candidate-bounded) — using bare multi as
-        # the divisor undercounts on a tiny index with fewer cells than
-        # multi (r9 review #5); the centroids frame is kB-sized
-        per_vec = max(1, min(multi, centroids.count()))
         track_sizes = "cell_sizes" in meta.get("tables", [])
         # stage EVERY Spark job of this append pre-invalidate (v5.1):
         # the delta postings write into the staging dir, and the v5
@@ -1693,9 +1741,20 @@ def ivf_index_append(
         # log; compact_index bounds its file count like any other
         # append target.
         stage = _append_stage(index_dir, mver)
-        postings.write.mode("overwrite").parquet(
-            os.path.join(stage, "postings")
-        )
+        # the postings write and the kB-sized centroid count are
+        # independent jobs — overlap them (r14, _run_concurrent). The
+        # count feeds per_vec: every vector gets exactly
+        # min(multi, |centroids|) postings (the top-n window is
+        # candidate-bounded) — using bare multi as the divisor
+        # undercounts on a tiny index with fewer cells than multi
+        # (r9 review #5)
+        _, n_cent = _run_concurrent([
+            lambda: postings.write.mode("overwrite").parquet(
+                os.path.join(stage, "postings")
+            ),
+            centroids.count,
+        ])
+        per_vec = max(1, min(multi, n_cent))
         # appended rows from the STAGED footers (metadata-only),
         # divided by the exact per-vector posting count — never an
         # extra pass over the delta frame
@@ -1743,16 +1802,26 @@ def ensure_pq_index(
     tmp = _build_into_tmp(index_dir)
     try:
         cb, codes, norms = pq_build_frames(corpus, **build_params)
-        cb.write.mode("overwrite").parquet(_build_unit(tmp, "codebook"))
-        codes.write.mode("overwrite").parquet(_build_unit(tmp, "codes"))
-        norms.write.mode("overwrite").parquet(_build_unit(tmp, "norms"))
+        # three independent table writes (the trained codebook is
+        # barriered in pq_build_frames, so the codes job reuses the
+        # materialized frame) — overlap them (r14, _run_concurrent).
+        # Unit paths resolve in THIS thread (_unit_name embeds the
+        # thread id).
+        cb_u = _build_unit(tmp, "codebook")
+        codes_u = _build_unit(tmp, "codes")
+        norms_u = _build_unit(tmp, "norms")
+        _run_concurrent([
+            lambda: cb.write.mode("overwrite").parquet(cb_u),
+            lambda: codes.write.mode("overwrite").parquet(codes_u),
+            lambda: norms.write.mode("overwrite").parquet(norms_u),
+        ])
         # base_rows from the just-written norms table (one row per
         # corpus vector) via parquet footers — no extra corpus scan
         _commit(
             tmp, "pq", fingerprint, ["codebook", "codes", "norms"],
             src=src,
             params=_effective_params("pq", build_params, subset),
-            base_rows=spark.read.parquet(_build_unit(tmp, "norms")).count(),
+            base_rows=spark.read.parquet(norms_u).count(),
             units=_build_units(["codebook", "codes", "norms"]),
         )
     except BaseException:
@@ -1817,10 +1886,17 @@ def pq_index_append(
             ).alias("_cnorm"),
         )
         # stage every Spark job pre-invalidate (v5.1, see the ivf
-        # twin): the invalidated window below is pure renames
+        # twin): the invalidated window below is pure renames; the two
+        # staged tables are independent jobs — overlap them (r14)
         stage = _append_stage(index_dir, mver)
-        dcodes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
-        dnorms.write.mode("overwrite").parquet(os.path.join(stage, "norms"))
+        _run_concurrent([
+            lambda: dcodes.write.mode("overwrite").parquet(
+                os.path.join(stage, "codes")
+            ),
+            lambda: dnorms.write.mode("overwrite").parquet(
+                os.path.join(stage, "norms")
+            ),
+        ])
         # appended rows from the STAGED norms footers (one row per
         # appended vector, metadata-only) — never an extra pass
         n_delta = _footer_rows(spark, os.path.join(stage, "norms"))
@@ -1905,6 +1981,7 @@ def compact_index(
                 _sweep_stage(index_dir, n)
         stats: dict[str, tuple[int, int]] = {}
         tmps: dict[str, str] = {}
+        plan: list[tuple[str, list[str], int, str]] = []
         for t in tables:
             # rewrite exactly the units the manifest references — a
             # zombie's unreferenced leftovers and a missing legacy
@@ -1918,7 +1995,16 @@ def compact_index(
                 continue
             before = sum(len(_parquet_files(p)) for p in srcs)
             tmp = os.path.join(index_dir, f"{t}.compact.tmp.{os.getpid()}")
-            after = compact(spark, srcs, tmp, target_bytes=target_bytes)
+            plan.append((t, srcs, before, tmp))
+        # per-table rewrites touch disjoint unit dirs and write
+        # disjoint tmps — independent jobs, overlapped (r14 §2.6)
+        afters = _run_concurrent([
+            (lambda s=srcs, d=tmp: compact(
+                spark, s, d, target_bytes=target_bytes
+            ))
+            for (_, srcs, _, tmp) in plan
+        ])
+        for (t, _, before, tmp), after in zip(plan, afters):
             stats[t] = (before, after)
             tmps[t] = tmp
     except BaseException:
@@ -2096,6 +2182,7 @@ def minor_compact_index(
         stats: dict[str, tuple[int, int]] = {}
         tmps: dict[str, str] = {}
         merged: dict[str, list[str]] = {}
+        plan: list[tuple[str, list[str], int, str]] = []
         for t in tables:
             cands = [
                 p for u in (meta.get("units") or {}).get(t, ())
@@ -2115,7 +2202,16 @@ def minor_compact_index(
                 continue
             before = sum(len(_parquet_files(p)) for p in srcs)
             tmp = os.path.join(index_dir, f"{t}.minorc.tmp.{os.getpid()}")
-            after = compact(spark, srcs, tmp, target_bytes=target_bytes)
+            plan.append((t, srcs, before, tmp))
+        # per-table merges touch disjoint unit dirs and write disjoint
+        # tmps — independent jobs, overlapped (r14 §2.6)
+        afters = _run_concurrent([
+            (lambda s=srcs, d=tmp: compact(
+                spark, s, d, target_bytes=target_bytes
+            ))
+            for (_, srcs, _, tmp) in plan
+        ])
+        for (t, srcs, before, tmp), after in zip(plan, afters):
             stats[t] = (before, after)
             tmps[t] = tmp
             merged[t] = [os.path.basename(p) for p in srcs]
@@ -2555,38 +2651,50 @@ def ensure_ivfpq_index(
         centroids, cb, codes, norms = ivfpq_build_frames(
             corpus, **build_params
         )
-        centroids.write.mode("overwrite").parquet(
-            _build_unit(tmp, "centroids")
-        )
-        cb.write.mode("overwrite").parquet(_build_unit(tmp, "codebook"))
-        codes.write.mode("overwrite").parquet(_build_unit(tmp, "codes"))
-        norms.write.mode("overwrite").parquet(_build_unit(tmp, "norms"))
+        # four independent table writes (centroids, codebook and the
+        # assignment pass are barriered inside ivfpq_build_frames, so
+        # no job re-runs a training loop) — overlap them (r14,
+        # _run_concurrent). Unit paths resolve in THIS thread
+        # (_unit_name embeds the thread id).
+        cent_u = _build_unit(tmp, "centroids")
+        cb_u = _build_unit(tmp, "codebook")
+        codes_u = _build_unit(tmp, "codes")
+        norms_u = _build_unit(tmp, "norms")
+        csz_u = _build_unit(tmp, "cell_sizes")
+        _run_concurrent([
+            lambda: centroids.write.mode("overwrite").parquet(cent_u),
+            lambda: cb.write.mode("overwrite").parquet(cb_u),
+            lambda: codes.write.mode("overwrite").parquet(codes_u),
+            lambda: norms.write.mode("overwrite").parquet(norms_u),
+        ])
         # persisted cell sizes (v3, r10 review #2): posting rows per
         # cell, computed ONCE at build from the just-written codes (a
         # 2-column scan) and maintained by appends — the mass-budgeted
         # probe reads this C-row table instead of re-scanning the
-        # index's largest relation on every search
-        (
-            spark.read.parquet(_build_unit(tmp, "codes"))
-            .filter(F.col("s") == 0)
-            .groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("_csz"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_build_unit(tmp, "cell_sizes"))
-        )
+        # index's largest relation on every search. Independent of the
+        # norms footer count — overlapped (r14)
+        _, n_base = _run_concurrent([
+            lambda: (
+                spark.read.parquet(codes_u)
+                .filter(F.col("s") == 0)
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("_csz"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(csz_u)
+            ),
+            lambda: spark.read.parquet(norms_u).count(),
+        ])
         _commit(
             tmp, "ivfpq", fingerprint,
             ["centroids", "codebook", "codes", "norms", "cell_sizes"],
             src=src,
             params=_effective_params("ivfpq", build_params, subset),
-            base_rows=spark.read.parquet(_build_unit(tmp, "norms")).count(),
+            base_rows=n_base,
             # folded serve-time snapshot (r12) — see the ivf twin
             cell_sizes={
                 int(r["centroid_id"]): int(r["_csz"])
-                for r in spark.read.parquet(
-                    _build_unit(tmp, "cell_sizes")
-                ).collect()
+                for r in spark.read.parquet(csz_u).collect()
             },
             units=_build_units(
                 ["centroids", "codebook", "codes", "norms", "cell_sizes"]
@@ -2744,8 +2852,17 @@ def ivfpq_index_append(
         # delta, no checkpoint, no staged merge, no directory swap;
         # readers groupBy-sum (VERDICT r10 #2).
         stage = _append_stage(index_dir, mver)
-        dcodes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
-        dnorms.write.mode("overwrite").parquet(os.path.join(stage, "norms"))
+        # codes and norms are independent jobs — overlap them (r14,
+        # _run_concurrent); the cell-size partials derive from the
+        # staged codes files, so they stay after the join point
+        _run_concurrent([
+            lambda: dcodes.write.mode("overwrite").parquet(
+                os.path.join(stage, "codes")
+            ),
+            lambda: dnorms.write.mode("overwrite").parquet(
+                os.path.join(stage, "norms")
+            ),
+        ])
         n_delta = _footer_rows(spark, os.path.join(stage, "norms"))
         sizes_delta = None
         if track_sizes:
@@ -2811,45 +2928,55 @@ def ensure_dedup_index(
     text_col, id_col = p["text_col"], p["id_col"]
     tmp = _build_into_tmp(index_dir)
     try:
-        (
-            corpus.select(F.md5(norm_text(F.col(text_col))).alias("digest"))
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(_build_unit(tmp, "digests"))
-        )
-        (
-            minhash_band_digests(
-                corpus, text_col, id_col,
-                int(p["n"]), int(p["num_hashes"]), int(p["bands"]),
-            )
-            .select("band", "band_digest")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(_build_unit(tmp, "bands"))
-        )
         # the benchmark suite's winnowed span fingerprints (r11,
         # VERDICT r10 #4): distinct fp values of the corpus docs
         # matching benchmark_pred — the fixed eval suite every
         # incoming crawl batch is decontaminated against. Extraction
         # is per-doc and the check distinct-reduces, so the table
         # obeys the same build(base) ⊎ append(delta) ≡ build(all)
-        # theorem as digests/bands
-        (
-            winnow_fingerprints(
-                corpus.filter(F.expr(p["benchmark_pred"])),
-                text_col, id_col,
-                k=int(p["win_k"]), w=int(p["win_w"]),
-            )
-            .select("fp")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(_build_unit(tmp, "winnow_fps"))
-        )
+        # theorem as digests/bands. The three tables share nothing but
+        # the corpus scan — independent jobs, overlapped (r14,
+        # _run_concurrent). Unit paths resolve in THIS thread
+        # (_unit_name embeds the thread id).
+        dg_u = _build_unit(tmp, "digests")
+        bd_u = _build_unit(tmp, "bands")
+        wf_u = _build_unit(tmp, "winnow_fps")
+        _run_concurrent([
+            lambda: (
+                corpus.select(
+                    F.md5(norm_text(F.col(text_col))).alias("digest")
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(dg_u)
+            ),
+            lambda: (
+                minhash_band_digests(
+                    corpus, text_col, id_col,
+                    int(p["n"]), int(p["num_hashes"]), int(p["bands"]),
+                )
+                .select("band", "band_digest")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(bd_u)
+            ),
+            lambda: (
+                winnow_fingerprints(
+                    corpus.filter(F.expr(p["benchmark_pred"])),
+                    text_col, id_col,
+                    k=int(p["win_k"]), w=int(p["win_w"]),
+                )
+                .select("fp")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(wf_u)
+            ),
+        ])
         _commit(
             tmp, "dedup", fingerprint,
             ["digests", "bands", "winnow_fps"],
             src=src, params=p,
-            base_rows=_footer_rows(spark, _build_unit(tmp, "digests")),
+            base_rows=_footer_rows(spark, dg_u),
             units=_build_units(["digests", "bands", "winnow_fps"]),
         )
     except BaseException:
@@ -2927,14 +3054,26 @@ def dedup_index_append(
                 .distinct()
             )
         # stage every Spark job pre-invalidate (v5.1, see the ivf
-        # twin): the invalidated window below is pure renames
+        # twin): the invalidated window below is pure renames. The
+        # three staged tables share no data — overlap their jobs
+        # (_run_concurrent, r14) instead of paying the scheduler
+        # latency three times in a row.
         stage = _append_stage(index_dir, mver)
-        ddg.write.mode("overwrite").parquet(os.path.join(stage, "digests"))
-        dbd.write.mode("overwrite").parquet(os.path.join(stage, "bands"))
+        writes = [
+            lambda: ddg.write.mode("overwrite").parquet(
+                os.path.join(stage, "digests")
+            ),
+            lambda: dbd.write.mode("overwrite").parquet(
+                os.path.join(stage, "bands")
+            ),
+        ]
         if dwf is not None:
-            dwf.write.mode("overwrite").parquet(
-                os.path.join(stage, "winnow_fps")
+            writes.append(
+                lambda: dwf.write.mode("overwrite").parquet(
+                    os.path.join(stage, "winnow_fps")
+                )
             )
+        _run_concurrent(writes)
         n_delta = _footer_rows(spark, os.path.join(stage, "digests"))
     except BaseException:
         _end_claim(index_dir, mver, release=True)
