@@ -45,6 +45,20 @@ def main() -> None:
     spark.range(10_000).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and make that warm-up import the Arrow kernel module (numpy +
+    # pyarrow + the kernels) in every pooled worker: the r14 ANN/dedup
+    # plans run operators/arrow_kernels kernels, and a cold worker pays
+    # ~0.5-1 s of module import that would otherwise be charged to the
+    # first kernelized query (same principle as the two warms above)
+    from bigdatafinalproject_spark.operators import arrow_kernels as _ak
+
+    def _warm_kernels(it):
+        _ak.seq_dot  # resolved in the worker: the module is imported
+        yield from it
+
+    spark.range(10_000).repartition(32).mapInArrow(
+        _warm_kernels, "id long"
+    ).write.format("noop").mode("overwrite").save()
     # same principle for the Python DataSource worker kind (separate
     # from the pandas pool): first use costs ~3 s of interpreter
     # spin-up that would otherwise be charged to python_datasource_agg

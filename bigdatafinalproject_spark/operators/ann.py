@@ -126,7 +126,23 @@ def cosine_topk(
     query side is broadcast (typical ANN batch: few queries, huge
     corpus), so the cross join is a broadcast-nested-loop with no
     shuffle of the corpus.
+
+    Batch frames dispatch to the Arrow kernel
+    (operators/arrow_kernels.cosine_topk_arrow): the panel — the side
+    this plan broadcast — is collected once, each corpus partition
+    computes its local top-k per query in numpy, and a final window
+    over the bounded survivors assigns the global rank; the Q-fan-out
+    interpreted fold disappears and the corpus is still never
+    collected.
     """
+    if not (corpus.isStreaming or queries.isStreaming):
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            cosine_topk_arrow,
+        )
+
+        return cosine_topk_arrow(
+            spread(corpus, id_col), queries, id_col, vec_col, k
+        )
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         "_qv",
@@ -179,10 +195,63 @@ def lsh_signatures(
 
     rows = num_planes // bands
     sel = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    # spread() inspects the RDD partition count, which a streaming frame
-    # does not have; streaming micro-batches arrive already parallelized
-    # by the source, so the row-local signature math needs no respread
-    d = sel if df.isStreaming else spread(sel, id_col)
+    if not df.isStreaming:
+        # batch frames: the P plane dots, the sign bits and the band
+        # strings all come out of one Arrow kernel pass (r14) — the
+        # hyperplane matrix is tiny and rides in the closure; the
+        # dim-sequential accumulation reproduces each fold bit-for-bit
+        import numpy as np
+        import pyarrow as pa_mod
+
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            _list_to_mat,
+            seq_dot,
+        )
+
+        W_mat = np.array(
+            [[comp(p, i) for i in range(1, dim + 1)] for p in range(num_planes)],
+            dtype=np.float64,
+        )
+        src = spread(sel, id_col)
+        schema = (
+            f"{id_col} {src.schema[id_col].dataType.simpleString()}, "
+            "band int, band_sig string"
+        )
+
+        def kernel(it):
+            for b in it:
+                X = _list_to_mat(b.column(1))
+                nb = X.shape[0]
+                if nb == 0:
+                    continue
+                bits = seq_dot(X, W_mat) > 0
+                chars = np.where(bits, "1", "0")
+                sigs = []
+                for bb in range(bands):
+                    s = chars[:, bb * rows]
+                    for j in range(1, rows):
+                        s = np.char.add(s, chars[:, bb * rows + j])
+                    sigs.append(s)
+                take = pa_mod.array(np.repeat(np.arange(nb), bands))
+                yield pa_mod.RecordBatch.from_arrays(
+                    [
+                        b.column(0).take(take),
+                        pa_mod.array(
+                            np.tile(np.arange(bands, dtype=np.int32), nb)
+                        ),
+                        pa_mod.array(
+                            np.stack(sigs, axis=1).ravel().tolist(),
+                            pa_mod.string(),
+                        ),
+                    ],
+                    [id_col, "band", "band_sig"],
+                )
+
+        return src.mapInArrow(kernel, schema)
+    # streaming micro-batches arrive already parallelized by the
+    # source, so the row-local signature math needs no respread; the
+    # expression form below stays for them
+    d = sel
     dots = [
         F.expr(
             "aggregate(zip_with(_v, array({}), (x, w) -> "
@@ -336,7 +405,24 @@ def _nearest_centroids(
     (``_rn``) so a caller needing BOTH the multi-assignment and the
     primary (rank-1) assignment runs the N×C pass once, not twice
     (r9 review #6: the ivfpq build was paying the corpus-wide
-    crossJoin + window shuffle twice)."""
+    crossJoin + window shuffle twice).
+
+    Batch frames dispatch to the Arrow kernel
+    (operators/arrow_kernels.topn_centroids_arrow): identical
+    dim-sequential cosine and (cos DESC, cid ASC) tie order,
+    vectorized in numpy, centroids collected once (bounded — the rows
+    this plan broadcast); the crossJoin fan-out and the row_number
+    shuffle disappear."""
+    if not (df.isStreaming or centroids.isStreaming):
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            topn_centroids_arrow,
+        )
+
+        src = df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v"))
+        return topn_centroids_arrow(
+            spread(src, out), centroids, out, "_v", n, out,
+            keep_rank=keep_rank,
+        )
     v = with_norm(
         spread(
             df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v")),
@@ -583,9 +669,6 @@ def ivf_centroids(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
     )
     if train_rounds > 0:
-        from bigdatafinalproject_spark.operators.barrier import (
-            materialize_barrier,
-        )
         from bigdatafinalproject_spark.operators.clustering import (
             kmeans_centroids,
         )
@@ -602,15 +685,12 @@ def ivf_centroids(
             id_col=id_col,
             vec_col=vec_col,
         )
-        # the trained-centroid subtree (train_rounds iterations over the
-        # corpus) feeds BOTH nearest legs — barrier it so the Lloyd
-        # iterations run once, not once per branch (the SemDeDup
-        # lesson; the frame is C<=64 rows, kB-sized)
-        centroids = materialize_barrier(
-            trained.select(
-                F.col("cid").alias("centroid_id"),
-                F.col("centroid").alias("_cent"),
-            )
+        # kmeans_centroids returns a LITERAL frame (r14 driver-stepped
+        # trainer), so no barrier is needed: every downstream branch
+        # reads the inlined k rows for free
+        centroids = trained.select(
+            F.col("cid").alias("centroid_id"),
+            F.col("centroid").alias("_cent"),
         )
     return centroids
 
@@ -700,20 +780,24 @@ def ivf_search_frames(
         .distinct(),
         "neighbor_id",
     )
-    q = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "_qv",
-    ).withColumnRenamed("_norm", "_qnorm")
-    c = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv",
-    ).withColumnRenamed("_norm", "_cnorm")
-    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
-    scored = (
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    # per-candidate exact cosine via the Arrow pair kernel (r14): same
+    # joins, but the interpreted per-row fold + the two with_norm
+    # passes collapse into one vectorized stage
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        pair_cosine_arrow,
+    )
+
+    scored = pair_cosine_arrow(
         spread(cand, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .join(c, "neighbor_id"),
+        ["query_id", "neighbor_id"], "_qv", "_cv", "cosine",
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -747,19 +831,16 @@ def embedding_neardup_pairs(
     # the per-candidate exact-cosine verification is compute-heavy but
     # byte-light: pin its parallelism so AQE can't coalesce it away
     cand = spread(cand, "id_a")
-    va = with_norm(
-        corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "_va"
-    ).withColumnRenamed("_norm", "_na")
-    vb = with_norm(
-        corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "_vb"
-    ).withColumnRenamed("_norm", "_nb")
-    cos = _dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        pair_cosine_arrow,
     )
+
+    return pair_cosine_arrow(
+        cand.join(va, "id_a").join(vb, "id_b"),
+        ["id_a", "id_b"], "_va", "_vb", "cosine",
+    ).filter(F.col("cosine") >= threshold)
 
 
 def _with_int8(df: DataFrame, id_out: str, vec_col: str, pfx: str) -> DataFrame:
@@ -845,19 +926,15 @@ def quantized_topk(
         .filter(F.col("_qrank") <= k * rerank)
         .select("query_id", "neighbor_id")
     )
-    qv = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "_qv",
-    ).withColumnRenamed("_norm", "_qnorm")
-    cv = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv",
-    ).withColumnRenamed("_norm", "_cnorm")
-    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
-    out = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        pair_cosine_arrow,
+    )
+
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    out = pair_cosine_arrow(
+        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id"),
+        ["query_id", "neighbor_id"], "_qv", "_cv", "cosine",
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return out.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
@@ -926,20 +1003,17 @@ def lsh_topk(
     cand = lsh_candidates(
         corpus, queries, id_col, vec_col, num_planes, bands, dim, multiprobe
     )
-    q = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "_qv",
-    ).withColumnRenamed("_norm", "_qnorm")
-    c = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv",
-    ).withColumnRenamed("_norm", "_cnorm")
-    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm"))
-    scored = (
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        pair_cosine_arrow,
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = pair_cosine_arrow(
         spread(cand, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .join(c, "neighbor_id"),
+        ["query_id", "neighbor_id"], "_qv", "_cv", "cosine",
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1018,40 +1092,27 @@ def mmr_from_candidates(
     from bigdatafinalproject_spark.operators.barrier import materialize_barrier
 
     cand = materialize_barrier(cand)
-    en = with_norm(
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        "_v",
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        pair_cosine_arrow,
     )
+
+    en = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     pa = cand.select("query_id", F.col("cid").alias("a"))
     pb = cand.select("query_id", F.col("cid").alias("b"))
+    # per-pair cosine via the Arrow pair kernel (r14), then the same
+    # floor(cos * scale) integer quantization as before
     sims = materialize_barrier(
-        pa.join(pb, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .join(
-            en.select(
-                F.col("_id").alias("a"),
-                F.col("_v").alias("_va"),
-                F.col("_norm").alias("_na"),
-            ),
-            "a",
-        )
-        .join(
-            en.select(
-                F.col("_id").alias("b"),
-                F.col("_v").alias("_vb"),
-                F.col("_norm").alias("_nb"),
-            ),
-            "b",
-        )
-        .select(
+        pair_cosine_arrow(
+            pa.join(pb, "query_id")
+            .filter(F.col("a") != F.col("b"))
+            .join(en.select(F.col("_id").alias("a"), F.col("_v").alias("_va")), "a")
+            .join(en.select(F.col("_id").alias("b"), F.col("_v").alias("_vb")), "b"),
+            ["query_id", "a", "b"], "_va", "_vb", "_cos",
+        ).select(
             "query_id",
             "a",
             "b",
-            F.floor(
-                _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")) * scale
-            )
-            .cast("long")
-            .alias("sim_q"),
+            F.floor(F.col("_cos") * scale).cast("long").alias("sim_q"),
         )
     )
     first = cand.groupBy("query_id").agg(
@@ -1207,7 +1268,19 @@ def encode_against_codebook(
     PQ, residuals for IVFPQ). The ONE definition shared by every
     build and append path (r9 review #7: four verbatim copies meant a
     tie-break or cast fix could silently diverge the build/append
-    halves — exactly the invariant the maintenance oracles rely on)."""
+    halves — exactly the invariant the maintenance oracles rely on).
+
+    Batch frames dispatch to the Arrow kernel
+    (operators/arrow_kernels.encode_codebook_arrow): the subspace
+    slice, dim-sequential L2 and ties-to-lowest-code argmin run
+    vectorized per partition and the explode + broadcast join +
+    min(struct) shuffle disappears."""
+    if not (frame.isStreaming or cb.isStreaming):
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            encode_codebook_arrow,
+        )
+
+        return encode_codebook_arrow(frame, cb, m, dim, keys)
     spaces, subv = _pq_exprs(m, dim)
     l2 = F.expr(
         "aggregate(zip_with(_sv, _cw, (x, c) -> "
@@ -1235,20 +1308,23 @@ def _exact_cosine_rerank(
     k: int,
 ) -> DataFrame:
     """Exact-cosine rerank of a bounded (query_id, neighbor_id)
-    candidate pool — the shared tail of the quantized tiers."""
-    qv = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "_qv",
-    ).withColumnRenamed("_norm", "_qnorm")
-    cv = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv",
-    ).withColumnRenamed("_norm", "_cnorm2")
-    cos = _dot("_qv", "_cv") / (F.col("_qnorm") * F.col("_cnorm2"))
-    out = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    candidate pool — the shared tail of the quantized tiers. r14: the
+    per-pair cosine runs in the Arrow pair kernel (same joins, the
+    interpreted fold and the with_norm passes collapse into one
+    vectorized stage)."""
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        pair_cosine_arrow,
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    out = pair_cosine_arrow(
+        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id"),
+        ["query_id", "neighbor_id"], "_qv", "_cv", "cosine",
     )
     w2 = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -1307,9 +1383,6 @@ def pq_build_frames(
         .select("code", "s", F.col("_sv").alias("_cw"))
     )
     if train_rounds > 0:
-        from bigdatafinalproject_spark.operators.barrier import (
-            materialize_barrier,
-        )
         from bigdatafinalproject_spark.operators.clustering import (
             kmeans_centroids,
         )
@@ -1333,12 +1406,11 @@ def pq_build_frames(
             vec_col="_sv",
             group_cols=("s",),
         )
-        # m x C rows, kB-sized; feeds both the encode join and the ADC
-        # lookup-table join — barrier so the Lloyd subtree runs once
-        cb = materialize_barrier(
-            trained.select(
-                F.col("cid").alias("code"), "s", F.col("centroid").alias("_cw")
-            )
+        # kmeans_centroids returns a LITERAL frame (r14): the encode
+        # kernel and the ADC lookup-table join both read the inlined
+        # m x C rows for free — no barrier needed
+        cb = trained.select(
+            F.col("cid").alias("code"), "s", F.col("centroid").alias("_cw")
         )
 
     cvec = spread(
@@ -1347,13 +1419,11 @@ def pq_build_frames(
     )
     codes = encode_against_codebook(cvec, cb, m, dim, ["neighbor_id"])
 
-    norms = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.expr(
-            f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-        ).alias("_cnorm"),
+    from bigdatafinalproject_spark.operators.arrow_kernels import norms_arrow
+
+    norms = norms_arrow(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id", vec_col, "_cnorm",
     )
     return cb, codes, norms
 
@@ -1383,30 +1453,18 @@ def pq_search_frames(
     min(pool_cap, k·rerank·s) pool size with an explicit count — the
     persisted serve paths compute it from the MANIFEST's row counters
     (drift-aware widening on appended indexes)."""
-    spaces, subv = _pq_exprs(m, dim)
     # the serve half needs only N for the pool cap (min(id) is a
     # build-time sampling concern) — one count-only 1-row aggregate
     _stats = corpus.select(F.count(F.lit(1)).alias("_n"))
     _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
     # ADC lookup tables: floor-quantized subspace dots per (query,
-    # subspace, codeword) — |Q| * m * C rows, broadcastable
-    pdot = F.expr(
-        "aggregate(zip_with(_sv, _cw, (x, c) -> "
-        "CAST(x AS DOUBLE) * CAST(c AS DOUBLE)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    # subspace, codeword) — |Q| * m * C rows, broadcastable; built in
+    # one Arrow kernel pass over the bounded panel (r14)
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        adc_lookup_arrow,
     )
-    qtab = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
-        .select("query_id", spaces, "_v")
-        .select("query_id", "s", subv)
-        .join(F.broadcast(cb), "s")
-        .select(
-            "query_id",
-            "s",
-            "code",
-            F.floor(pdot * scale).cast("long").alias("_pq"),
-        )
-    )
+
+    qtab = adc_lookup_arrow(queries, cb, m, dim, scale, id_col, vec_col)
 
     adc = (
         codes.join(F.broadcast(qtab), ["s", "code"])
@@ -1508,34 +1566,35 @@ def ivfpq_build_frames(
     # ONE ranked assignment pass serves both the multi-assignment
     # postings and the primary (rank-1) training subset (r9 review #6:
     # a separate n=1 call re-ran the N×C crossJoin + window — the two
-    # largest relations in the build). The id-only frame is barriered
-    # so its two consumers don't re-execute the pass per branch.
+    # largest relations in the build). r14: the Arrow kernel also
+    # emits the per-assignment RESIDUAL in the same pass (elementwise
+    # double subtraction — the zip_with residual bit-for-bit), so the
+    # corpus-vector and centroid joins that used to rebuild it
+    # downstream disappear. The frame is barriered so its consumers
+    # (codebook init, codebook trainer, encode) don't re-execute the
+    # pass per branch.
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        topn_centroids_arrow,
+    )
+
     assigned = materialize_barrier(
-        _nearest_centroids(
-            centroids, corpus, id_col, vec_col, multi_assign,
-            "neighbor_id", keep_rank=True,
+        topn_centroids_arrow(
+            spread(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("_v"),
+                ),
+                "neighbor_id",
+            ),
+            centroids, "neighbor_id", "_v", multi_assign, "neighbor_id",
+            keep_rank=True, emit_residual=True,
         )
     )
-    cvec = spread(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
-        "neighbor_id",
-    )
-    residual = F.expr(
-        "zip_with(_v, _cent, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
-    )
     # residuals for EVERY assignment (bounded multi× rows)
-    res_all = (
-        assigned.drop("_rn")
-        .join(cvec, "neighbor_id")
-        .join(F.broadcast(centroids), "centroid_id")
-        .select("neighbor_id", "centroid_id", residual.alias("_rv"))
-    )
+    res_all = assigned.select("neighbor_id", "centroid_id", "_rv")
     # PRIMARY residuals train the codebook (rank-1 assignment)
-    res_prim = (
-        assigned.filter(F.col("_rn") == 1)
-        .join(cvec, "neighbor_id")
-        .join(F.broadcast(centroids), "centroid_id")
-        .select("neighbor_id", residual.alias("_rv"))
+    res_prim = assigned.filter(F.col("_rn") == 1).select(
+        "neighbor_id", "_rv"
     )
     # codebook init: id-relative sampling of primary residual
     # subvectors (the offset-robust discipline), then grouped Lloyd
@@ -1576,9 +1635,11 @@ def ivfpq_build_frames(
         ),
         cb, m, dim, ["neighbor_id", "centroid_id"],
     )
-    norms = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.sqrt(_dot(vec_col, vec_col)).alias("_cnorm"),
+    from bigdatafinalproject_spark.operators.arrow_kernels import norms_arrow
+
+    norms = norms_arrow(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id", vec_col, "_cnorm",
     )
     return centroids, cb, codes, norms
 
@@ -1635,7 +1696,6 @@ def ivfpq_search_frames(
     only scan the layout exists for); when absent (end-to-end plans,
     legacy indexes) it falls back to a C-row aggregate of the s==0
     code rows."""
-    spaces, subv = _pq_exprs(m, dim)
     _stats = corpus.select(F.count(F.lit(1)).alias("_n"))
     _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
     if probe_mass is None:
@@ -1657,28 +1717,18 @@ def ivfpq_search_frames(
             centroids, queries, sizes, probe_mass, id_col, vec_col,
             mass_multi=mass_multi, sched_ref=sched_ref,
         )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    # per-(query, probed cell) coarse term: floor(dot(q, centroid)*scale)
-    qc = (
-        probes.join(F.broadcast(qv), "query_id")
-        .join(F.broadcast(centroids), "centroid_id")
-        .select(
-            "query_id", "centroid_id",
-            F.floor(_dot("_qv", "_cent") * scale).cast("long").alias("_qc"),
-        )
+    # per-(query, probed cell) coarse term floor(dot(q, centroid)*scale)
+    # and the cell-independent per-(query, subspace, codeword) residual
+    # lookup table — both via Arrow kernels over bounded sides (r14)
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        adc_lookup_arrow,
+        coarse_terms_arrow,
     )
-    # per-(query, subspace, codeword) residual term (cell-independent)
-    pdot = F.expr(
-        "aggregate(zip_with(_sv, _cw, (x, c) -> "
-        "CAST(x AS DOUBLE) * CAST(c AS DOUBLE)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+    qc = coarse_terms_arrow(
+        probes, queries, centroids, scale, id_col, vec_col
     )
-    qtab = (
-        qv.select("query_id", spaces, F.col("_qv").alias("_v"))
-        .select("query_id", "s", subv)
-        .join(F.broadcast(cb), "s")
-        .select("query_id", "s", "code", F.floor(pdot * scale).cast("long").alias("_pq"))
-    )
+    qtab = adc_lookup_arrow(queries, cb, m, dim, scale, id_col, vec_col)
     # restrict the big codes relation to probed cells FIRST, then the
     # broadcast table lookups; per-cell score = coarse + residual ADC
     adc_cell = (

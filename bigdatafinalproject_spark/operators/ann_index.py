@@ -1877,13 +1877,13 @@ def pq_index_append(
             ),
             cb, m, dim, ["neighbor_id"],
         )
-        dnorms = delta.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.expr(
-                f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> "
-                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-            ).alias("_cnorm"),
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            norms_arrow,
+        )
+
+        dnorms = norms_arrow(
+            delta.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            "neighbor_id", vec_col, "_cnorm",
         )
         # stage every Spark job pre-invalidate (v5.1, see the ivf
         # twin): the invalidated window below is pure renames; the two
@@ -2839,9 +2839,13 @@ def ivfpq_index_append(
             res.select("neighbor_id", "centroid_id", F.col("_rv").alias("_v")),
             cb, m, dim, ["neighbor_id", "centroid_id"],
         )
-        dnorms = delta.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.sqrt(_dot(vec_col, vec_col)).alias("_cnorm"),
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            norms_arrow,
+        )
+
+        dnorms = norms_arrow(
+            delta.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            "neighbor_id", vec_col, "_cnorm",
         )
         track_sizes = "cell_sizes" in meta.get("tables", [])
         # stage EVERY Spark job pre-invalidate (v5.1, mirroring the

@@ -1,0 +1,647 @@
+"""Vectorized Arrow kernels for the bounded-small-side distance
+primitives (optimization r14).
+
+Why this module exists: the engine's distance math was expressed as
+``aggregate(zip_with(...))`` sequential folds — chosen for bit-exact
+cross-engine portability (Spark ``aggregate`` == DuckDB
+``list_reduce``). Those higher-order functions are NOT supported by
+whole-stage codegen: Spark evaluates them interpreted, per row, with a
+fresh intermediate array per (vector, centroid) pair. Measured on the
+bench host, a single N x C assign pass over 2,000 x 64 vectors burned
+~20-50 s of executor run time — microseconds per element where a
+vectorized loop needs nanoseconds.
+
+The fix (optimization guide §4.2: hand whole Arrow batches to
+vectorized native code): ``mapInArrow`` kernels that compute the same
+quantities in numpy with **dimension-sequential accumulation** —
+
+    acc = 0.0; for d in 0..dim-1: acc += f(x[d], c[d])
+
+vectorized over all (row, centroid) pairs at once. Each (i, j)
+accumulator receives its terms in exactly the left-to-right order of
+the SQL fold, every elementwise numpy op is a single IEEE-754 double
+operation (no FMA, no reassociation, no pairwise summation), and
+float32 -> float64 widening is exact — so every score is **bit-identical**
+to the expression it replaces (property-tested against a pure-Python
+fold in tests/test_arrow_kernels.py). Ties keep their semantics:
+centroid rows are sorted by id ascending and numpy's stable
+sort / first-occurrence argmin reproduce ``row_number() OVER
+(ORDER BY score, id)`` / ``min(struct(dist, id))`` exactly.
+
+Driver-boundedness: each kernel collects only the side the old plan
+already BROADCAST (a trained centroid/codebook frame of <= ~1k rows,
+or the query panel of an exact-tier scan) — same memory class, same
+rows, now materialized once instead of re-executed per plan reference.
+``_COLLECT_CAP`` turns an accidental unbounded call into a loud error
+instead of a silent driver OOM. The big side streams through
+``mapInArrow`` partition by partition and is never collected.
+
+Streaming frames cannot ``collect()`` mid-plan; every public entry
+point takes ``df.isStreaming`` into account at the CALLER (the callers
+fall back to the expression form there — today only lsh_signatures
+runs on an unbatched streaming frame; the index-maintenance paths all
+operate inside foreachBatch on batch frames).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import zipfile
+from collections.abc import Iterator
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The kernels below are MODULE-LEVEL functions, so cloudpickle ships
+# them to Python workers BY REFERENCE — the worker must be able to
+# ``import bigdatafinalproject_spark``. A driver that imported the
+# package from a path the workers do not inherit (spec-loaded entry
+# file, different cwd) would fail at task deserialization, so every
+# kernel builder first ships the package source to the session via
+# ``addPyFile`` (the documented mechanism for importable-module UDFs).
+# One zip per process, one addPyFile per SparkContext.
+_SHIP_LOCK = threading.Lock()
+_SHIPPED: set[str] = set()
+
+
+def _ensure_worker_imports(df: DataFrame) -> None:
+    sc = df.sparkSession.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    with _SHIP_LOCK:
+        if key in _SHIPPED:
+            return
+        pkg_dir = Path(__file__).resolve().parent.parent
+        zpath = Path("/tmp") / f"bdfp_pkg_{os.getpid()}.zip"
+        if not zpath.exists():
+            tmp = zpath.with_suffix(".zip.tmp")
+            with zipfile.ZipFile(tmp, "w") as z:
+                for f in sorted(pkg_dir.rglob("*.py")):
+                    z.write(
+                        f,
+                        arcname=str(
+                            Path(pkg_dir.name) / f.relative_to(pkg_dir)
+                        ),
+                    )
+            os.replace(tmp, zpath)
+        sc.addPyFile(str(zpath))
+        _SHIPPED.add(key)
+
+# Bounded-collect guard: the largest legitimate small side is the
+# exact-tier query panel (N/50 rows — ~12k at sf30); trained
+# centroid/codebook frames are <= IVF_CENTROID_CAP / m*64 rows. A call
+# that trips this cap is a misuse (collecting a corpus), not a scale
+# problem.
+_COLLECT_CAP = 200_000
+
+
+def seq_dot(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, d) x (c, d) -> (n, c) dot products, accumulated dim by dim
+    so each entry reproduces the left-to-right sequential fold
+    bit-for-bit."""
+    n, d = X.shape
+    acc = np.zeros((n, C.shape[0]))
+    tmp = np.empty_like(acc)
+    for i in range(d):
+        np.multiply(X[:, i, None], C[None, :, i], out=tmp)
+        acc += tmp
+    return acc
+
+
+def seq_l2(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, d) x (c, d) -> (n, c) squared L2, dim-sequential: each term
+    is (double(x) - double(c))^2 added left to right."""
+    n, d = X.shape
+    acc = np.zeros((n, C.shape[0]))
+    tmp = np.empty_like(acc)
+    for i in range(d):
+        np.subtract(X[:, i, None], C[None, :, i], out=tmp)
+        np.multiply(tmp, tmp, out=tmp)
+        acc += tmp
+    return acc
+
+
+def seq_norm(X: np.ndarray) -> np.ndarray:
+    """Per-row sqrt(sequential self-dot) — the ``with_norm`` fold."""
+    acc = np.zeros(X.shape[0])
+    for i in range(X.shape[1]):
+        acc += X[:, i] * X[:, i]
+    return np.sqrt(acc)
+
+
+def _list_to_mat(arr) -> np.ndarray:
+    """Arrow list<float|double> column -> (n, d) float64 matrix.
+    float32 -> float64 widening is exact, matching CAST(x AS DOUBLE)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.zeros((0, 0))
+    d = len(flat) // n
+    if d * n != len(flat):
+        raise ValueError("ragged vector column in Arrow kernel")
+    return flat.astype(np.float64, copy=False).reshape(n, d)
+
+
+def collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded collect of a small (id, vector) frame -> (ids asc,
+    matrix) — the rows the old plans broadcast, materialized once."""
+    rows = df.select(id_col, vec_col).collect()
+    if len(rows) > _COLLECT_CAP:
+        raise ValueError(
+            f"arrow kernel small side has {len(rows)} rows "
+            f"(cap {_COLLECT_CAP}): refusing to collect a corpus"
+        )
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = (
+        np.array([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
+    )
+    return ids, mat
+
+
+def _spark_field(df: DataFrame, col: str) -> str:
+    return f"{col} {df.schema[col].dataType.simpleString()}"
+
+
+def topn_centroids_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    out: str,
+    keep_rank: bool = False,
+    emit_residual: bool = False,
+) -> DataFrame:
+    """Drop-in for the crossJoin + window form of
+    ``operators.ann._nearest_centroids``: top-``n`` centroids per
+    vector by cosine (descending, ties to the ascending centroid id),
+    one Arrow kernel pass instead of a C-fan-out interpreted fold plus
+    a row_number shuffle. ``emit_residual`` additionally outputs
+    ``_rv`` = vector − assigned centroid per emitted (vector, cell)
+    pair (elementwise double subtraction of exactly-widened values —
+    the ``zip_with`` residual bit-for-bit), which lets the IVFPQ build
+    skip re-joining the corpus and the centroids downstream."""
+    _ensure_worker_imports(df)
+    cids, C = collect_matrix(centroids, "centroid_id", "_cent")
+    cn = seq_norm(C)
+    n_eff = int(min(n, len(cids)))
+    src = df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v"))
+    schema = (
+        f"{_spark_field(src, out)}, centroid_id bigint"
+        + (", _rn int" if keep_rank else "")
+        + (", _rv array<double>" if emit_residual else "")
+    )
+    names = (
+        [out, "centroid_id"]
+        + (["_rn"] if keep_rank else [])
+        + (["_rv"] if emit_residual else [])
+    )
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0)
+            X = _list_to_mat(b.column(1))
+            nb = X.shape[0]
+            if nb == 0 or n_eff == 0:
+                continue
+            cos = seq_dot(X, C)
+            denom = seq_norm(X)[:, None] * cn[None, :]
+            np.divide(cos, denom, out=cos)
+            # stable argsort of -cos with columns pre-sorted by cid
+            # ascending == row_number ORDER BY cos DESC, cid ASC
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_eff]
+            take = np.repeat(np.arange(nb), n_eff)
+            arrays = [
+                ids.take(pa.array(take)),
+                pa.array(cids[order].ravel(), pa.int64()),
+            ]
+            if keep_rank:
+                arrays.append(
+                    pa.array(
+                        np.tile(np.arange(1, n_eff + 1, dtype=np.int32), nb)
+                    )
+                )
+            if emit_residual:
+                d = X.shape[1]
+                res = X[take] - C[order.ravel()]
+                offsets = pa.array(
+                    np.arange(0, (len(take) + 1) * d, d, dtype=np.int32)
+                )
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        offsets, pa.array(res.ravel(), pa.float64())
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return src.mapInArrow(kernel, schema)
+
+
+def collect_grouped_centroids(
+    cents: DataFrame, group_col: str | None = "s"
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Bounded collect of a (group?, cid, centroid) frame into
+    {group: (cids asc, matrix)} — the driver-side form the argmin /
+    encode kernels consume. Group 0 holds everything when
+    ``group_col`` is None."""
+    cols = ([group_col] if group_col else []) + ["cid", "centroid"]
+    rows = cents.select(*cols).collect()
+    if len(rows) > _COLLECT_CAP:
+        raise ValueError("arrow kernel centroid frame over cap")
+    groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if group_col is None:
+        rows.sort(key=lambda r: r[0])
+        groups[0] = (
+            np.array([r[0] for r in rows], dtype=np.int64),
+            np.array([r[1] for r in rows], dtype=np.float64),
+        )
+        return groups
+    for g in sorted({r[0] for r in rows}):
+        grows = sorted((r for r in rows if r[0] == g), key=lambda r: r[1])
+        groups[int(g)] = (
+            np.array([r[1] for r in grows], dtype=np.int64),
+            np.array([r[2] for r in grows], dtype=np.float64),
+        )
+    return groups
+
+
+def argmin_centroids_arrow(
+    emb: DataFrame,
+    cents: DataFrame | dict[int, tuple[np.ndarray, np.ndarray]],
+    id_col: str,
+    vec_col: str,
+    group_cols: tuple[str, ...] = (),
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Drop-in for ``operators.clustering._assign``: nearest centroid
+    per vector by dim-sequential squared L2, ties to the lowest cid
+    (numpy first-occurrence argmin over cid-ascending columns ==
+    ``min(struct(dist, cid))``). With ``group_cols`` (the PQ subspace
+    index) the centroid set and the argmin are scoped per group.
+    ``cents`` may be the already-collected driver-side dict (the
+    trainer's per-round form — no extra job); ``carry_vec`` passes the
+    input vector through, which lets the Lloyd means consume the
+    assignment without re-joining the corpus."""
+    _ensure_worker_imports(emb)
+    if isinstance(cents, dict):
+        groups = cents
+    elif group_cols:
+        groups = collect_grouped_centroids(cents, group_cols[0])
+    else:
+        groups = collect_grouped_centroids(cents, None)
+
+    cols = [id_col, *group_cols, vec_col]
+    src = emb.select(*cols)
+    schema = ", ".join(
+        [_spark_field(src, id_col)]
+        + [_spark_field(src, g) for g in group_cols]
+        + ["cid bigint", "dist double"]
+        + ([_spark_field(src, vec_col)] if carry_vec else [])
+    )
+    names = [id_col, *group_cols, "cid", "dist"] + (
+        [vec_col] if carry_vec else []
+    )
+    g_idx = 1 if group_cols else None
+    v_idx = 2 if group_cols else 1
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            X = _list_to_mat(b.column(v_idx))
+            nb = X.shape[0]
+            if nb == 0:
+                continue
+            out_cid = np.empty(nb, dtype=np.int64)
+            out_dist = np.empty(nb)
+            valid = np.ones(nb, dtype=bool)
+            if g_idx is None:
+                if 0 not in groups or len(groups[0][0]) == 0:
+                    continue  # no centroids: the old inner form emits 0 rows
+                cids, C = groups[0]
+                d = seq_l2(X, C)
+                am = np.argmin(d, axis=1)
+                out_cid[:] = cids[am]
+                out_dist[:] = d[np.arange(nb), am]
+            else:
+                gv = b.column(g_idx).to_numpy(zero_copy_only=False)
+                for g in np.unique(gv):
+                    mask = gv == g
+                    if int(g) not in groups or len(groups[int(g)][0]) == 0:
+                        valid[mask] = False
+                        continue
+                    cids, C = groups[int(g)]
+                    d = seq_l2(X[mask], C)
+                    am = np.argmin(d, axis=1)
+                    out_cid[mask] = cids[am]
+                    out_dist[mask] = d[np.arange(d.shape[0]), am]
+            sel = None if valid.all() else pa.array(np.flatnonzero(valid))
+            arrays = [b.column(0)]
+            if g_idx is not None:
+                arrays.append(b.column(g_idx))
+            arrays += [pa.array(out_cid, pa.int64()), pa.array(out_dist)]
+            if carry_vec:
+                arrays.append(b.column(v_idx))
+            if sel is not None:
+                arrays = [a.take(sel) for a in arrays]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return src.mapInArrow(kernel, schema)
+
+
+def encode_codebook_arrow(
+    frame: DataFrame, cb: DataFrame, m: int, dim: int, keys: list[str]
+) -> DataFrame:
+    """Drop-in for ``operators.ann.encode_against_codebook``: the PQ
+    argmin encode as one kernel pass — subspace slicing, the
+    dim-sequential L2 against each subspace's codewords, and the
+    ties-to-lowest-code argmin all happen in numpy, emitting the
+    (keys..., s, code) rows directly. Replaces an explode + broadcast
+    join + min(struct) aggregation (one shuffle of the largest
+    relation's m-fan-out removed outright)."""
+    _ensure_worker_imports(frame)
+    sub = dim // m
+    assert sub * m == dim
+    rows = cb.select("s", "code", "_cw").collect()
+    if len(rows) > _COLLECT_CAP:
+        raise ValueError("arrow kernel codebook over cap")
+    by_s: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for s in range(m):
+        srows = sorted((r for r in rows if r[0] == s), key=lambda r: r[1])
+        by_s[s] = (
+            np.array([r[1] for r in srows], dtype=np.int64),
+            np.array([r[2] for r in srows], dtype=np.float64),
+        )
+
+    src = frame.select(*keys, "_v")
+    schema = ", ".join(
+        [_spark_field(src, k) for k in keys] + ["s int", "code bigint"]
+    )
+    names = [*keys, "s", "code"]
+    v_idx = len(keys)
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            X = _list_to_mat(b.column(v_idx))
+            nb = X.shape[0]
+            if nb == 0:
+                continue
+            codes = np.empty((nb, m), dtype=np.int64)
+            for s in range(m):
+                sids, C = by_s[s]
+                d = seq_l2(X[:, s * sub : (s + 1) * sub], C)
+                codes[:, s] = sids[np.argmin(d, axis=1)]
+            take = pa.array(np.repeat(np.arange(nb), m))
+            arrays = [b.column(i).take(take) for i in range(len(keys))]
+            arrays.append(pa.array(np.tile(np.arange(m, dtype=np.int32), nb)))
+            arrays.append(pa.array(codes.ravel(), pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return src.mapInArrow(kernel, schema)
+
+
+def norms_arrow(
+    df: DataFrame, id_col: str, vec_col: str, out: str = "_cnorm"
+) -> DataFrame:
+    """(id, vec) -> (id, sqrt(sequential self-dot)) — the ``with_norm``
+    fold as one vectorized pass."""
+    _ensure_worker_imports(df)
+    src = df.select(id_col, vec_col)
+    schema = f"{_spark_field(src, id_col)}, {out} double"
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            X = _list_to_mat(b.column(1))
+            if X.shape[0] == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(seq_norm(X))], [id_col, out]
+            )
+
+    return src.mapInArrow(kernel, schema)
+
+
+def adc_lookup_arrow(
+    queries: DataFrame,
+    cb: DataFrame,
+    m: int,
+    dim: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The per-query ADC lookup table (query_id, s, code, _pq) —
+    _pq = floor(seqdot(q_subspace, codeword) * scale) as int64 — one
+    kernel pass over the bounded query panel with the codebook in the
+    closure, replacing the subspace explode + broadcast join +
+    interpreted fold."""
+    _ensure_worker_imports(queries)
+    sub = dim // m
+    by_s = collect_grouped_centroids(
+        cb.select("s", F.col("code").alias("cid"), F.col("_cw").alias("centroid")),
+        "s",
+    )
+    src = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    schema = "query_id bigint, s int, code bigint, _pq bigint"
+    fscale = float(scale)
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            X = _list_to_mat(b.column(1))
+            nb = X.shape[0]
+            if nb == 0:
+                continue
+            out_q, out_s, out_c, out_p = [], [], [], []
+            for s in range(m):
+                codes, C = by_s.get(s, (np.zeros(0, np.int64), np.zeros((0, 0))))
+                nc = len(codes)
+                if nc == 0:
+                    continue
+                d = seq_dot(X[:, s * sub : (s + 1) * sub], C)
+                pq = np.floor(d * fscale).astype(np.int64)
+                out_q.append(np.repeat(ids, nc))
+                out_s.append(np.full(nb * nc, s, dtype=np.int32))
+                out_c.append(np.tile(codes, nb))
+                out_p.append(pq.ravel())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.int32()),
+                    pa.array(np.concatenate(out_c), pa.int64()),
+                    pa.array(np.concatenate(out_p), pa.int64()),
+                ],
+                ["query_id", "s", "code", "_pq"],
+            )
+
+    return src.mapInArrow(kernel, schema)
+
+
+def coarse_terms_arrow(
+    probes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The per-(query, probed cell) coarse ADC term (query_id,
+    centroid_id, _qc = floor(seqdot(q, centroid) * scale) as int64):
+    both the query panel and the centroid frame are bounded (they were
+    broadcast in the join form), so the two lookups and the dot run in
+    one kernel pass over the probe pairs."""
+    _ensure_worker_imports(probes)
+    qids, Q = collect_matrix(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        vec_col,
+    )
+    cids, C = collect_matrix(centroids, "centroid_id", "_cent")
+    src = probes.select("query_id", "centroid_id")
+    schema = "query_id bigint, centroid_id bigint, _qc bigint"
+    fscale = float(scale)
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            qv = b.column(0).to_numpy(zero_copy_only=False)
+            cv = b.column(1).to_numpy(zero_copy_only=False)
+            if len(qv) == 0:
+                continue
+            qi = np.searchsorted(qids, qv)
+            ci = np.searchsorted(cids, cv)
+            A = Q[qi]
+            B = C[ci]
+            acc = np.zeros(len(qv))
+            tmp = np.empty_like(acc)
+            for i in range(A.shape[1]):
+                np.multiply(A[:, i], B[:, i], out=tmp)
+                acc += tmp
+            qc = np.floor(acc * fscale).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), pa.array(qc, pa.int64())],
+                ["query_id", "centroid_id", "_qc"],
+            )
+
+    return src.mapInArrow(kernel, schema)
+
+
+def pair_cosine_arrow(
+    df: DataFrame,
+    keep: list[str],
+    a_col: str,
+    b_col: str,
+    out: str = "cosine",
+) -> DataFrame:
+    """Per-row cosine between two vector columns of an already-joined
+    frame: dim-sequential dot and self-norms, cosine =
+    dot / (sqrt(selfdot(a)) * sqrt(selfdot(b))) — the same IEEE ops in
+    the same order as ``_dot(a, b) / (_norm_a * _norm_b)`` over
+    ``with_norm`` columns, so values are bit-identical. ``keep`` lists
+    the pass-through columns; the vectors are dropped after scoring
+    (they never cross another exchange)."""
+    _ensure_worker_imports(df)
+    src = df.select(*keep, a_col, b_col)
+    schema = ", ".join(
+        [_spark_field(src, c) for c in keep] + [f"{out} double"]
+    )
+    names = [*keep, out]
+    na = len(keep)
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            A = _list_to_mat(b.column(na))
+            B = _list_to_mat(b.column(na + 1))
+            if A.shape[0] == 0:
+                continue
+            acc = np.zeros(A.shape[0])
+            tmp = np.empty_like(acc)
+            for i in range(A.shape[1]):
+                np.multiply(A[:, i], B[:, i], out=tmp)
+                acc += tmp
+            cos = acc / (seq_norm(A) * seq_norm(B))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(na)] + [pa.array(cos)], names
+            )
+
+    return src.mapInArrow(kernel, schema)
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Drop-in for the exact brute-force tier
+    (``operators.ann.cosine_topk``): the query panel — the side the
+    old plan broadcast — is collected once; each corpus partition
+    computes its LOCAL top-k per query in the kernel (any global
+    top-k row is in its partition's top-k under the same (cosine
+    DESC, neighbor ASC) order), and a final window over the
+    partitions * |Q| * k survivors assigns the global rank. The
+    corpus is never collected and never crossJoin-fanned."""
+    from pyspark.sql import Window as W
+
+    _ensure_worker_imports(corpus)
+    qids, Q = collect_matrix(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        "query_id",
+        "_qv",
+    )
+    qn = seq_norm(Q)
+    nq = len(qids)
+    src = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    schema = "query_id bigint, neighbor_id bigint, cosine double"
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            nids_a = b.column(0)
+            nids = nids_a.to_numpy(zero_copy_only=False)
+            X = _list_to_mat(b.column(1))
+            nb = X.shape[0]
+            if nb == 0 or nq == 0:
+                continue
+            cos = seq_dot(X, Q)
+            denom = seq_norm(X)[:, None] * qn[None, :]
+            np.divide(cos, denom, out=cos)
+            kk = min(k, nb)
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                col = cos[:, j]
+                # exclude the self-pair, preserve (cos DESC, id ASC)
+                sel = np.lexsort((nids, -col))
+                sel = sel[nids[sel] != qids[j]][:kk]
+                out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
+                out_n.append(nids[sel])
+                out_c.append(col[sel])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_n), pa.int64()),
+                    pa.array(np.concatenate(out_c), pa.float64()),
+                ],
+                ["query_id", "neighbor_id", "cosine"],
+            )
+
+    local = src.mapInArrow(kernel, schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -56,7 +56,19 @@ def _assign(
     (dist, cid) per vector. k is small by construction, so the cross
     join is k-fan-out map-side work, never a shuffle of the big side.
     With ``group_cols`` (e.g. a PQ subspace index) the centroid join and
-    the argmin are scoped per group — one plan trains every group."""
+    the argmin are scoped per group — one plan trains every group.
+
+    Batch frames dispatch to the Arrow kernel
+    (operators/arrow_kernels.argmin_centroids_arrow): same
+    dim-sequential arithmetic and tie rule, vectorized in numpy
+    instead of Spark's interpreted HOF path, with the k centroids
+    collected once (bounded — the same rows this plan broadcast)."""
+    if not (emb.isStreaming or cents.isStreaming):
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            argmin_centroids_arrow,
+        )
+
+        return argmin_centroids_arrow(emb, cents, id_col, vec_col, group_cols)
     joined = (
         emb.join(F.broadcast(cents), on=list(group_cols))
         if group_cols
@@ -113,30 +125,65 @@ def kmeans_centroids(
     collapsed by Catalyst's CollapseRepartition for free. Content-
     neutral by design: the decimal-mean updates are order-independent
     sums (module doc), so trained centroids are bit-identical under
-    any partitioning."""
+    any partitioning.
+
+    Optimization r14: the Lloyd loop is driver-stepped — each round is
+    ONE Spark job (Arrow argmin kernel carrying the vector through ->
+    posexplode -> decimal-mean aggregate -> bounded collect of the
+    k x dim means), and the next round's centroids ride into the
+    kernel closure instead of re-executing the previous round's
+    subtree inside a broadcast exchange. The decimal-mean aggregation
+    itself is untouched (that is the cross-engine-exact step), so
+    trained centroids are bit-identical to the unrolled-plan form; the
+    returned frame is a LITERAL (createDataFrame of the k rows), which
+    makes every downstream broadcast/collect of it free."""
+    import numpy as np
+
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        argmin_centroids_arrow,
+        collect_grouped_centroids,
+    )
+
     sc = emb.sparkSession.sparkContext
+    spark = emb.sparkSession
     emb = emb.repartition(sc.defaultParallelism, F.col(id_col))
-    cents = init
+    gcol = group_cols[0] if group_cols else None
+    groups = collect_grouped_centroids(init, gcol)
     for _ in range(rounds):
-        assigned = _assign(emb, cents, id_col, vec_col, group_cols)
-        long = emb.join(
-            assigned.select(id_col, *group_cols, "cid"),
-            on=[id_col, *group_cols],
-        ).select(
-            *[F.col(g) for g in group_cols],
-            F.col("cid"),
-            F.posexplode(vec_col).alias("dim", "val"),
+        assigned = argmin_centroids_arrow(
+            emb, groups, id_col, vec_col, group_cols, carry_vec=True
         )
-        means = long.groupBy(*group_cols, "cid", "dim").agg(
-            davg(F.col("val").cast("double")).alias("avg")
+        means = (
+            assigned.select(
+                *[F.col(g) for g in group_cols],
+                F.col("cid"),
+                F.posexplode(vec_col).alias("dim", "val"),
+            )
+            .groupBy(*group_cols, "cid", "dim")
+            .agg(davg(F.col("val").cast("double")).alias("avg"))
+            .collect()
         )
-        cents = means.groupBy(*group_cols, "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "avg"))),
-                lambda s: s["avg"],
-            ).alias("centroid")
-        )
-    return cents
+        by_key: dict[tuple[int, int], list[tuple[int, float]]] = {}
+        for r in means:
+            g = int(r[0]) if group_cols else 0
+            by_key.setdefault((g, r["cid"]), []).append((r["dim"], r["avg"]))
+        groups = {}
+        for g in sorted({k[0] for k in by_key}):
+            cids = sorted(k[1] for k in by_key if k[0] == g)
+            mat = np.array(
+                [[v for _, v in sorted(by_key[(g, cid)])] for cid in cids],
+                dtype=np.float64,
+            )
+            groups[g] = (np.array(cids, dtype=np.int64), mat)
+    rows = [
+        ((int(g),) if group_cols else ()) + (int(cid), [float(x) for x in cvec])
+        for g, (cids, mat) in sorted(groups.items())
+        for cid, cvec in zip(cids, mat)
+    ]
+    schema = (
+        f"{gcol} int, " if group_cols else ""
+    ) + "cid bigint, centroid array<double>"
+    return spark.createDataFrame(rows, schema)
 
 
 def kmeans_assign(

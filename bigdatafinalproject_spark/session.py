@@ -38,10 +38,18 @@ def get_spark(
     NOT replicate the reference's fixed 700.
     """
     cpus = default_parallelism()
+    # Shuffle partitions are a DATA-size knob, not a core-count knob
+    # (optimization guide §2.2: size post-shuffle partitions toward
+    # 100 MB-1 GB; at 100 TB that is >> core count and AQE coalescing
+    # trims the excess). SPARK_GRAFT_SHUFFLE_PARTITIONS parameterizes
+    # it for scale runs; the local default stays the historical core
+    # count so driver bench lineage remains comparable.
+    env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    sp = shuffle_partitions or (int(env_sp) if env_sp else cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
