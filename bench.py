@@ -40,6 +40,13 @@ def main() -> None:
     spark = get_spark(app_name="bdfp-bench")
     # warm the JVM + parquet footers so per-query numbers measure the query
     registry.QUERIES["popular_parts"](spark, sf_dir).count()
+    # ship the package zip BEFORE warming the worker pool: addPyFile
+    # changes the Python-worker-factory key, so a pool warmed first
+    # would be abandoned and re-forked at the first kernelized query
+    # (~2-4 s of numpy/pyarrow imports charged to that query)
+    from bigdatafinalproject_spark.operators import arrow_kernels as _ak
+
+    _ak.ensure_shipped(spark)
     # warm the Python worker pool too — otherwise the alphabetically
     # first mapInPandas query absorbs the whole pool's spin-up cost
     spark.range(10_000).repartition(32).mapInPandas(
@@ -50,8 +57,6 @@ def main() -> None:
     # plans run operators/arrow_kernels kernels, and a cold worker pays
     # ~0.5-1 s of module import that would otherwise be charged to the
     # first kernelized query (same principle as the two warms above)
-    from bigdatafinalproject_spark.operators import arrow_kernels as _ak
-
     def _warm_kernels(it):
         _ak.seq_dot  # resolved in the worker: the module is imported
         yield from it

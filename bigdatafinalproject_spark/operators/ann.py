@@ -212,7 +212,12 @@ def lsh_signatures(
             [[comp(p, i) for i in range(1, dim + 1)] for p in range(num_planes)],
             dtype=np.float64,
         )
-        src = spread(sel, id_col)
+        # no respread (r14): the kernel is ~100x cheaper per element
+        # than the interpreted fold it replaced, so the scan's own
+        # partitioning (which grows with file bytes) is parallel
+        # enough at every SF, and a 32-way respread of a 2,000-row
+        # frame costs more than the whole signature pass
+        src = sel
         schema = (
             f"{id_col} {src.schema[id_col].dataType.simpleString()}, "
             "band int, band_sig string"
@@ -398,10 +403,13 @@ def _nearest_centroids(
     n: int,
     out: str,
     keep_rank: bool = False,
+    spread_input: bool = True,
 ) -> DataFrame:
     """Top-``n`` centroids per vector by cosine (broadcast centroids,
     bounded window) — the assign (n=multi) and probe (n=nprobe) legs
-    of the IVF plans. ``keep_rank`` also emits the assignment rank
+    of the IVF plans. ``spread_input=False`` (r14) skips the respread
+    for bounded probe panels, where 32-way repartitioning ~40 rows
+    costs more than the kernel pass itself. ``keep_rank`` also emits the assignment rank
     (``_rn``) so a caller needing BOTH the multi-assignment and the
     primary (rank-1) assignment runs the N×C pass once, not twice
     (r9 review #6: the ivfpq build was paying the corpus-wide
@@ -420,7 +428,8 @@ def _nearest_centroids(
 
         src = df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v"))
         return topn_centroids_arrow(
-            spread(src, out), centroids, out, "_v", n, out,
+            spread(src, out) if spread_input else src,
+            centroids, out, "_v", n, out,
             keep_rank=keep_rank,
         )
     v = with_norm(
@@ -593,7 +602,7 @@ def _mass_probes(
         den = F.lit(int(probe_mass[1]))
     ranked = _nearest_centroids(
         centroids, queries, id_col, vec_col, 1 << 30, "query_id",
-        keep_rank=True,
+        keep_rank=True, spread_input=False,
     )
     wq = W.partitionBy("query_id").orderBy("_rn")
     # budget = ceil(num*T/den) exactly: (num*T + den - 1) / den in
@@ -759,7 +768,8 @@ def ivf_search_frames(
     postings."""
     if probe_mass is None:
         probes = _nearest_centroids(
-            centroids, queries, id_col, vec_col, nprobe, "query_id"
+            centroids, queries, id_col, vec_col, nprobe, "query_id",
+            spread_input=False,
         )
     else:
         sizes = (
@@ -773,12 +783,15 @@ def ivf_search_frames(
             centroids, queries, sizes, probe_mass, id_col, vec_col,
             mass_multi=mass_multi, sched_ref=sched_ref,
         )
-    cand = spread(
+    # no spread pin here (r14): spread's partition probe materializes
+    # this shuffle-rooted subtree as a throwaway job under AQE, and the
+    # downstream consumer is now a cheap Arrow kernel — AQE's byte-based
+    # coalescing sizes the distinct output correctly at every scale
+    cand = (
         probes.join(postings, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct(),
-        "neighbor_id",
+        .distinct()
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -794,9 +807,7 @@ def ivf_search_frames(
     )
 
     scored = pair_cosine_arrow(
-        spread(cand, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id"),
+        cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id"),
         ["query_id", "neighbor_id"], "_qv", "_cv", "cosine",
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -828,9 +839,16 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # the per-candidate exact-cosine verification is compute-heavy but
-    # byte-light: pin its parallelism so AQE can't coalesce it away
-    cand = spread(cand, "id_a")
+    # probe-free parallelism pin (r14): the per-pair dot is now an
+    # Arrow kernel (cheap), but attaching two 64-dim vectors to every
+    # candidate pair is byte-heavy relative to the pair set AQE sizes
+    # by — coalesced to one task, the join + Arrow conversion
+    # serializes. An unconditional repartition pins the fan-out
+    # without spread's partition probe (which materializes this
+    # shuffle-rooted subtree as a throwaway job under AQE).
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
+    )
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     from bigdatafinalproject_spark.operators.arrow_kernels import (
@@ -1010,9 +1028,7 @@ def lsh_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = pair_cosine_arrow(
-        spread(cand, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id"),
+        cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id"),
         ["query_id", "neighbor_id"], "_qv", "_cv", "cosine",
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -1700,7 +1716,8 @@ def ivfpq_search_frames(
     _s = F.ceil(F.sqrt(F.col("_n") / float(scale_ref))).cast("int")
     if probe_mass is None:
         probes = _nearest_centroids(
-            centroids, queries, id_col, vec_col, nprobe, "query_id"
+            centroids, queries, id_col, vec_col, nprobe, "query_id",
+            spread_input=False,
         )
     else:
         # posting rows per cell: the persisted C-row table when given,

@@ -68,7 +68,21 @@ _SHIP_LOCK = threading.Lock()
 _SHIPPED: set[str] = set()
 
 
-def _ensure_worker_imports(df: DataFrame) -> None:
+def ensure_shipped(spark) -> None:
+    """Public hook: ship the package zip to ``spark`` NOW. Call this
+    before warming the Python worker pool — ``addPyFile`` changes the
+    worker-factory key (the pyFiles land on the worker PYTHONPATH), so
+    a pool warmed before the first kernel call would be abandoned and
+    re-forked at that point, charging ~2-4 s of numpy/pyarrow imports
+    to whichever query happened to run first."""
+
+    class _Holder:  # adapt the DataFrame-shaped helper below
+        sparkSession = spark
+
+    _ensure_worker_imports(_Holder)
+
+
+def _ensure_worker_imports(df) -> None:
     sc = df.sparkSession.sparkContext
     key = sc.applicationId
     if key in _SHIPPED:
@@ -530,6 +544,175 @@ def coarse_terms_arrow(
             yield pa.RecordBatch.from_arrays(
                 [b.column(0), b.column(1), pa.array(qc, pa.int64())],
                 ["query_id", "centroid_id", "_qc"],
+            )
+
+    return src.mapInArrow(kernel, schema)
+
+
+def minhash_arrow(
+    d: DataFrame,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    mersenne: int,
+    bands: int | None = None,
+) -> DataFrame:
+    """MinHash over char-``n``-gram shingles of a pre-normalized text
+    column ``_t`` — the shingle slicing, distinct, portable md5 hash
+    (``conv(substr(md5('0|'||shingle), 1, 15), 16, 10) % mersenne``)
+    and the k affine mins all run in one kernel pass, replacing an
+    interpreted per-doc transform/array_distinct HOF plus a k-column
+    min aggregate (one shuffle of doc rows removed). Exactness:
+    Python str slicing == Spark ``substring`` (both code-point
+    indexed), ``hashlib.md5`` over UTF-8 == SQL ``md5``, and the
+    affine arithmetic is the same int64 math.
+
+    ``bands=None`` emits the long signature form (id, seed, minhash);
+    with ``bands`` it emits (id, band, band_digest) where band_digest
+    = md5 of the band's minhashes joined with "," in seed order — the
+    exact ``concat_ws`` + ``collect_list`` aggregate it replaces."""
+    import hashlib
+
+    _ensure_worker_imports(d)
+    src = d.select(id_col, "_t")
+    if bands is None:
+        schema = f"{_spark_field(src, id_col)}, seed int, minhash bigint"
+        names = [id_col, "seed", "minhash"]
+    else:
+        schema = f"{_spark_field(src, id_col)}, band int, band_digest string"
+        names = [id_col, "band", "band_digest"]
+    rows_per_band = num_hashes // bands if bands else 0
+    coef = np.arange(num_hashes, dtype=np.int64)
+    mul = 2 * coef + 1
+    add = coef * 12345 + 678
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            nb = len(texts)
+            if nb == 0:
+                continue
+            keep, payload = [], []
+            for r, t in enumerate(texts):
+                if t is None or len(t) < n:
+                    continue
+                sh = {t[i : i + n] for i in range(len(t) - n + 1)}
+                h31 = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(("0|" + s).encode("utf-8"))
+                            .hexdigest()[:15],
+                            16,
+                        )
+                        % mersenne
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                mins = (
+                    (h31[:, None] * mul[None, :] + add[None, :]) % mersenne
+                ).min(axis=0)
+                keep.append(r)
+                payload.append(mins)
+            if not keep:
+                continue
+            if bands is None:
+                take = pa.array(np.repeat(np.array(keep), num_hashes))
+                arrays = [
+                    ids.take(take),
+                    pa.array(
+                        np.tile(np.arange(num_hashes, dtype=np.int32), len(keep))
+                    ),
+                    pa.array(np.concatenate(payload), pa.int64()),
+                ]
+            else:
+                digests = [
+                    hashlib.md5(
+                        ",".join(
+                            str(int(m))
+                            for m in mins[
+                                bb * rows_per_band : (bb + 1) * rows_per_band
+                            ]
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for mins in payload
+                    for bb in range(bands)
+                ]
+                take = pa.array(np.repeat(np.array(keep), bands))
+                arrays = [
+                    ids.take(take),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), len(keep))),
+                    pa.array(digests, pa.string()),
+                ]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return src.mapInArrow(kernel, schema)
+
+
+def simhash_arrow(d: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """SimHash signatures from a pre-normalized text column ``_t`` —
+    token split, per-token counts, the portable md5 hash and the
+    per-bit ±count sums all in one kernel pass, replacing the exploded
+    (#token-pairs x bits)-row aggregation pipeline (7M generated rows
+    per 5k docs at sf0.1). Arithmetic is the identical integer math:
+    bit j of the signature is set iff sum(cnt * ((th >> j & 1) * 2 - 1))
+    over the doc's distinct tokens is > 0. A null text produces no
+    output row (explode-of-null semantics)."""
+    import hashlib
+    from collections import Counter
+
+    _ensure_worker_imports(d)
+    src = d.select(id_col, "_t")
+    schema = f"{_spark_field(src, id_col)}, simhash bigint"
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            if not texts:
+                continue
+            keep, sigs = [], []
+            for r, t in enumerate(texts):
+                if t is None:
+                    continue
+                cnt = Counter(t.split(" "))
+                toks = list(cnt)
+                th = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(("0|" + tok).encode("utf-8"))
+                            .hexdigest()[:15],
+                            16,
+                        )
+                        for tok in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                cnts = np.fromiter(
+                    (cnt[tok] for tok in toks), dtype=np.int64, count=len(toks)
+                )
+                pm = (
+                    ((th.astype(np.uint64)[:, None] >> shifts[None, :]) & 1)
+                    .astype(np.int64)
+                    * 2
+                    - 1
+                )
+                bitsum = (pm * cnts[:, None]).sum(axis=0)
+                keep.append(r)
+                sigs.append(int(weights[bitsum > 0].sum()))
+            if not keep:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.array(keep))),
+                    pa.array(sigs, pa.int64()),
+                ],
+                [id_col, "simhash"],
             )
 
     return src.mapInArrow(kernel, schema)

@@ -266,7 +266,25 @@ def minhash_signatures(
     every term fitting int64 (a <= 2k+1, h31 < 2^31). The k mins are
     computed as k parallel min-aggregates over the UN-exploded shingle
     rows (map-side combinable, one shuffle of #docs rows) and unpivoted
-    with ``stack`` afterwards — never k× the shingle volume."""
+    with ``stack`` afterwards — never k× the shingle volume.
+
+    Batch frames dispatch to the Arrow kernel
+    (operators/arrow_kernels.minhash_arrow): shingle slicing, distinct,
+    the portable md5 hash and the k affine mins run vectorized per doc
+    with identical arithmetic — the interpreted per-doc transform HOF
+    and the k-min shuffle disappear."""
+    if not df.isStreaming:
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            minhash_arrow,
+        )
+
+        d = spread(
+            df.select(
+                F.col(id_col), norm_text(F.col(text_col)).alias("_t")
+            ).filter(F.length("_t") >= n),
+            id_col,
+        )
+        return minhash_arrow(d, id_col, n, num_hashes, _MERSENNE31)
     sh = shingles(df, text_col, id_col, n)
     base = sh.withColumn("_h31", _hash64(F.col("shingle")) % _MERSENNE31)
     aggs = [
@@ -292,8 +310,27 @@ def minhash_band_digests(
     bands: int = 4,
 ) -> DataFrame:
     """Banded MinHash signatures: (id, band, band_digest) — md5 over the
-    band's minhashes in seed order. The joinable LSH index shape."""
+    band's minhashes in seed order. The joinable LSH index shape.
+
+    Batch frames dispatch to the Arrow kernel
+    (operators/arrow_kernels.minhash_arrow with ``bands``): the band
+    digests come straight out of the signature pass, removing the
+    collect_list aggregation shuffle as well."""
     rows = num_hashes // bands
+    if not df.isStreaming:
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            minhash_arrow,
+        )
+
+        d = spread(
+            df.select(
+                F.col(id_col), norm_text(F.col(text_col)).alias("_t")
+            ).filter(F.length("_t") >= n),
+            id_col,
+        )
+        return minhash_arrow(
+            d, id_col, n, num_hashes, _MERSENNE31, bands=bands
+        )
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     return (
         sig.withColumn("band", (F.col("seed") / rows).cast("int"))
@@ -350,6 +387,19 @@ def simhash_signatures(
     # codegen) with per-element boxing — measured ~3× slower than this
     # exploded, fully-codegen'd pipeline. Explode + two map-side-
     # combinable aggregations is the faster shape at every scale.
+    # r14: batch frames dispatch to the Arrow kernel, which computes
+    # the identical integer math per doc without generating the
+    # (#token-pairs x bits) exploded rows at all.
+    if not df.isStreaming:
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            simhash_arrow,
+        )
+
+        d = spread(
+            df.select(F.col(id_col), norm_text(F.col(text_col)).alias("_t")),
+            id_col,
+        )
+        return simhash_arrow(d, id_col, bits)
     toks = tokens(F.col(text_col))
     d = spread(df.select(F.col(id_col), toks.alias("_tk")), id_col)
     counts = (
