@@ -140,8 +140,10 @@ def cosine_topk(
             cosine_topk_arrow,
         )
 
+        from bigdatafinalproject_spark.operators.layout import spread_scaled
+
         return cosine_topk_arrow(
-            spread(corpus, id_col), queries, id_col, vec_col, k
+            spread_scaled(corpus, id_col), queries, id_col, vec_col, k
         )
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
@@ -426,9 +428,11 @@ def _nearest_centroids(
             topn_centroids_arrow,
         )
 
+        from bigdatafinalproject_spark.operators.layout import spread_scaled
+
         src = df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v"))
         return topn_centroids_arrow(
-            spread(src, out) if spread_input else src,
+            spread_scaled(src, out) if spread_input else src,
             centroids, out, "_v", n, out,
             keep_rank=keep_rank,
         )
@@ -682,6 +686,10 @@ def ivf_centroids(
             kmeans_centroids,
         )
 
+        from bigdatafinalproject_spark.operators.layout import (
+            scaled_parallelism,
+        )
+
         trained = kmeans_centroids(
             corpus.select(id_col, vec_col),
             centroids.select(
@@ -693,6 +701,7 @@ def ivf_centroids(
             train_rounds,
             id_col=id_col,
             vec_col=vec_col,
+            parallelism=scaled_parallelism(corpus),
         )
         # kmeans_centroids returns a LITERAL frame (r14 driver-stepped
         # trainer), so no barrier is needed: every downstream branch
@@ -1592,15 +1601,21 @@ def ivfpq_build_frames(
     from bigdatafinalproject_spark.operators.arrow_kernels import (
         topn_centroids_arrow,
     )
+    from bigdatafinalproject_spark.operators.layout import (
+        scaled_parallelism,
+        spread_scaled,
+    )
 
+    _pt = scaled_parallelism(corpus)
     assigned = materialize_barrier(
         topn_centroids_arrow(
-            spread(
+            spread_scaled(
                 corpus.select(
                     F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("_v"),
                 ),
                 "neighbor_id",
+                parallelism=_pt,
             ),
             centroids, "neighbor_id", "_v", multi_assign, "neighbor_id",
             keep_rank=True, emit_residual=True,
@@ -1640,6 +1655,7 @@ def ivfpq_build_frames(
         id_col="_sid",
         vec_col="_sv",
         group_cols=("s",),
+        parallelism=_pt,
     )
     cb = materialize_barrier(
         trained.select(F.col("cid").alias("code"), "s", F.col("centroid").alias("_cw"))

@@ -98,6 +98,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_cols: tuple[str, ...] = (),
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Train centroids with ``rounds`` deterministic Lloyd updates from
     an explicit ``init`` frame of (group_cols..., cid, centroid) — the
@@ -144,9 +145,20 @@ def kmeans_centroids(
         collect_grouped_centroids,
     )
 
-    sc = emb.sparkSession.sparkContext
+    from bigdatafinalproject_spark.operators.layout import (
+        scaled_parallelism,
+    )
+
     spark = emb.sparkSession
-    emb = emb.repartition(sc.defaultParallelism, F.col(id_col))
+    # r14: the round job's partition count follows the DATA (plan-stats
+    # bytes / 4 MB, clamped to the core count) instead of a core-count
+    # constant — at sf0.1 the whole round fits one task cheaper than 32
+    # near-empty ones, at sf30 it sizes back up. ``parallelism`` lets
+    # callers with a checkpoint-rooted training frame (no usable stats)
+    # pass the corpus-derived figure down.
+    emb = emb.repartition(
+        parallelism or scaled_parallelism(emb), F.col(id_col)
+    )
     gcol = group_cols[0] if group_cols else None
     groups = collect_grouped_centroids(init, gcol)
     for _ in range(rounds):

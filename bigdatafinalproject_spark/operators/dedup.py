@@ -278,7 +278,9 @@ def minhash_signatures(
             minhash_arrow,
         )
 
-        d = spread(
+        from bigdatafinalproject_spark.operators.layout import spread_scaled
+
+        d = spread_scaled(
             df.select(
                 F.col(id_col), norm_text(F.col(text_col)).alias("_t")
             ).filter(F.length("_t") >= n),
@@ -322,7 +324,9 @@ def minhash_band_digests(
             minhash_arrow,
         )
 
-        d = spread(
+        from bigdatafinalproject_spark.operators.layout import spread_scaled
+
+        d = spread_scaled(
             df.select(
                 F.col(id_col), norm_text(F.col(text_col)).alias("_t")
             ).filter(F.length("_t") >= n),
@@ -395,7 +399,9 @@ def simhash_signatures(
             simhash_arrow,
         )
 
-        d = spread(
+        from bigdatafinalproject_spark.operators.layout import spread_scaled
+
+        d = spread_scaled(
             df.select(F.col(id_col), norm_text(F.col(text_col)).alias("_t")),
             id_col,
         )

@@ -36,6 +36,60 @@ def pin(df: DataFrame, *key_cols: str | Column) -> DataFrame:
     return df.repartition(sc.defaultParallelism, *cols)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df``'s optimized plan — file
+    bytes for scan-rooted frames, propagated estimates above. No job
+    is run (this is the same statistic the broadcast planner reads).
+    Returns None when the estimate is absent or the huge
+    unknown-source default (checkpoint/RDD-rooted plans)."""
+    try:
+        n = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return None
+    # LogicalRDD / unknown sources report spark.sql.defaultSizeInBytes
+    # (Long.MaxValue-ish) — treat anything absurd as unknown
+    if n <= 0 or n > (1 << 50):
+        return None
+    return n
+
+
+_BYTES_PER_TASK = 4 << 20
+
+
+def scaled_parallelism(df: DataFrame, bytes_per_task: int = _BYTES_PER_TASK) -> int:
+    """Data-derived partition count for a compute stage over ``df``:
+    ceil(estimated bytes / ``bytes_per_task``) clamped to
+    [1, defaultParallelism] — the optimization-guide rule that
+    partitioning should follow input size, not a core-count constant.
+    Falls back to defaultParallelism (today's behavior) when the plan
+    carries no usable size estimate."""
+    sc = df.sparkSession.sparkContext
+    n = plan_size_bytes(df)
+    if n is None:
+        return sc.defaultParallelism
+    return max(1, min(sc.defaultParallelism, -(-n // bytes_per_task)))
+
+
+def spread_scaled(
+    df: DataFrame, *key_cols: str | Column, parallelism: int | None = None
+) -> DataFrame:
+    """``spread`` for Arrow-kernel inputs (r14): repartition by key to
+    a DATA-SIZED partition count instead of defaultParallelism, and
+    without ``spread``'s ``rdd.getNumPartitions`` probe (which under
+    AQE materializes shuffle-rooted subtrees as a throwaway job). At
+    sf0.1 a 32-way respread of a 2,000-row frame costs more than the
+    kernel pass it feeds; at sf30 the same call sizes up to the core
+    count. Content-neutral: every consumer is partition-invariant by
+    design. ``parallelism`` overrides the estimate (callers that know
+    the corpus pass its scan-rooted figure down to checkpoint-rooted
+    descendants whose own estimate is unusable)."""
+    target = parallelism or scaled_parallelism(df)
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return df.repartition(target, *cols)
+
+
 def spread(df: DataFrame, *key_cols: str | Column) -> DataFrame:
     """Repartition ``df`` across ``defaultParallelism`` by ``key_cols``
     iff it currently has fewer partitions than that (see module doc).
