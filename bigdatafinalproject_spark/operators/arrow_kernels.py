@@ -651,6 +651,42 @@ def minhash_arrow(
     return src.mapInArrow(kernel, schema)
 
 
+def shingles_arrow(d: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Distinct char n-gram shingles of a pre-normalized text column
+    ``_t`` — one kernel pass emitting (id, shingle) rows, replacing
+    the interpreted per-doc transform + array_distinct HOF. Python
+    slicing is code-point indexed like ``substring``, so the shingle
+    SET is identical."""
+    _ensure_worker_imports(d)
+    src = d.select(id_col, "_t")
+    schema = f"{_spark_field(src, id_col)}, shingle string"
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            if not texts:
+                continue
+            take, out = [], []
+            for r, t in enumerate(texts):
+                if t is None or len(t) < n:
+                    continue
+                sh = dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1))
+                take.extend([r] * len(sh))
+                out.extend(sh)
+            if not take:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.array(take))),
+                    pa.array(out, pa.string()),
+                ],
+                [id_col, "shingle"],
+            )
+
+    return src.mapInArrow(kernel, schema)
+
+
 def simhash_arrow(d: DataFrame, id_col: str, bits: int) -> DataFrame:
     """SimHash signatures from a pre-normalized text column ``_t`` —
     token split, per-token counts, the portable md5 hash and the

@@ -48,8 +48,27 @@ def _hash64(col: Column, seed: int | Column = 0) -> Column:
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
     """Distinct char n-gram shingles of normalized text, one row per
-    (id, shingle). Docs shorter than n chars produce no shingles."""
+    (id, shingle). Docs shorter than n chars produce no shingles.
+
+    Batch frames dispatch to the Arrow kernel
+    (operators/arrow_kernels.shingles_arrow): Python slicing is
+    code-point indexed like ``substring``, so the emitted (id,
+    shingle) set is identical while the interpreted per-doc
+    transform + array_distinct HOF disappears."""
     norm = norm_text(F.col(text_col))
+    if not df.isStreaming:
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            shingles_arrow,
+        )
+        from bigdatafinalproject_spark.operators.layout import spread_scaled
+
+        d = spread_scaled(
+            df.select(F.col(id_col), norm.alias("_t")).filter(
+                F.length("_t") >= n
+            ),
+            id_col,
+        )
+        return shingles_arrow(d, id_col, n)
     d = spread(
         df.select(F.col(id_col), norm.alias("_t")).filter(F.length("_t") >= n),
         id_col,
