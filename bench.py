@@ -129,7 +129,20 @@ def main() -> None:
     spread: dict[str, dict[str, float | list[float]]] = {}
     if not subset:
         heavy = sorted(timings, key=lambda n: timings[n], reverse=True)[:10]
-        for name in heavy:
+        # r15 (VERDICT r14 #8): the stream/index-maintenance family is
+        # the volatile one (first readings 2-6x their reruns in the
+        # r14 artifact's reruns/spread fields) and round-over-round
+        # verdicts on it were being decided by first-reading heat.
+        # Extend the median-of-3 protocol to the WHOLE family, not
+        # just whichever members land in the top-10. Additions-only:
+        # the timing recorded is still the median, raw runs ship in
+        # `spread`.
+        volatile = [
+            n
+            for n in timings
+            if n.startswith("stream_") or "_index_" in n
+        ]
+        for name in dict.fromkeys(heavy + volatile):
             fn = registry.QUERIES[name]
             runs_by_name[name].extend(_run_once(fn) for _ in range(2))
             runs = sorted(runs_by_name[name])

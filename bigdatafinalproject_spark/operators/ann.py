@@ -397,6 +397,41 @@ def ivf_topk(
     )
 
 
+# candidate-tail pin modes (r15, VERDICT r14 #3): the per-shape
+# winners of the interleaved A/B (scripts/ab_cand_pin.py, 4 reps,
+# arms alternating per rep; medians at sf0.1):
+#   doc_embedding_neardup  none 2.47 / repartition 2.81 / scaled 2.14
+#   ann_ivf_recall         none 7.81 / repartition 7.15 / scaled 6.57
+#   ann_ivf_topk           none 4.32 / repartition 4.49 / scaled 4.44
+# "scaled" (plan-stats-derived partition count) wins or ties both
+# shapes — it pins the fan-out like r14's repartition but sizes it to
+# the data, probe-free. One hook so the experiment and production run
+# the same code path.
+_IVF_CAND_PIN = "scaled"
+_NEARDUP_CAND_PIN = "scaled"
+
+
+def _pin_candidates(
+    cand: DataFrame, key: str, mode: str = "none"
+) -> DataFrame:
+    """Parallelism pin for a shuffle-rooted candidate frame about to
+    feed vector-attach joins + an Arrow pair kernel. ``mode``:
+    ``"none"`` trusts AQE's byte-based coalescing, ``"repartition"``
+    pins the fan-out to defaultParallelism (probe-free — byte-light
+    but compute-heavy pair sets get coalesced to a handful of tasks
+    otherwise), ``"scaled"`` repartitions to the plan-stats-derived
+    count (layout.spread_scaled)."""
+    if mode == "repartition":
+        return cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism, F.col(key)
+        )
+    if mode == "scaled":
+        from bigdatafinalproject_spark.operators.layout import spread_scaled
+
+        return spread_scaled(cand, key)
+    return cand
+
+
 def _nearest_centroids(
     centroids: DataFrame,
     df: DataFrame,
@@ -406,6 +441,7 @@ def _nearest_centroids(
     out: str,
     keep_rank: bool = False,
     spread_input: bool = True,
+    panel: tuple | None = None,
 ) -> DataFrame:
     """Top-``n`` centroids per vector by cosine (broadcast centroids,
     bounded window) — the assign (n=multi) and probe (n=nprobe) legs
@@ -422,7 +458,11 @@ def _nearest_centroids(
     dim-sequential cosine and (cos DESC, cid ASC) tie order,
     vectorized in numpy, centroids collected once (bounded — the rows
     this plan broadcast); the crossJoin fan-out and the row_number
-    shuffle disappear."""
+    shuffle disappear. ``panel`` (r15) is an optional pre-built
+    (ids asc, matrix) centroid panel — the persisted-index append
+    paths read the frozen quantizer driver-side from its parquet
+    (arrow_kernels.panel_from_parquet), skipping the per-micro-batch
+    collect job; content is bit-identical either way."""
     if not (df.isStreaming or centroids.isStreaming):
         from bigdatafinalproject_spark.operators.arrow_kernels import (
             topn_centroids_arrow,
@@ -433,7 +473,8 @@ def _nearest_centroids(
         src = df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v"))
         return topn_centroids_arrow(
             spread_scaled(src, out) if spread_input else src,
-            centroids, out, "_v", n, out,
+            panel if panel is not None else centroids,
+            out, "_v", n, out,
             keep_rank=keep_rank,
         )
     v = with_norm(
@@ -796,11 +837,14 @@ def ivf_search_frames(
     # this shuffle-rooted subtree as a throwaway job under AQE, and the
     # downstream consumer is now a cheap Arrow kernel — AQE's byte-based
     # coalescing sizes the distinct output correctly at every scale
-    cand = (
+    # (r15: re-measured with the interleaved A/B — see _pin_candidates)
+    cand = _pin_candidates(
         probes.join(postings, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
+        .distinct(),
+        "query_id",
+        mode=_IVF_CAND_PIN,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -855,9 +899,8 @@ def embedding_neardup_pairs(
     # serializes. An unconditional repartition pins the fan-out
     # without spread's partition probe (which materializes this
     # shuffle-rooted subtree as a throwaway job under AQE).
-    cand = cand.repartition(
-        cand.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
-    )
+    # (r15: re-measured with the interleaved A/B — see _pin_candidates)
+    cand = _pin_candidates(cand, "id_a", mode=_NEARDUP_CAND_PIN)
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     from bigdatafinalproject_spark.operators.arrow_kernels import (
@@ -937,25 +980,21 @@ def quantized_topk(
     q = _with_int8(
         queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", vec_col, "_q"
     )
-    qcos = F.expr(
-        "CAST(aggregate(zip_with(_qq, _cq, (x, y) -> "
-        "CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
-    ) / (F.sqrt(F.col("_qn2").cast("double")) * F.sqrt(F.col("_cn2").cast("double")))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", qcos.alias("_qcos"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("_qcos").desc(), F.col("neighbor_id").asc())
-    cand = (
-        scored.withColumn("_qrank", F.row_number().over(w))
-        .filter(F.col("_qrank") <= k * rerank)
-        .select("query_id", "neighbor_id")
-    )
+    # stage-1 scan via the Arrow kernel (r15 — the last per-PAIR
+    # interpreted fold in the ANN family): the old plan crossJoined a
+    # broadcast query panel against every corpus row and evaluated an
+    # aggregate(zip_with(...)) int fold per pair, off the codegen
+    # path. The kernel collects the same bounded panel once and
+    # computes the identical int64 dots + IEEE cosine per corpus
+    # partition (bit-exact — see quantized_scan_arrow), keeping the
+    # per-query (DESC, id ASC) order through a partition-local top-n
+    # and a bounded global window.
     from bigdatafinalproject_spark.operators.arrow_kernels import (
         pair_cosine_arrow,
+        quantized_scan_arrow,
     )
+
+    cand = quantized_scan_arrow(c, q, k * rerank)
 
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
@@ -1283,7 +1322,12 @@ def _pq_exprs(m: int, dim: int):
 
 
 def encode_against_codebook(
-    frame: DataFrame, cb: DataFrame, m: int, dim: int, keys: list[str]
+    frame: DataFrame,
+    cb: DataFrame,
+    m: int,
+    dim: int,
+    keys: list[str],
+    panel: dict | None = None,
 ) -> DataFrame:
     """THE PQ encode: nearest codeword per (row, subspace) by
     sequential-fold L2, ties to the smallest codeword id, via one
@@ -1299,13 +1343,19 @@ def encode_against_codebook(
     (operators/arrow_kernels.encode_codebook_arrow): the subspace
     slice, dim-sequential L2 and ties-to-lowest-code argmin run
     vectorized per partition and the explode + broadcast join +
-    min(struct) shuffle disappears."""
+    min(struct) shuffle disappears. ``panel`` (r15) is an optional
+    pre-built per-subspace codebook dict
+    (arrow_kernels.codebook_from_parquet) — the index append paths
+    read the frozen codebook driver-side, skipping the per-micro-batch
+    collect job; content is bit-identical either way."""
     if not (frame.isStreaming or cb.isStreaming):
         from bigdatafinalproject_spark.operators.arrow_kernels import (
             encode_codebook_arrow,
         )
 
-        return encode_codebook_arrow(frame, cb, m, dim, keys)
+        return encode_codebook_arrow(
+            frame, panel if panel is not None else cb, m, dim, keys
+        )
     spaces, subv = _pq_exprs(m, dim)
     l2 = F.expr(
         "aggregate(zip_with(_sv, _cw, (x, c) -> "

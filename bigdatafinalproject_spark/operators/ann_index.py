@@ -1475,23 +1475,54 @@ def _append_sizes(
     same int64 schema Spark wrote in v5) — the first r12 shape
     (groupBy-write + read-back collect) was two jobs per micro-batch
     append and showed up as +0.6-1.3 s on every streaming-maintenance
-    bench row."""
+    bench row.
+
+    r15: ZERO Spark jobs for a bounded batch — when the staged files'
+    footers count at most ``BDFP_SIZES_ARROW_ROWCAP`` rows (default
+    4M, env-tunable for scale runs), the cell-id column is read and
+    value-counted driver-side with pyarrow (one int64 column of a
+    batch the driver just wrote; exact integer counts, engine-
+    independent). Larger batches keep the Spark aggregate — the cap
+    makes the fast path scale-safe, not a driver hazard. ``pred``
+    accepts the equality tuple ``(col, value)`` so both paths can
+    apply it (the only caller shape: ivfpq's one-row-per-vector
+    ``s == 0``)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as papq
 
     from pyspark.sql import functions as F
 
+    rowcap = int(os.environ.get("BDFP_SIZES_ARROW_ROWCAP", "4000000"))
     out: dict[int, int] = {}
     if delta_files:
-        df = spark.read.parquet(*delta_files)
-        if pred is not None:
-            df = df.filter(pred)
-        rows = (
-            df.groupBy(F.col(cell_col).alias("centroid_id"))
-            .agg(F.count(F.lit(1)).alias("_csz"))
-            .collect()
+        staged_rows = sum(
+            papq.ParquetFile(f).metadata.num_rows for f in delta_files
         )
-        out = {int(r["centroid_id"]): int(r["_csz"]) for r in rows}
+        if staged_rows <= rowcap:
+            cols = [cell_col] + ([pred[0]] if pred is not None else [])
+            t = papq.ParquetDataset(delta_files).read(columns=cols)
+            col = t[cell_col]
+            if pred is not None:
+                col = col.filter(pc.equal(t[pred[0]], pred[1]))
+            vc = pc.value_counts(col.combine_chunks())
+            out = {
+                int(v): int(c)
+                for v, c in zip(
+                    vc.field("values").to_pylist(),
+                    vc.field("counts").to_pylist(),
+                )
+            }
+        else:
+            df = spark.read.parquet(*delta_files)
+            if pred is not None:
+                df = df.filter(F.col(pred[0]) == pred[1])
+            rows = (
+                df.groupBy(F.col(cell_col).alias("centroid_id"))
+                .agg(F.count(F.lit(1)).alias("_csz"))
+                .collect()
+            )
+            out = {int(r["centroid_id"]): int(r["_csz"]) for r in rows}
     # ALWAYS write the staged file — possibly 0-row (an empty delta
     # batch): v6's adopt renames every listed table's staged dir and
     # treats a missing one as a swept stage, so an empty batch must
@@ -1591,17 +1622,32 @@ def _run_concurrent(thunks):
     return results
 
 
-def _footer_rows(spark: SparkSession, path: str) -> int:
-    """Row count from parquet FOOTERS (metadata-only scan of a
-    count(*)-pruned read) — how the maintenance paths measure appended
-    rows without an extra pass over the delta (r9 review follow-up:
-    delta.count() was a full Spark job per micro-batch). A missing
-    path counts 0; any OTHER failure PROPAGATES (r9 review #3:
+def _footer_rows(
+    spark: SparkSession, path: str | list[str]
+) -> int:
+    """Row count from parquet FOOTERS — how the maintenance paths
+    measure appended rows without an extra pass over the delta (r9
+    review follow-up: delta.count() was a full Spark job per
+    micro-batch). r15 (optimization guide §1.2/§2.6 follow-through):
+    the footers are read DRIVER-SIDE with pyarrow instead of a Spark
+    count(*) job — the count job was metadata-pruned but still paid a
+    full job submit/schedule round per micro-batch append (profiled:
+    ~12 jobs per append, most 20-100 ms of pure scheduling). Footer
+    num_rows is the same ground truth Spark's pruned count reads.
+    ``path`` may be one table dir or a list of unit dirs. A missing
+    dir counts 0; any OTHER failure PROPAGATES (r9 review #3:
     coercing a transient read error to 0 would commit a negative or
     wildly inflated appended_rows and silently wedge needs_retrain)."""
-    if not os.path.isdir(path):
-        return 0
-    return spark.read.parquet(path).count()
+    import pyarrow.parquet as papq
+
+    dirs = [path] if isinstance(path, str) else list(path)
+    total = 0
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in _parquet_files(d):
+            total += papq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 def ensure_ivf_index(
@@ -1649,23 +1695,16 @@ def ensure_ivf_index(
         # posting rows per cell, computed ONCE at build from the
         # just-written postings and maintained by appends — the
         # mass-budgeted probe reads this C-row table instead of
-        # re-scanning the postings relation on every search. The two
-        # footer counts and the cell-size aggregate all read the
-        # already-written units — independent jobs, overlapped (r14)
-        from pyspark.sql import functions as F
-
-        n_cent, n_post, _ = _run_concurrent([
-            lambda: spark.read.parquet(cent_u).count(),
-            lambda: spark.read.parquet(post_u).count(),
-            lambda: (
-                spark.read.parquet(post_u)
-                .groupBy("centroid_id")
-                .agg(F.count(F.lit(1)).alias("_csz"))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(csz_u)
-            ),
-        ])
+        # re-scanning the postings relation on every search. r15: the
+        # two row counts come from the written units' parquet FOOTERS
+        # (driver-side pyarrow, zero jobs — _footer_rows), so the
+        # cell-size aggregate is the only remaining Spark job here,
+        # and the C-row snapshot is read back driver-side too.
+        csz_snap = _append_sizes(
+            spark, csz_u, _parquet_files(post_u), "centroid_id"
+        )
+        n_cent = _footer_rows(spark, cent_u)
+        n_post = _footer_rows(spark, post_u)
         per_vec = max(1, min(multi, n_cent))
         _commit(
             tmp, "ivf", fingerprint,
@@ -1673,13 +1712,11 @@ def ensure_ivf_index(
             src=src,
             params=_effective_params("ivf", build_params, subset),
             base_rows=n_post // per_vec,
-            # folded serve-time snapshot (r12): a bounded ≤C-row
-            # collect of the table just written — serves then read the
+            # folded serve-time snapshot (r12): the ≤C-row counts of
+            # the table just written (returned by _append_sizes, same
+            # content as the persisted file) — serves then read the
             # manifest instead of folding the parquet log per search
-            cell_sizes={
-                int(r["centroid_id"]): int(r["_csz"])
-                for r in spark.read.parquet(csz_u).collect()
-            },
+            cell_sizes=csz_snap,
             units=_build_units(["centroids", "postings", "cell_sizes"]),
         )
     except BaseException:
@@ -1725,8 +1762,21 @@ def ivf_index_append(
     try:
         multi = int(meta.get("params", {}).get("multi_assign", 1))
         centroids = _read_table(spark, index_dir, meta, "centroids")
+        # r15: the frozen centroid panel is read driver-side from its
+        # parquet (panel_from_parquet — bit-identical to the collect
+        # it replaces), so the per-micro-batch panel-collect job
+        # disappears
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            panel_from_parquet,
+        )
+
+        cpanel = panel_from_parquet(
+            _unit_paths(index_dir, meta, "centroids"),
+            "centroid_id", "_cent",
+        )
         postings = _nearest_centroids(
-            centroids, delta, id_col, vec_col, multi, "neighbor_id"
+            centroids, delta, id_col, vec_col, multi, "neighbor_id",
+            panel=cpanel,
         )
         track_sizes = "cell_sizes" in meta.get("tables", [])
         # stage EVERY Spark job of this append pre-invalidate (v5.1):
@@ -1741,19 +1791,20 @@ def ivf_index_append(
         # log; compact_index bounds its file count like any other
         # append target.
         stage = _append_stage(index_dir, mver)
-        # the postings write and the kB-sized centroid count are
-        # independent jobs — overlap them (r14, _run_concurrent). The
-        # count feeds per_vec: every vector gets exactly
-        # min(multi, |centroids|) postings (the top-n window is
-        # candidate-bounded) — using bare multi as the divisor
-        # undercounts on a tiny index with fewer cells than multi
-        # (r9 review #5)
-        _, n_cent = _run_concurrent([
-            lambda: postings.write.mode("overwrite").parquet(
-                os.path.join(stage, "postings")
-            ),
-            centroids.count,
-        ])
+        # r15: the centroid count comes from the persisted table's
+        # parquet footers (driver-side pyarrow — it was a per-append
+        # Spark job before), so the postings write is the ONLY Spark
+        # job of the append. The count feeds per_vec: every vector
+        # gets exactly min(multi, |centroids|) postings (the top-n
+        # window is candidate-bounded) — using bare multi as the
+        # divisor undercounts on a tiny index with fewer cells than
+        # multi (r9 review #5)
+        n_cent = _footer_rows(
+            spark, _unit_paths(index_dir, meta, "centroids")
+        )
+        postings.write.mode("overwrite").parquet(
+            os.path.join(stage, "postings")
+        )
         per_vec = max(1, min(multi, n_cent))
         # appended rows from the STAGED footers (metadata-only),
         # divided by the exact per-vector posting count — never an
@@ -1816,12 +1867,13 @@ def ensure_pq_index(
             lambda: norms.write.mode("overwrite").parquet(norms_u),
         ])
         # base_rows from the just-written norms table (one row per
-        # corpus vector) via parquet footers — no extra corpus scan
+        # corpus vector) via parquet footers — no extra corpus scan,
+        # and (r15) no Spark job either: driver-side footer read
         _commit(
             tmp, "pq", fingerprint, ["codebook", "codes", "norms"],
             src=src,
             params=_effective_params("pq", build_params, subset),
-            base_rows=spark.read.parquet(norms_u).count(),
+            base_rows=_footer_rows(spark, norms_u),
             units=_build_units(["codebook", "codes", "norms"]),
         )
     except BaseException:
@@ -1870,12 +1922,22 @@ def pq_index_append(
         dim = int(params.get("dim", 64))
         cb = _read_table(spark, index_dir, meta, "codebook")
         # encode the delta with THE SAME definition pq_build_frames
-        # uses (shared helper — build and append cannot diverge)
+        # uses (shared helper — build and append cannot diverge).
+        # r15: the frozen codebook panel is read driver-side
+        # (codebook_from_parquet — bit-identical to the collect it
+        # replaces), dropping the per-micro-batch collect job
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            codebook_from_parquet,
+        )
+
         dcodes = encode_against_codebook(
             delta.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
             ),
             cb, m, dim, ["neighbor_id"],
+            panel=codebook_from_parquet(
+                _unit_paths(index_dir, meta, "codebook"), m
+            ),
         )
         from bigdatafinalproject_spark.operators.arrow_kernels import (
             norms_arrow,
@@ -2639,8 +2701,6 @@ def ensure_ivfpq_index(
     install as the other kinds. Returns ``index_dir``."""
     from bigdatafinalproject_spark.operators.ann import ivfpq_build_frames
 
-    from pyspark.sql import functions as F
-
     if index_is_current(index_dir, "ivfpq", fingerprint):
         # current index: opportunistically sweep dead writers'
         # stage litter (ADVICE r11 — see _sweep_dead_stages)
@@ -2669,22 +2729,17 @@ def ensure_ivfpq_index(
         ])
         # persisted cell sizes (v3, r10 review #2): posting rows per
         # cell, computed ONCE at build from the just-written codes (a
-        # 2-column scan) and maintained by appends — the mass-budgeted
-        # probe reads this C-row table instead of re-scanning the
-        # index's largest relation on every search. Independent of the
-        # norms footer count — overlapped (r14)
-        _, n_base = _run_concurrent([
-            lambda: (
-                spark.read.parquet(codes_u)
-                .filter(F.col("s") == 0)
-                .groupBy("centroid_id")
-                .agg(F.count(F.lit(1)).alias("_csz"))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(csz_u)
-            ),
-            lambda: spark.read.parquet(norms_u).count(),
-        ])
+        # 2-column scan, s = 0 restricting to one row per assignment)
+        # and maintained by appends — the mass-budgeted probe reads
+        # this C-row table instead of re-scanning the index's largest
+        # relation on every search. r15: bounded builds count driver-
+        # side (_append_sizes pyarrow path) and the norms row count
+        # comes from footers — zero extra Spark jobs here.
+        csz_snap = _append_sizes(
+            spark, csz_u, _parquet_files(codes_u),
+            "centroid_id", pred=("s", 0),
+        )
+        n_base = _footer_rows(spark, norms_u)
         _commit(
             tmp, "ivfpq", fingerprint,
             ["centroids", "codebook", "codes", "norms", "cell_sizes"],
@@ -2692,10 +2747,7 @@ def ensure_ivfpq_index(
             params=_effective_params("ivfpq", build_params, subset),
             base_rows=n_base,
             # folded serve-time snapshot (r12) — see the ivf twin
-            cell_sizes={
-                int(r["centroid_id"]): int(r["_csz"])
-                for r in spark.read.parquet(csz_u).collect()
-            },
+            cell_sizes=csz_snap,
             units=_build_units(
                 ["centroids", "codebook", "codes", "norms", "cell_sizes"]
             ),
@@ -2800,8 +2852,6 @@ def ivfpq_index_append(
     from pyspark.sql import functions as F
 
     from bigdatafinalproject_spark.operators.ann import (
-        _dot,
-        _nearest_centroids,
         encode_against_codebook,
     )
 
@@ -2819,25 +2869,47 @@ def ivfpq_index_append(
         multi = int(params.get("multi_assign", 3))
         m = int(params.get("m", 16))
         dim = int(params.get("dim", 64))
-        centroids = _read_table(spark, index_dir, meta, "centroids")
         cb = _read_table(spark, index_dir, meta, "codebook")
-        assigned = _nearest_centroids(
-            centroids, delta, id_col, vec_col, multi, "neighbor_id"
+        # r15: frozen quantizer panels read driver-side from their
+        # parquet (bit-identical to the collects they replace — no
+        # per-micro-batch panel-collect jobs), and the residual is
+        # emitted BY the assign kernel (emit_residual: elementwise
+        # double subtract, the zip_with residual bit-for-bit — the
+        # same mechanism ivfpq_build_frames has used since r14),
+        # deleting the delta re-join + the per-batch BroadcastExchange
+        # of the centroid table + the interpreted zip_with.
+        from bigdatafinalproject_spark.operators.arrow_kernels import (
+            codebook_from_parquet,
+            panel_from_parquet,
+            topn_centroids_arrow,
         )
-        dvec = delta.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        from bigdatafinalproject_spark.operators.layout import (
+            spread_scaled,
         )
-        residual = F.expr(
-            "zip_with(_v, _cent, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
+
+        cpanel = panel_from_parquet(
+            _unit_paths(index_dir, meta, "centroids"),
+            "centroid_id", "_cent",
         )
-        res = (
-            assigned.join(dvec, "neighbor_id")
-            .join(F.broadcast(centroids), "centroid_id")
-            .select("neighbor_id", "centroid_id", residual.alias("_rv"))
+        assigned = topn_centroids_arrow(
+            spread_scaled(
+                delta.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("_v"),
+                ),
+                "neighbor_id",
+            ),
+            cpanel, "neighbor_id", "_v", multi, "neighbor_id",
+            emit_residual=True,
         )
         dcodes = encode_against_codebook(
-            res.select("neighbor_id", "centroid_id", F.col("_rv").alias("_v")),
+            assigned.select(
+                "neighbor_id", "centroid_id", F.col("_rv").alias("_v")
+            ),
             cb, m, dim, ["neighbor_id", "centroid_id"],
+            panel=codebook_from_parquet(
+                _unit_paths(index_dir, meta, "codebook"), m
+            ),
         )
         from bigdatafinalproject_spark.operators.arrow_kernels import (
             norms_arrow,
@@ -2873,7 +2945,7 @@ def ivfpq_index_append(
             sizes_delta = _append_sizes(
                 spark, os.path.join(stage, "cell_sizes"),
                 _parquet_files(os.path.join(stage, "codes")),
-                "centroid_id", pred=F.col("s") == 0,
+                "centroid_id", pred=("s", 0),
             )
     except BaseException:
         _end_claim(index_dir, mver, release=True)

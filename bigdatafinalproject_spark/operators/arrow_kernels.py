@@ -141,10 +141,21 @@ def seq_l2(X: np.ndarray, C: np.ndarray) -> np.ndarray:
 
 
 def seq_norm(X: np.ndarray) -> np.ndarray:
-    """Per-row sqrt(sequential self-dot) — the ``with_norm`` fold."""
+    """Per-row sqrt(sequential self-dot) — the ``with_norm`` fold.
+
+    Zero-norm guard (ADVICE r14): a zero vector yields a NaN cosine,
+    which Spark's DESC ordering ranks FIRST (NaN = largest double)
+    while ``np.argsort(-cos)`` ranks LAST — a silent cross-form
+    divergence. No legitimate corpus here carries zero embeddings
+    (oracle-verified), so fail loudly instead of drifting quietly."""
     acc = np.zeros(X.shape[0])
     for i in range(X.shape[1]):
         acc += X[:, i] * X[:, i]
+    if X.shape[1] and not acc.all():
+        raise ValueError(
+            "zero-norm vector in Arrow cosine kernel: cosine is NaN "
+            "and kernel/SQL orderings would diverge silently"
+        )
     return np.sqrt(acc)
 
 
@@ -188,6 +199,79 @@ def _spark_field(df: DataFrame, col: str) -> str:
     return f"{col} {df.schema[col].dataType.simpleString()}"
 
 
+def _expand_parquet(paths: list[str]) -> list[str]:
+    """Expand table/unit DIRS to their .parquet files (pyarrow's
+    ParquetDataset accepts a list of files, or one dir — not a list
+    of dirs)."""
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, n)
+                for n in sorted(os.listdir(p))
+                if n.endswith(".parquet")
+            )
+        else:
+            out.append(p)
+    return out
+
+
+def panel_from_parquet(
+    paths: list[str], id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side twin of :func:`collect_matrix` for a panel that
+    lives in plain parquet (r15): read (id, vector) straight from the
+    files with pyarrow instead of running a Spark collect job. The
+    parquet bytes are the ground truth both paths decode — int64 ids
+    and list<double> vectors come back bit-identical — so the (ids
+    asc, float64 matrix) result equals collect_matrix's exactly. Used
+    by the persisted-index append paths, where the per-micro-batch
+    collect of a frozen ≤1k-row quantizer table was pure per-job
+    scheduling overhead (profiled: ~8 small jobs per append)."""
+    import pyarrow.parquet as papq
+
+    t = papq.ParquetDataset(_expand_parquet(paths)).read(
+        columns=[id_col, vec_col]
+    )
+    if t.num_rows > _COLLECT_CAP:
+        raise ValueError(
+            f"arrow kernel small side has {t.num_rows} rows "
+            f"(cap {_COLLECT_CAP}): refusing to collect a corpus"
+        )
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _list_to_mat(t[vec_col])
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def codebook_from_parquet(
+    paths: list[str], m: int
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Driver-side twin of ``encode_codebook_arrow``'s bounded
+    codebook collect (r15): the per-subspace (code ids asc, codeword
+    matrix) dict read straight from the persisted codebook parquet."""
+    import pyarrow.parquet as papq
+
+    t = papq.ParquetDataset(_expand_parquet(paths)).read(
+        columns=["s", "code", "_cw"]
+    )
+    if t.num_rows > _COLLECT_CAP:
+        raise ValueError("arrow kernel codebook over cap")
+    ss = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = t["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _list_to_mat(t["_cw"])
+    by_s: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for s in range(m):
+        mask = ss == s
+        sc = codes[mask]
+        sm = mat[mask]
+        order = np.argsort(sc, kind="stable")
+        by_s[s] = (sc[order], sm[order])
+    return by_s
+
+
 def topn_centroids_arrow(
     df: DataFrame,
     centroids: DataFrame,
@@ -206,9 +290,14 @@ def topn_centroids_arrow(
     ``_rv`` = vector − assigned centroid per emitted (vector, cell)
     pair (elementwise double subtraction of exactly-widened values —
     the ``zip_with`` residual bit-for-bit), which lets the IVFPQ build
-    skip re-joining the corpus and the centroids downstream."""
+    skip re-joining the corpus and the centroids downstream.
+    ``centroids`` may also be an already-built (ids asc, matrix)
+    panel tuple (r15 — see panel_from_parquet)."""
     _ensure_worker_imports(df)
-    cids, C = collect_matrix(centroids, "centroid_id", "_cent")
+    if isinstance(centroids, tuple):
+        cids, C = centroids
+    else:
+        cids, C = collect_matrix(centroids, "centroid_id", "_cent")
     cn = seq_norm(C)
     n_eff = int(min(n, len(cids)))
     src = df.select(F.col(id_col).alias(out), F.col(vec_col).alias("_v"))
@@ -382,20 +471,25 @@ def encode_codebook_arrow(
     ties-to-lowest-code argmin all happen in numpy, emitting the
     (keys..., s, code) rows directly. Replaces an explode + broadcast
     join + min(struct) aggregation (one shuffle of the largest
-    relation's m-fan-out removed outright)."""
+    relation's m-fan-out removed outright). ``cb`` may also be an
+    already-built per-subspace panel dict (r15 — see
+    codebook_from_parquet)."""
     _ensure_worker_imports(frame)
     sub = dim // m
     assert sub * m == dim
-    rows = cb.select("s", "code", "_cw").collect()
-    if len(rows) > _COLLECT_CAP:
-        raise ValueError("arrow kernel codebook over cap")
-    by_s: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for s in range(m):
-        srows = sorted((r for r in rows if r[0] == s), key=lambda r: r[1])
-        by_s[s] = (
-            np.array([r[1] for r in srows], dtype=np.int64),
-            np.array([r[2] for r in srows], dtype=np.float64),
-        )
+    if isinstance(cb, dict):
+        by_s = cb
+    else:
+        rows = cb.select("s", "code", "_cw").collect()
+        if len(rows) > _COLLECT_CAP:
+            raise ValueError("arrow kernel codebook over cap")
+        by_s = {}
+        for s in range(m):
+            srows = sorted((r for r in rows if r[0] == s), key=lambda r: r[1])
+            by_s[s] = (
+                np.array([r[1] for r in srows], dtype=np.int64),
+                np.array([r[2] for r in srows], dtype=np.float64),
+            )
 
     src = frame.select(*keys, "_v")
     schema = ", ".join(
@@ -531,8 +625,20 @@ def coarse_terms_arrow(
             cv = b.column(1).to_numpy(zero_copy_only=False)
             if len(qv) == 0:
                 continue
-            qi = np.searchsorted(qids, qv)
-            ci = np.searchsorted(cids, cv)
+            # exact-match check (ADVICE r14): a probe row whose id is
+            # missing from the panel must fail loudly, not silently
+            # read a neighboring vector — the join this kernel
+            # replaced would have dropped such a row, and a dropped
+            # row here means the caller's probe/panel frames diverged
+            qi = np.clip(np.searchsorted(qids, qv), 0, max(len(qids) - 1, 0))
+            ci = np.clip(np.searchsorted(cids, cv), 0, max(len(cids) - 1, 0))
+            if len(qids) == 0 or len(cids) == 0 or not (
+                np.array_equal(qids[qi], qv) and np.array_equal(cids[ci], cv)
+            ):
+                raise ValueError(
+                    "coarse_terms_arrow: probe row references an id "
+                    "absent from the query/centroid panel"
+                )
             A = Q[qi]
             B = C[ci]
             acc = np.zeros(len(qv))
@@ -863,4 +969,106 @@ def cosine_topk_arrow(
     )
     return local.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def _list_to_imat(arr) -> np.ndarray:
+    """Arrow list<int> column -> (n, d) int64 matrix (exact)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    d = len(flat) // n
+    if d * n != len(flat):
+        raise ValueError("ragged vector column in Arrow kernel")
+    return flat.astype(np.int64, copy=False).reshape(n, d)
+
+
+def quantized_scan_arrow(
+    c: DataFrame,
+    q: DataFrame,
+    n: int,
+) -> DataFrame:
+    """Stage-1 int8 scan of ``operators.ann.quantized_topk`` (r15 —
+    the last interpreted per-PAIR fold in the ANN family): the
+    quantized query panel (query_id, _qq array<int>, _qn2 bigint) is
+    bounded — collected once, the side the old plan broadcast into the
+    crossJoin — and each corpus partition computes its LOCAL top-n per
+    query in the kernel; a final window over the partitions * |Q| * n
+    survivors assigns the global rank (any global top-n row is in its
+    partition's top-n under the same (_qcos DESC, neighbor ASC)
+    order — the cosine_topk_arrow recipe).
+
+    Bit-exactness vs the expression form: the int8 dot is int64
+    integer arithmetic (exact, order-free; |dot| <= d*127² << 2^53 so
+    CAST AS DOUBLE is exact), and the cosine is one IEEE divide by the
+    product sqrt(_qn2)·sqrt(_cn2) computed with one sqrt per operand —
+    the same three double ops as
+    ``CAST(dot AS DOUBLE) / (sqrt(_qn2) * sqrt(_cn2))``. n2 > 0 on
+    both sides (the _with_int8 contract), so no NaN/±inf rows exist
+    and numpy's lexsort order equals Spark's DESC NULLS LAST ordering.
+    Returns (query_id, neighbor_id) of the global top-n per query,
+    self-pairs excluded."""
+    from pyspark.sql import Window as W
+
+    _ensure_worker_imports(c)
+    rows = q.select("query_id", "_qq", "_qn2").collect()
+    if len(rows) > _COLLECT_CAP:
+        raise ValueError(
+            f"arrow kernel small side has {len(rows)} rows "
+            f"(cap {_COLLECT_CAP}): refusing to collect a corpus"
+        )
+    rows.sort(key=lambda r: r[0])
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    QQ = (
+        np.array([r[1] for r in rows], dtype=np.int64)
+        if rows
+        else np.zeros((0, 0), dtype=np.int64)
+    )
+    qden = np.sqrt(
+        np.array([r[2] for r in rows], dtype=np.int64).astype(np.float64)
+    )
+    nq = len(qids)
+    src = c.select("neighbor_id", "_cq", "_cn2")
+    schema = "query_id bigint, neighbor_id bigint, _qcos double"
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            nids = b.column(0).to_numpy(zero_copy_only=False)
+            CQ = _list_to_imat(b.column(1))
+            cn2 = b.column(2).to_numpy(zero_copy_only=False)
+            nb = len(nids)
+            if nb == 0 or nq == 0:
+                continue
+            dot = CQ @ QQ.T  # int64, exact
+            cden = np.sqrt(cn2.astype(np.float64))
+            cos = dot.astype(np.float64) / (qden[None, :] * cden[:, None])
+            kk = min(n, nb)
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                col = cos[:, j]
+                sel = np.lexsort((nids, -col))
+                sel = sel[nids[sel] != qids[j]][:kk]
+                out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
+                out_n.append(nids[sel])
+                out_c.append(col[sel])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_n), pa.int64()),
+                    pa.array(np.concatenate(out_c), pa.float64()),
+                ],
+                ["query_id", "neighbor_id", "_qcos"],
+            )
+
+    local = src.mapInArrow(kernel, schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= n)
+        .select("query_id", "neighbor_id")
     )

@@ -62,8 +62,11 @@ def _assign(
     (operators/arrow_kernels.argmin_centroids_arrow): same
     dim-sequential arithmetic and tie rule, vectorized in numpy
     instead of Spark's interpreted HOF path, with the k centroids
-    collected once (bounded — the same rows this plan broadcast)."""
-    if not (emb.isStreaming or cents.isStreaming):
+    collected once (bounded — the same rows this plan broadcast).
+    The kernel supports at most ONE group column
+    (collect_grouped_centroids keys on group_cols[0]); composite group
+    keys keep the expression form (ADVICE r14)."""
+    if len(group_cols) <= 1 and not (emb.isStreaming or cents.isStreaming):
         from bigdatafinalproject_spark.operators.arrow_kernels import (
             argmin_centroids_arrow,
         )
@@ -137,8 +140,20 @@ def kmeans_centroids(
     itself is untouched (that is the cross-engine-exact step), so
     trained centroids are bit-identical to the unrolled-plan form; the
     returned frame is a LITERAL (createDataFrame of the k rows), which
-    makes every downstream broadcast/collect of it free."""
+    makes every downstream broadcast/collect of it free.
+
+    EAGER-EXECUTION CONTRACT (ADVICE r14): the driver-stepped loop
+    runs one Spark job per round AT CALL TIME — call it only when
+    training should actually run, and never on a streaming-rooted
+    frame (raised below; the pre-r14 lazy form silently deferred)."""
     import numpy as np
+
+    if emb.isStreaming or init.isStreaming:
+        raise ValueError(
+            "kmeans_centroids is eager (one Spark job per Lloyd round "
+            "at call time) and cannot train on a streaming frame — "
+            "train on the batch corpus and freeze the centroids"
+        )
 
     from bigdatafinalproject_spark.operators.arrow_kernels import (
         argmin_centroids_arrow,

@@ -40,16 +40,23 @@ DAMP_NUM, DAMP_DEN = 17, 20  # 0.85 as an exact rational
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected (both directions materialized) distinct co-purchase
     edges: parts appearing in the same order. Per-order item counts are
-    bounded, so the self-join is per-group quadratic, never global."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    bounded, so the quadratic step is per-group, never global.
+
+    r15 (guide §2.4 — remove shuffles outright): one ``collect_set``
+    aggregation per order plus an in-row double explode replaces the
+    old distinct-items SELF-JOIN. Same distinct (src, dst) set — the
+    per-order part set is deduped map-side by the partial collect_set,
+    pairs are generated within the row (bounded: TPC-H orders hold
+    <= 7 lineitems), and the final distinct is unchanged. Plan: 2
+    exchanges (groupBy orderkey, distinct) instead of 4 (distinct
+    items, two join re-shuffles, distinct) and no SortMergeJoin."""
+    sets = lineitem.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("_ps")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        sets.select(F.explode("_ps").alias("src"), "_ps")
+        .select("src", F.explode("_ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
 
@@ -75,12 +82,46 @@ def pagerank_fixed_point(
     hub-degree-2000 star).
 
     Returns (node, pr, pr_norm) where pr_norm = pr / 1e12.
+
+    r15 plan fixes (guide §2.4/§3.1, from the REST/plan profile):
+
+    - ``pr_0`` now derives from the BARRIERED edge list. It used to
+      derive from ``deg``, whose plan roots at the raw extraction —
+      the scans + distinct + self-join re-executed once more just to
+      seed the ranks.
+    - The localCheckpoint returns ``UnknownPartitioning``, so the
+      per-iteration ``ed JOIN pr`` was a SortMergeJoin that
+      re-exchanged the FULL edge list by src every iteration (the
+      plan's dominant shuffles). ``pr`` is NODE-sized — we know that,
+      the optimizer does not (its post-aggregation estimate is
+      edge-sized) — so when the node count (counted once, from the
+      node-sized barriered seed) fits a broadcast budget
+      (``BDFP_GRAPH_BROADCAST_ROWS``, default 2M rows ≈ 64 MB
+      relation), every iteration joins by BROADCAST and the edge list
+      is never re-shuffled; past the budget the SMJ form is kept
+      (node tables at 100 TB scale are data-sized — an unconditional
+      hint would be a driver/executor OOM). Join strategy cannot
+      change the result: the update is exact int64 arithmetic,
+      associative and partitioning-invariant.
     """
+    import os
+
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = materialize_barrier(pin(edges.join(deg, "src"), "src"), checkpoint_dir)
-    pr = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("pr"))
+    pr = materialize_barrier(
+        ed.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.lit(SCALE).cast("long").alias("pr"),
+        ),
+        checkpoint_dir,
+    )
+    bcap = int(os.environ.get("BDFP_GRAPH_BROADCAST_ROWS", "2000000"))
+    bcast = pr.count() <= bcap  # node-sized count of barriered blocks
     for _ in range(iters):
-        contrib = ed.join(pr, ed["src"] == pr["node"]).select(
+        prj = pr.withColumnRenamed("node", "src")
+        contrib = ed.join(F.broadcast(prj) if bcast else prj, "src").select(
             F.col("dst"), F.expr("pr DIV d").alias("c")
         )
         pr = contrib.groupBy("dst").agg(
@@ -193,7 +234,21 @@ def bfs_distances(
     operator exists to avoid). Each round's frontier is materialized
     (localCheckpoint locally, reliable checkpoint via checkpoint_dir
     on a cluster) so the iterative lineage never grows.
+
+    r15 (guide §3.1, same reasoning as pagerank_fixed_point): the
+    barriered edge list comes back with UnknownPartitioning, so the
+    per-hop frontier join re-exchanged and re-sorted the FULL edge
+    list every round. The frontier and visited sets are NODE-sized
+    and their exact row counts are free (each is an eagerly
+    materialized barrier) — when they fit the broadcast budget
+    (``BDFP_GRAPH_BROADCAST_ROWS``) the expansion join and the
+    visited anti-join run as broadcasts and the edge list is never
+    shuffled; larger frontiers keep the SMJ form. Join strategy
+    cannot change the result (set semantics throughout).
     """
+    import os
+
+    bcap = int(os.environ.get("BDFP_GRAPH_BROADCAST_ROWS", "2000000"))
     edges = materialize_barrier(
         pin(edges.select("src", "dst"), "src"), checkpoint_dir
     )
@@ -204,15 +259,22 @@ def bfs_distances(
         checkpoint_dir,
     )
     frontier = known
+    n_front = n_known = frontier.count()
     for hop in range(1, max_hops + 1):
+        f = frontier.select("node")
+        fb = F.broadcast(f) if n_front <= bcap else f
+        seen = known.select("node")
+        seenb = F.broadcast(seen) if n_known <= bcap else seen
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            fb.join(edges, fb["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(known.select("node"), "node", "left_anti")
+            .join(seenb, "node", "left_anti")
             .withColumn("dist", F.lit(hop))
         )
         nxt = materialize_barrier(nxt, checkpoint_dir)
+        n_front = nxt.count()
+        n_known += n_front
         known = known.unionByName(nxt)
         frontier = nxt
     return known

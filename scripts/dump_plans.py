@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for named queries to plans/r14/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to
+plans/$BDFP_PLAN_ROUND/<q>_<tag>.txt (round defaults to r15).
 
 Usage: python scripts/dump_plans.py before q1 q2 ...
 Streaming/lifecycle queries whose final frame is a plain read-back still
@@ -17,7 +18,11 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("BDFP_PLAN_ROUND", "r15")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="bdfp-plans")
     for name in names:

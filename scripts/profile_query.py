@@ -29,7 +29,9 @@ def _get(url: str):
 def main() -> None:
     names = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bdfp-profile")
+    spark = get_spark(
+        app_name="bdfp-profile", extra_conf={"spark.ui.enabled": "true"}
+    )
     sc = spark.sparkContext
     # warm like bench.py does
     registry.QUERIES["popular_parts"](spark, sf_dir).count()

@@ -317,3 +317,39 @@ def test_adc_lookup_and_coarse_terms_match_folds(spark, rng):
         .select("query_id", "centroid_id", F.floor(dot2 * scale).cast("long").alias("_qc"))
     )
     assert _sorted_rows(gotc) == _sorted_rows(refc)
+
+
+def test_quantized_scan_arrow_matches_crossjoin_fold(spark, rng):
+    from bigdatafinalproject_spark.operators.ann import _with_int8
+
+    emb = _corpus(spark, rng, n=200)
+    queries = emb.filter(F.col("vec_id") % 23 == 0)
+    c = _with_int8(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id", "embedding", "_c",
+    )
+    q = _with_int8(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        "query_id", "embedding", "_q",
+    )
+    got = AK.quantized_scan_arrow(c.repartition(7), q, 6)
+    qcos = F.expr(
+        "CAST(aggregate(zip_with(_qq, _cq, (x, y) -> "
+        "CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+    ) / (
+        F.sqrt(F.col("_qn2").cast("double"))
+        * F.sqrt(F.col("_cn2").cast("double"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_qcos").desc(), F.col("neighbor_id").asc()
+    )
+    ref = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qcos.alias("_qcos"))
+        .withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= 6)
+        .select("query_id", "neighbor_id")
+    )
+    assert _sorted_rows(got) == _sorted_rows(ref)
