@@ -597,6 +597,7 @@ def _mass_probes(
     vec_col: str,
     mass_multi: int | None = None,
     sched_ref: int | None = None,
+    panel: tuple | None = None,
 ) -> DataFrame:
     """Mass-budgeted probe set (r10, shared by the IVF and IVFPQ serve
     plans): each query probes its cosine-ranked cells until their
@@ -647,7 +648,7 @@ def _mass_probes(
         den = F.lit(int(probe_mass[1]))
     ranked = _nearest_centroids(
         centroids, queries, id_col, vec_col, 1 << 30, "query_id",
-        keep_rank=True, spread_input=False,
+        keep_rank=True, spread_input=False, panel=panel,
     )
     wq = W.partitionBy("query_id").orderBy("_rn")
     # budget = ceil(num*T/den) exactly: (num*T + den - 1) / den in
@@ -795,6 +796,7 @@ def ivf_search_frames(
     cell_sizes: DataFrame | None = None,
     mass_multi: int | None = None,
     sched_ref: int | None = None,
+    centroid_panel: tuple | None = None,
 ) -> DataFrame:
     """The serve half of ivf_topk: probe cells per query, equi-join
     the postings, exact-cosine-rerank the candidates against the
@@ -819,7 +821,7 @@ def ivf_search_frames(
     if probe_mass is None:
         probes = _nearest_centroids(
             centroids, queries, id_col, vec_col, nprobe, "query_id",
-            spread_input=False,
+            spread_input=False, panel=centroid_panel,
         )
     else:
         sizes = (
@@ -832,6 +834,7 @@ def ivf_search_frames(
         probes = _mass_probes(
             centroids, queries, sizes, probe_mass, id_col, vec_col,
             mass_multi=mass_multi, sched_ref=sched_ref,
+            panel=centroid_panel,
         )
     # no spread pin here (r14): spread's partition probe materializes
     # this shuffle-rooted subtree as a throwaway job under AQE, and the
@@ -1519,6 +1522,7 @@ def pq_search_frames(
     pool_cap: int = 640,
     scale_ref: int = 1000,
     pool: int | None = None,
+    cb_panel: dict | None = None,
 ) -> DataFrame:
     """The serve half of pq_topk: per-query ADC lookup tables against
     the codebook, integer ADC scan over the codes, exact-cosine rerank
@@ -1539,7 +1543,10 @@ def pq_search_frames(
         adc_lookup_arrow,
     )
 
-    qtab = adc_lookup_arrow(queries, cb, m, dim, scale, id_col, vec_col)
+    qtab = adc_lookup_arrow(
+        queries, cb_panel if cb_panel is not None else cb,
+        m, dim, scale, id_col, vec_col,
+    )
 
     adc = (
         codes.join(F.broadcast(qtab), ["s", "code"])
@@ -1748,6 +1755,8 @@ def ivfpq_search_frames(
     mass_multi: int | None = None,
     sched_ref: int | None = None,
     pool: int | None = None,
+    centroid_panel: tuple | None = None,
+    cb_panel: dict | None = None,
 ) -> DataFrame:
     """The serve half of ivfpq_topk: probe cells per query, ADC-rank
     the probed cells' codes by the exact decomposition
@@ -1783,7 +1792,7 @@ def ivfpq_search_frames(
     if probe_mass is None:
         probes = _nearest_centroids(
             centroids, queries, id_col, vec_col, nprobe, "query_id",
-            spread_input=False,
+            spread_input=False, panel=centroid_panel,
         )
     else:
         # posting rows per cell: the persisted C-row table when given,
@@ -1799,6 +1808,7 @@ def ivfpq_search_frames(
         probes = _mass_probes(
             centroids, queries, sizes, probe_mass, id_col, vec_col,
             mass_multi=mass_multi, sched_ref=sched_ref,
+            panel=centroid_panel,
         )
     # per-(query, probed cell) coarse term floor(dot(q, centroid)*scale)
     # and the cell-independent per-(query, subspace, codeword) residual
@@ -1809,9 +1819,14 @@ def ivfpq_search_frames(
     )
 
     qc = coarse_terms_arrow(
-        probes, queries, centroids, scale, id_col, vec_col
+        probes, queries,
+        centroid_panel if centroid_panel is not None else centroids,
+        scale, id_col, vec_col,
     )
-    qtab = adc_lookup_arrow(queries, cb, m, dim, scale, id_col, vec_col)
+    qtab = adc_lookup_arrow(
+        queries, cb_panel if cb_panel is not None else cb,
+        m, dim, scale, id_col, vec_col,
+    )
     # restrict the big codes relation to probed cells FIRST, then the
     # broadcast table lookups; per-cell score = coarse + residual ADC
     adc_cell = (

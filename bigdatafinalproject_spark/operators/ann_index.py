@@ -2614,12 +2614,23 @@ def ivf_index_search(
     base = meta.get("base_rows")
     if probe_mass == "auto" and sref is not None and base:
         probe_mass = mass_schedule_for_n(int(base), int(sref))
+    # r15: the frozen centroid panel reads driver-side from its
+    # parquet — the per-search Spark collect job disappears (content
+    # bit-identical; see panel_from_parquet)
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        panel_from_parquet,
+    )
+
     return ivf_search_frames(
         centroids, postings, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
         probe_mass=probe_mass, cell_sizes=cell_sizes,
         mass_multi=int(p.get("multi_assign", 1)),
         sched_ref=int(sref) if sref is not None else None,
+        centroid_panel=panel_from_parquet(
+            _unit_paths(index_dir, meta, "centroids"),
+            "centroid_id", "_cent",
+        ),
     )
 
 
@@ -2678,11 +2689,20 @@ def pq_index_search(
             int(base), int(meta.get("appended_rows", 0)),
             k, rerank, pool_cap, scale_ref,
         )
+    # r15: frozen codebook panel read driver-side (bit-identical) —
+    # the per-search collect job disappears
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        codebook_from_parquet,
+    )
+
     return pq_search_frames(
         cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, m=m_idx, dim=dim_idx,
         rerank=rerank, scale=scale, pool_cap=pool_cap,
         scale_ref=scale_ref, pool=pool,
+        cb_panel=codebook_from_parquet(
+            _unit_paths(index_dir, meta, "codebook"), m_idx
+        ),
     )
 
 
@@ -2820,6 +2840,13 @@ def ivfpq_index_search(
             int(base), int(meta.get("appended_rows", 0)),
             k, rerank, pool_cap, scale_ref,
         )
+    # r15: frozen quantizer panels read driver-side (bit-identical) —
+    # the per-search collect jobs disappear
+    from bigdatafinalproject_spark.operators.arrow_kernels import (
+        codebook_from_parquet,
+        panel_from_parquet,
+    )
+
     return ivfpq_search_frames(
         centroids, cb, codes, norms, corpus, queries,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
@@ -2829,6 +2856,13 @@ def ivfpq_index_search(
         mass_multi=int(params.get("multi_assign", 3)),
         sched_ref=int(csref) if csref is not None else None,
         pool=pool,
+        centroid_panel=panel_from_parquet(
+            _unit_paths(index_dir, meta, "centroids"),
+            "centroid_id", "_cent",
+        ),
+        cb_panel=codebook_from_parquet(
+            _unit_paths(index_dir, meta, "codebook"), m_idx
+        ),
     )
 
 

@@ -552,13 +552,19 @@ def adc_lookup_arrow(
     _pq = floor(seqdot(q_subspace, codeword) * scale) as int64 — one
     kernel pass over the bounded query panel with the codebook in the
     closure, replacing the subspace explode + broadcast join +
-    interpreted fold."""
+    interpreted fold. ``cb`` may also be an already-built per-subspace
+    panel dict (r15 — codebook_from_parquet)."""
     _ensure_worker_imports(queries)
     sub = dim // m
-    by_s = collect_grouped_centroids(
-        cb.select("s", F.col("code").alias("cid"), F.col("_cw").alias("centroid")),
-        "s",
-    )
+    if isinstance(cb, dict):
+        by_s = cb
+    else:
+        by_s = collect_grouped_centroids(
+            cb.select(
+                "s", F.col("code").alias("cid"), F.col("_cw").alias("centroid")
+            ),
+            "s",
+        )
     src = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     schema = "query_id bigint, s int, code bigint, _pq bigint"
     fscale = float(scale)
@@ -607,14 +613,18 @@ def coarse_terms_arrow(
     centroid_id, _qc = floor(seqdot(q, centroid) * scale) as int64):
     both the query panel and the centroid frame are bounded (they were
     broadcast in the join form), so the two lookups and the dot run in
-    one kernel pass over the probe pairs."""
+    one kernel pass over the probe pairs. ``centroids`` may also be an
+    already-built (ids asc, matrix) panel tuple (r15)."""
     _ensure_worker_imports(probes)
     qids, Q = collect_matrix(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         "query_id",
         vec_col,
     )
-    cids, C = collect_matrix(centroids, "centroid_id", "_cent")
+    if isinstance(centroids, tuple):
+        cids, C = centroids
+    else:
+        cids, C = collect_matrix(centroids, "centroid_id", "_cent")
     src = probes.select("query_id", "centroid_id")
     schema = "query_id bigint, centroid_id bigint, _qc bigint"
     fscale = float(scale)
